@@ -1,0 +1,19 @@
+"""libpll2_tpu — a TPU-native phylogenetic likelihood engine.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of libpll-2
+(the site-repeats fork): transition matrices via eigendecomposition,
+Felsenstein-pruning CLVs, root/edge log-likelihoods, branch-length
+derivatives (Newton engine), parsimony, tree plumbing and alignment I/O —
+built for batched, sharded execution on TPU device meshes.
+"""
+from . import constants
+from .constants import AscBias, PllError
+from .partition import Operation, Partition, pack_operations
+from .ops.gamma import compute_gamma_cats
+
+__all__ = [
+    "constants", "AscBias", "PllError",
+    "Operation", "Partition", "pack_operations",
+    "compute_gamma_cats",
+]
+__version__ = "0.1.0"

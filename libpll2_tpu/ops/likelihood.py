@@ -1,0 +1,169 @@
+"""Root- and edge-based log-likelihood evaluation.
+
+Matches the reference semantics (reference:
+/root/reference/src/core_likelihood.c:25-209 root, :1192-1497 edge ii;
+per-rate scaler handling as in /root/reference/src/core_likelihood_avx.c:
+320-523):
+
+  site_lk = sum_r w_r * [ L_r(site) * (1 - pinv_r) + pinv_r * f_r(inv_state) ]
+  logL    = sum_sites weight_s * log(site_lk)  (+ scaler * log(2**-256))
+
+with the exact reference treatment of numerical scaling:
+  * per-site scalers are undone in log space: + scalings * log(threshold);
+  * per-rate scalers (PLL_ATTRIB_RATE_SCALERS) are reduced to a common
+    per-site minimum plus capped (PLL_SCALE_RATE_MAXDIFF=4) relative factors
+    multiplied into each rate term;
+  * when an invariant-site term is present, the variable part is un-scaled by
+    a capped linear factor instead ("undoing the scaling for the non-variant
+    likelihood term only", core_likelihood.c:1470-1485).
+
+Layout: CLVs are [rate, state, site] with sites on TPU vector lanes; the
+state contraction is a small batched matmul, everything else is lane-wise.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import SCALE_RATE_MAXDIFF
+
+
+def _cap_table(threshold, dtype):
+    """[1, t, t^2, ..., t^MAXDIFF] for capped scaler undoing."""
+    expo = jnp.arange(SCALE_RATE_MAXDIFF + 1, dtype=dtype)
+    return jnp.asarray(threshold, dtype) ** expo
+
+
+def _site_scalings(scaler, rate_scalers: bool, cap):
+    """Split scalers into a per-site count and capped per-rate factors.
+
+    scaler: [S] (per-site mode) or [R, S] (per-rate mode), already the sum of
+    all contributing buffers. Returns (site_sc [S], rate_factor [R, S] or None).
+    """
+    if not rate_scalers:
+        return scaler, None
+    site_sc = jnp.min(scaler, axis=0)                      # [S]
+    rel = jnp.minimum(scaler - site_sc[None, :], SCALE_RATE_MAXDIFF)
+    return site_sc, jnp.take(cap, rel)                     # threshold**rel
+
+
+def _finalize_site_lk(terma, terminv, site_sc, threshold, dtype):
+    """Reference scaling/invariant interaction (core_likelihood.c:1463-1486)."""
+    log_thresh = jnp.log(jnp.asarray(threshold, dtype))
+    capped = jnp.minimum(site_sc, SCALE_RATE_MAXDIFF).astype(dtype)
+    cap_factor = jnp.asarray(threshold, dtype) ** capped
+
+    has_sc = site_sc > 0
+    has_inv = terminv > 0.0
+    # choose the argument of the log per the three reference branches
+    log_arg = jnp.where(has_sc,
+                        jnp.where(has_inv, terma * cap_factor + terminv, terma),
+                        terma + terminv)
+    site_lk = jnp.log(jnp.where(log_arg > 0, log_arg, 1.0))
+    site_lk = site_lk + jnp.where(has_sc & ~has_inv,
+                                  site_sc.astype(dtype) * log_thresh, 0.0)
+    return site_lk
+
+
+def _mix_rates(terma_r, rate_factor, freqs_r, pinv_r, rate_weights,
+               invariant, dtype):
+    """Rate-weighted mixing with proportion-of-invariant-sites handling.
+
+    terma_r: [R, S] per-rate site likelihoods; returns (terma [S], terminv [S]).
+    """
+    if rate_factor is not None:
+        terma_r = terma_r * rate_factor
+
+    w = rate_weights[:, None].astype(dtype)                 # [R, 1]
+    pinv = pinv_r[:, None].astype(dtype)                    # [R, 1]
+    terma = jnp.sum(w * terma_r * (1.0 - pinv), axis=0)     # [S]
+
+    inv_ok = invariant >= 0                                 # [S]
+    inv_state = jnp.maximum(invariant, 0)
+    inv_freq = jnp.take_along_axis(freqs_r, inv_state[None, :].repeat(
+        freqs_r.shape[0], axis=0), axis=1)                  # [R, S]
+    terminv = jnp.sum(jnp.where(inv_ok[None, :] & (pinv > 0),
+                                w * inv_freq * pinv, 0.0), axis=0)
+    return terma, terminv
+
+
+@partial(jax.jit, static_argnames=('rate_scalers', 'has_scaler'))
+def root_loglikelihood(clv: jnp.ndarray,            # [R, s, S]
+                       scaler: jnp.ndarray,         # [S] or [R, S] int32
+                       freqs: jnp.ndarray,          # [M, s]
+                       prop_invar: jnp.ndarray,     # [M]
+                       rate_weights: jnp.ndarray,   # [R]
+                       params_idx: jnp.ndarray,     # [R] int
+                       pattern_weights: jnp.ndarray,  # [S]
+                       invariant: jnp.ndarray,      # [S] int (-1 = variable)
+                       scale_threshold: float,
+                       rate_scalers: bool = False,
+                       has_scaler: bool = True):
+    """Returns (total logL, per-site weighted logL [S])."""
+    dtype = clv.dtype
+    f = freqs[params_idx].astype(dtype)              # [R, s]
+    pinv = prop_invar[params_idx]
+
+    term_r = jnp.einsum('ris,ri->rs', clv, f, preferred_element_type=dtype)
+
+    cap = _cap_table(scale_threshold, dtype)
+    if has_scaler:
+        site_sc, rate_factor = _site_scalings(scaler, rate_scalers, cap)
+    else:
+        site_sc = jnp.zeros(clv.shape[-1], dtype=jnp.int32)
+        rate_factor = None
+
+    terma, terminv = _mix_rates(term_r, rate_factor, f[:, :],
+                                pinv, rate_weights, invariant, dtype)
+    # _mix_rates needs per-site invariant freqs: recompute gather properly
+    site_lk = _finalize_site_lk(terma, terminv, site_sc, scale_threshold, dtype)
+    weighted = site_lk * pattern_weights.astype(dtype)
+    return jnp.sum(weighted), weighted
+
+
+@partial(jax.jit, static_argnames=('rate_scalers', 'has_pscaler', 'has_cscaler'))
+def edge_loglikelihood(clv_parent: jnp.ndarray,     # [R, s, S]
+                       clv_child: jnp.ndarray,      # [R, s, S]
+                       pscaler: jnp.ndarray,
+                       cscaler: jnp.ndarray,
+                       pmatrix: jnp.ndarray,        # [R, s, s]
+                       freqs: jnp.ndarray,          # [M, s]
+                       prop_invar: jnp.ndarray,     # [M]
+                       rate_weights: jnp.ndarray,   # [R]
+                       params_idx: jnp.ndarray,     # [R]
+                       pattern_weights: jnp.ndarray,
+                       invariant: jnp.ndarray,
+                       scale_threshold: float,
+                       rate_scalers: bool = False,
+                       has_pscaler: bool = True,
+                       has_cscaler: bool = True):
+    """Likelihood across the edge (parent, child) with transition matrix
+    `pmatrix` on it; returns (total logL, per-site weighted logL)."""
+    dtype = clv_parent.dtype
+    f = freqs[params_idx].astype(dtype)
+    pinv = prop_invar[params_idx]
+
+    termb = jnp.einsum('rjk,rks->rjs', pmatrix, clv_child,
+                       preferred_element_type=dtype)
+    terma_r = jnp.einsum('rjs,rj->rs', clv_parent * termb, f,
+                         preferred_element_type=dtype)
+
+    sc = None
+    if has_pscaler:
+        sc = pscaler
+    if has_cscaler:
+        sc = cscaler if sc is None else sc + cscaler
+    cap = _cap_table(scale_threshold, dtype)
+    if sc is None:
+        site_sc = jnp.zeros(clv_parent.shape[-1], dtype=jnp.int32)
+        rate_factor = None
+    else:
+        site_sc, rate_factor = _site_scalings(sc, rate_scalers, cap)
+
+    terma, terminv = _mix_rates(terma_r, rate_factor, f, pinv,
+                                rate_weights, invariant, dtype)
+    site_lk = _finalize_site_lk(terma, terminv, site_sc, scale_threshold, dtype)
+    weighted = site_lk * pattern_weights.astype(dtype)
+    return jnp.sum(weighted), weighted

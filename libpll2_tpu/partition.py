@@ -1,0 +1,392 @@
+"""Partition: the central state object tying alignments, models and kernels.
+
+TPU-native re-design of the reference's pll_partition_t + dispatch layer
+(reference: /root/reference/src/pll.c:424-1206, /root/reference/src/
+partials.c, likelihood.c, derivatives.c, models.c). Differences by design:
+
+  * All per-index buffer tables (clv[i], pmatrix[i], scale_buffer[i], ...)
+    become leading axes of dense device arrays, so topology-dependent work is
+    pure gather/scatter over traced integer indices — one compiled program
+    serves every topology of a given size.
+  * CLV layout is [node, rate, state, site] (sites on TPU vector lanes).
+  * Tips are always stored as bit-decoded indicator CLVs (the reference's
+    "plain" mode, pll.c:959 set_tipclv); every pruning step is then the
+    inner-inner case. The tip-pattern and site-repeat optimizations are
+    layered on top separately.
+  * Eigendecomposition is host-side numpy (lazy, per rate-matrix, exactly as
+    models.c:412-428); everything downstream is jitted JAX.
+
+Precision: float64 by default (bit-consistent with the reference; requires
+jax_enable_x64). A float32 fast path uses a 2**-64 rescaling window instead
+of 2**-256.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .io import maps as state_maps
+from .ops import derivatives as ops_derivatives
+from .ops import eigen as ops_eigen
+from .ops import likelihood as ops_likelihood
+from .ops import partials as ops_partials
+from .ops import pmatrix as ops_pmatrix
+from .ops.partials import Operations
+
+
+@dataclass
+class Operation:
+    """One pruning step (pll.h:314-324 pll_operation_t)."""
+    parent_clv_index: int
+    parent_scaler_index: int
+    child1_clv_index: int
+    child1_matrix_index: int
+    child1_scaler_index: int
+    child2_clv_index: int
+    child2_matrix_index: int
+    child2_scaler_index: int
+
+
+def pack_operations(operations: Sequence[Operation],
+                    pad_to: Optional[int] = None,
+                    scratch_clv: int = 0) -> Operations:
+    """Convert host operations to the structure-of-arrays device format.
+
+    Padding entries (up to `pad_to`) write into the scratch CLV row and the
+    scratch scaler row so jitted programs are reused across op counts.
+    """
+    n = len(operations)
+    m = n if pad_to is None else max(pad_to, n)
+
+    def arr(get, pad_value):
+        vals = [get(op) for op in operations] + [pad_value] * (m - n)
+        return jnp.asarray(np.array(vals, dtype=np.int32))
+
+    return Operations(
+        parent_clv=arr(lambda o: o.parent_clv_index, scratch_clv),
+        parent_scaler=arr(lambda o: o.parent_scaler_index, -1),
+        child1_clv=arr(lambda o: o.child1_clv_index, 0),
+        child1_matrix=arr(lambda o: o.child1_matrix_index, 0),
+        child1_scaler=arr(lambda o: o.child1_scaler_index, -1),
+        child2_clv=arr(lambda o: o.child2_clv_index, 0),
+        child2_matrix=arr(lambda o: o.child2_matrix_index, 0),
+        child2_scaler=arr(lambda o: o.child2_scaler_index, -1),
+    )
+
+
+class Partition:
+    """Likelihood computation state for one alignment partition."""
+
+    def __init__(self,
+                 tips: int,
+                 clv_buffers: int,
+                 states: int,
+                 sites: int,
+                 rate_matrices: int,
+                 prob_matrices: int,
+                 rate_cats: int,
+                 scale_buffers: int,
+                 *,
+                 dtype=None,
+                 rate_scalers: bool = False,
+                 asc_bias: C.AscBias = C.AscBias.NONE,
+                 sites_alignment: int = 1):
+        if dtype is None:
+            # float64 when jax_enable_x64 is on, else the float32 fast path
+            dtype = jax.dtypes.canonicalize_dtype(np.float64)
+        self.dtype = jnp.dtype(dtype)
+        if self.dtype == jnp.float64:
+            self.scale_threshold = C.SCALE_THRESHOLD
+            self.scale_factor = C.SCALE_FACTOR
+        else:
+            self.scale_threshold = C.SCALE_THRESHOLD_F32
+            self.scale_factor = C.SCALE_FACTOR_F32
+
+        self.tips = tips
+        self.clv_buffers = clv_buffers
+        self.nodes = tips + clv_buffers
+        self.states = states
+        self.sites = sites
+        self.rate_matrices = rate_matrices
+        self.prob_matrices = prob_matrices
+        self.rate_cats = rate_cats
+        self.scale_buffers = scale_buffers
+        self.rate_scalers = rate_scalers
+        self.asc_bias = asc_bias
+        # ascertainment-bias corrections append `states` synthetic
+        # all-state-k columns after the real sites (pll.c:525-531)
+        self.asc_extra = states if asc_bias != C.AscBias.NONE else 0
+
+        base = sites + self.asc_extra
+        self.sites_padded = -(-base // sites_alignment) * sites_alignment
+
+        S, R, s = self.sites_padded, rate_cats, states
+        # +1 scratch row each for padded operations
+        self.clv = jnp.zeros((self.nodes + 1, R, s, S), dtype=self.dtype)
+        scaler_shape = (scale_buffers + 1, R, S) if rate_scalers \
+            else (scale_buffers + 1, S)
+        self.scale_buffer = jnp.zeros(scaler_shape, dtype=jnp.int32)
+        self.pmatrix = jnp.zeros((prob_matrices, R, s, s), dtype=self.dtype)
+
+        # model parameters (host mirrors; tiny)
+        self.frequencies = np.zeros((rate_matrices, s))
+        self.subst_params = np.zeros((rate_matrices, s * (s - 1) // 2))
+        self.rates = np.zeros(R)
+        self.rate_weights = np.full(R, 1.0 / R)
+        self.prop_invar = np.zeros(rate_matrices)
+        self.eigenvals = np.zeros((rate_matrices, s))
+        self.eigenvecs = np.zeros((rate_matrices, s, s))
+        self.inv_eigenvecs = np.zeros((rate_matrices, s, s))
+        self.eigen_decomp_valid = np.zeros(rate_matrices, dtype=bool)
+
+        pw = np.zeros(S, dtype=np.int64)
+        pw[:sites] = 1
+        if self.asc_extra:
+            pw[sites:sites + self.asc_extra] = 0  # weights set via asc API
+        self.pattern_weights = pw
+        self.invariant = np.full(S, -1, dtype=np.int32)
+        self._invariant_valid = False
+        # per-tip state bitmasks, for invariant-site detection
+        self.tip_states = np.zeros((tips, S), dtype=np.uint64)
+        self._tips_set = np.zeros(tips, dtype=bool)
+
+    # ------------------------------------------------------------------ tips
+    def set_tip_states(self, tip_index: int, charmap: np.ndarray,
+                       sequence: str) -> None:
+        """Bit-decode one aligned sequence into the tip's CLV (pll.c:1026)."""
+        if len(sequence) != self.sites:
+            raise C.PllError(C.ERROR_PARAM_INVALID,
+                             f"sequence length {len(sequence)} != sites {self.sites}")
+        masks = state_maps.decode_states(sequence, np.asarray(charmap,
+                                                              dtype=np.uint64))
+        if np.any(masks == 0):
+            bad = sequence[int(np.argmax(masks == 0))]
+            raise C.PllError(C.ERROR_TIPDATA_ILLEGALSTATE,
+                             f"Illegal state code in tip \"{bad}\"")
+        self.tip_states[tip_index, :self.sites] = masks
+        self._tips_set[tip_index] = True
+        self._invariant_valid = False
+
+        ind = state_maps.bits_to_clv(masks, self.states)         # [sites, s]
+        block = np.zeros((self.rate_cats, self.states, self.sites_padded))
+        block[:, :, :self.sites] = ind.T[None, :, :]
+        if self.asc_extra:
+            # synthetic invariant columns: column k observes state k everywhere
+            eye = np.eye(self.states)
+            block[:, :, self.sites:self.sites + self.states] = eye[None, :, :]
+        self.clv = self.clv.at[tip_index].set(
+            jnp.asarray(block, dtype=self.dtype))
+
+    def set_tip_clv(self, tip_index: int, clv: np.ndarray,
+                    padded: bool = False) -> None:
+        """Set a tip CLV directly from [sites, rate_cats, states] values
+        (partial-likelihood input, pll_set_tip_clv pll.c:1063)."""
+        arr = np.asarray(clv, dtype=np.float64)
+        arr = arr.reshape(self.sites, self.rate_cats, self.states)
+        block = np.zeros((self.rate_cats, self.states, self.sites_padded))
+        block[:, :, :self.sites] = np.transpose(arr, (1, 2, 0))
+        self.clv = self.clv.at[tip_index].set(
+            jnp.asarray(block, dtype=self.dtype))
+        self._invariant_valid = False
+
+    # ----------------------------------------------------------------- model
+    def set_frequencies(self, params_index: int, freqs) -> None:
+        f = np.asarray(freqs, dtype=np.float64)
+        if abs(f.sum() - 1.0) > C.MISC_EPSILON:
+            f = f / f.sum()
+        self.frequencies[params_index] = f
+        self.eigen_decomp_valid[params_index] = False
+
+    def set_subst_params(self, params_index: int, params) -> None:
+        self.subst_params[params_index] = np.asarray(params, dtype=np.float64)
+        self.eigen_decomp_valid[params_index] = False
+
+    def set_category_rates(self, rates) -> None:
+        self.rates = np.asarray(rates, dtype=np.float64).copy()
+
+    def set_category_weights(self, weights) -> None:
+        self.rate_weights = np.asarray(weights, dtype=np.float64).copy()
+
+    def set_pattern_weights(self, weights) -> None:
+        w = np.asarray(weights, dtype=np.int64)
+        self.pattern_weights[:self.sites] = w
+        self._invariant_valid = False
+
+    def update_invariant_sites_proportion(self, params_index: int,
+                                          prop_invar: float) -> None:
+        """models.c:495-544."""
+        if prop_invar != 0.0 and self.asc_bias != C.AscBias.NONE:
+            raise C.PllError(C.ERROR_INVAR_INCOMPAT,
+                             "Invariant sites are not compatible with asc bias")
+        if prop_invar < 0 or prop_invar >= 1:
+            raise C.PllError(C.ERROR_INVAR_PROPORTION,
+                             f"Invalid proportion of invariant sites ({prop_invar})")
+        if prop_invar > 0.0 and not self._invariant_valid:
+            self.update_invariant_sites()
+        self.prop_invar[params_index] = prop_invar
+
+    def update_invariant_sites(self) -> None:
+        """Bitwise-AND of observed states per column (models.c:651-752)."""
+        gap = np.uint64((1 << self.states) - 1)
+        acc = np.full(self.sites, gap, dtype=np.uint64)
+        for t in range(self.tips):
+            if self._tips_set[t]:
+                acc &= self.tip_states[t, :self.sites]
+        popcount = np.array([bin(int(x)).count('1') for x in acc])
+        inv = np.where(popcount == 1,
+                       np.array([int(x).bit_length() - 1 for x in acc]), -1)
+        self.invariant[:self.sites] = inv.astype(np.int32)
+        self.invariant[self.sites:] = -1
+        self._invariant_valid = True
+        if not np.any(popcount == 1):
+            raise C.PllError(C.ERROR_INVAR_NONEFOUND, "No invariant sites found")
+
+    def count_invariant_sites(self) -> int:
+        if not self._invariant_valid:
+            self.update_invariant_sites()
+        mask = self.invariant[:self.sites] >= 0
+        return int(self.pattern_weights[:self.sites][mask].sum())
+
+    # ----------------------------------------------------------------- eigen
+    def update_eigen(self, params_index: int) -> None:
+        es = ops_eigen.update_eigen(self.subst_params[params_index],
+                                    self.frequencies[params_index])
+        self.eigenvals[params_index] = es.eigenvals
+        self.eigenvecs[params_index] = es.evecs
+        self.inv_eigenvecs[params_index] = es.inv_evecs
+        self.eigen_decomp_valid[params_index] = True
+
+    def _ensure_eigen(self, params_indices) -> None:
+        for p in set(int(i) for i in params_indices):
+            if not self.eigen_decomp_valid[p]:
+                self.update_eigen(p)
+
+    # -------------------------------------------------------------- pmatrix
+    def update_prob_matrices(self, params_indices, matrix_indices,
+                             branch_lengths) -> None:
+        """models.c:412-443 — batched over all requested edges at once."""
+        params_indices = np.asarray(params_indices, dtype=np.int32)
+        self._ensure_eigen(params_indices)
+        pmat = ops_pmatrix.update_prob_matrices(
+            jnp.asarray(self.eigenvals, self.dtype),
+            jnp.asarray(self.inv_eigenvecs, self.dtype),
+            jnp.asarray(self.eigenvecs, self.dtype),
+            jnp.asarray(self.prop_invar, self.dtype),
+            jnp.asarray(self.rates, self.dtype),
+            jnp.asarray(params_indices),
+            jnp.asarray(np.asarray(branch_lengths), self.dtype))
+        self.pmatrix = self.pmatrix.at[jnp.asarray(
+            np.asarray(matrix_indices, dtype=np.int32))].set(pmat)
+
+    # -------------------------------------------------------------- partials
+    def update_partials(self, operations: Sequence[Operation],
+                        pad_to: Optional[int] = None) -> None:
+        """partials.c:237-291 — one scan over the operation list."""
+        ops = operations if isinstance(operations, Operations) else \
+            pack_operations(operations, pad_to=pad_to, scratch_clv=self.nodes)
+        self.clv, self.scale_buffer = ops_partials.update_partials(
+            self.clv, self.scale_buffer, self.pmatrix, ops,
+            self.scale_threshold, self.scale_factor,
+            rate_scalers=self.rate_scalers)
+
+    # ------------------------------------------------------------ likelihood
+    def _scaler_row(self, index: int):
+        if index == C.SCALE_BUFFER_NONE:
+            return self.scale_buffer[self.scale_buffers], False
+        return self.scale_buffer[index], True
+
+    def compute_root_loglikelihood(self, clv_index: int, scaler_index: int,
+                                   freqs_indices, persite: bool = False):
+        """likelihood.c:122-190."""
+        scaler, has_scaler = self._scaler_row(scaler_index)
+        total, per = ops_likelihood.root_loglikelihood(
+            self.clv[clv_index], scaler,
+            jnp.asarray(self.frequencies, self.dtype),
+            jnp.asarray(self.prop_invar, self.dtype),
+            jnp.asarray(self.rate_weights, self.dtype),
+            jnp.asarray(np.asarray(freqs_indices, dtype=np.int32)),
+            jnp.asarray(self.pattern_weights),
+            jnp.asarray(self.invariant),
+            self.scale_threshold,
+            rate_scalers=self.rate_scalers, has_scaler=has_scaler)
+        if persite:
+            return float(total), np.asarray(per)[:self.sites]
+        return float(total)
+
+    def compute_edge_loglikelihood(self, parent_clv_index: int,
+                                   parent_scaler_index: int,
+                                   child_clv_index: int,
+                                   child_scaler_index: int,
+                                   matrix_index: int,
+                                   freqs_indices,
+                                   persite: bool = False):
+        """likelihood.c:586-700."""
+        pscaler, has_p = self._scaler_row(parent_scaler_index)
+        cscaler, has_c = self._scaler_row(child_scaler_index)
+        total, per = ops_likelihood.edge_loglikelihood(
+            self.clv[parent_clv_index], self.clv[child_clv_index],
+            pscaler, cscaler, self.pmatrix[matrix_index],
+            jnp.asarray(self.frequencies, self.dtype),
+            jnp.asarray(self.prop_invar, self.dtype),
+            jnp.asarray(self.rate_weights, self.dtype),
+            jnp.asarray(np.asarray(freqs_indices, dtype=np.int32)),
+            jnp.asarray(self.pattern_weights),
+            jnp.asarray(self.invariant),
+            self.scale_threshold,
+            rate_scalers=self.rate_scalers,
+            has_pscaler=has_p, has_cscaler=has_c)
+        if persite:
+            return float(total), np.asarray(per)[:self.sites]
+        return float(total)
+
+    # ----------------------------------------------------------- derivatives
+    def update_sumtable(self, parent_clv_index: int, child_clv_index: int,
+                        parent_scaler_index: int, child_scaler_index: int,
+                        params_indices) -> jnp.ndarray:
+        """derivatives.c:239-330 (phase 1, once per edge)."""
+        pscaler, has_p = self._scaler_row(parent_scaler_index)
+        cscaler, has_c = self._scaler_row(child_scaler_index)
+        return ops_derivatives.update_sumtable(
+            self.clv[parent_clv_index], self.clv[child_clv_index],
+            pscaler, cscaler,
+            jnp.asarray(self.inv_eigenvecs, self.dtype),
+            jnp.asarray(self.eigenvecs, self.dtype),
+            jnp.asarray(self.frequencies, self.dtype),
+            jnp.asarray(np.asarray(params_indices, dtype=np.int32)),
+            self.scale_threshold,
+            rate_scalers=self.rate_scalers,
+            has_pscaler=has_p, has_cscaler=has_c)
+
+    def compute_likelihood_derivatives(self, sumtable: jnp.ndarray,
+                                       params_indices,
+                                       branch_length: float):
+        """derivatives.c:333-416 (phase 2, per candidate length)."""
+        d1, d2 = ops_derivatives.likelihood_derivatives(
+            sumtable,
+            jnp.asarray(self.eigenvals, self.dtype),
+            jnp.asarray(self.prop_invar, self.dtype),
+            jnp.asarray(self.frequencies, self.dtype),
+            jnp.asarray(self.rates, self.dtype),
+            jnp.asarray(self.rate_weights, self.dtype),
+            jnp.asarray(np.asarray(params_indices, dtype=np.int32)),
+            jnp.asarray(self.pattern_weights),
+            jnp.asarray(self.invariant),
+            jnp.asarray(branch_length, self.dtype))
+        return float(d1), float(d2)
+
+    # ------------------------------------------------------------- debugging
+    def get_clv(self, index: int) -> np.ndarray:
+        """CLV as [sites, rate_cats, states] (reference memory order)."""
+        block = np.asarray(self.clv[index])[:, :, :self.sites]
+        return np.transpose(block, (2, 0, 1))
+
+    def get_pmatrix(self, index: int) -> np.ndarray:
+        return np.asarray(self.pmatrix[index])
+
+    def get_scaler(self, index: int) -> np.ndarray:
+        return np.asarray(self.scale_buffer[index])[..., :self.sites]
