@@ -134,7 +134,7 @@ def test_lkcalc_00010_clvs_and_edge_logl():
     np.testing.assert_allclose(lk, lk_ref, rtol=1e-10)
     np.testing.assert_allclose(per, per_ref, rtol=1e-10, atol=1e-12)
     # against the shipped golden output (test/out/00010_NMDU_lkcalc.out)
-    assert f"{lk:.6f}" == "-40.672766" or abs(lk - -40.672766) < 1e-4
+    assert f"{lk:.6f}" == "-58.887310"  # test/out/00010_NMDU_lkcalc.out
     ref.destroy()
 
 
