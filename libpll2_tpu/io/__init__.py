@@ -1,1 +1,3 @@
-from . import maps
+from . import fasta, maps, phylip
+from .fasta import load_fasta
+from .phylip import parse_phylip

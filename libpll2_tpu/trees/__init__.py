@@ -1,0 +1,5 @@
+from . import moves, newick, rtree, utree
+from .newick import (export_newick, export_newick_rooted, parse_newick,
+                     parse_newick_rooted)
+from .rtree import RNode, RTree
+from .utree import UNode, UTree, compile_levels, create_operations, traverse

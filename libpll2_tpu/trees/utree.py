@@ -146,35 +146,33 @@ def reset_template_indices(root: UNode, tip_count: int) -> None:
 def traverse(root: UNode,
              order: int = TRAVERSE_POSTORDER,
              cbtrav: Optional[Callable[[UNode], bool]] = None) -> List[UNode]:
-    """Callback-filtered traversal (utree.c:394-462).
+    """Callback-filtered traversal (utree.c:393-462, exact node order).
 
-    Starting at an inner node `root`, visits the subtrees hanging off every
-    ring member plus root->back. `cbtrav` returning False prunes a subtree
-    (used for partial traversals over invalidated CLVs)."""
+    Starting at an inner node `root`, first descends through root->back's
+    subtree, then through root's own side. `cbtrav` returning False prunes a
+    subtree (used for partial traversals over still-valid CLVs)."""
     if root.is_tip():
-        if cbtrav is not None and not cbtrav(root):
-            return []
-        root = root.back
+        raise PllError(ERROR_TREE_INVALID,
+                       "traversal root must be an inner node")
+    if order not in (TRAVERSE_POSTORDER, TRAVERSE_PREORDER):
+        raise PllError(ERROR_TREE_INVALID, "Invalid traversal order")
     out: List[UNode] = []
 
     def rec(node: UNode):
         if cbtrav is not None and not cbtrav(node):
             return
+        if order == TRAVERSE_PREORDER:
+            out.append(node)
         if not node.is_tip():
-            for r in list(node.ring())[1:]:
-                rec(r.back)
+            snode = node.next
+            while snode is not node:
+                rec(snode.back)
+                snode = snode.next
         if order == TRAVERSE_POSTORDER:
             out.append(node)
 
-    if order == TRAVERSE_PREORDER:
-        raise NotImplementedError("preorder traversal: use traverse_preorder")
-
-    # visit all subtrees around the virtual root, then the root itself last
-    if cbtrav is None or cbtrav(root):
-        for r in list(root.ring())[1:]:
-            rec(r.back)
-        rec(root.back)
-        out.append(root)
+    rec(root.back)
+    rec(root)
     return out
 
 
@@ -185,19 +183,20 @@ def create_operations(trav: Sequence[UNode]):
     operations: List[Operation] = []
     branches: List[float] = []
     pmatrix_indices: List[int] = []
+    last_back = trav[-1].back if trav else None
 
     for node in trav:
-        # every traversed node contributes its edge to the pmatrix updates
-        if node.back is not None:
+        # record the edge towards the traversal root, skipping the second
+        # endpoint of the root edge (it would duplicate the root's own entry)
+        if node is not last_back:
             branches.append(node.length)
             pmatrix_indices.append(node.pmatrix_index)
         if not node.is_tip():
-            ring = list(node.ring())
-            children = [r.back for r in ring[1:]]
-            if len(children) != 2:
+            c1 = node.next.back
+            c2 = node.next.next.back
+            if node.next.next.next is not node:
                 raise PllError(ERROR_TREE_INVALID,
                                "operations require binary inner nodes")
-            c1, c2 = children
             operations.append(Operation(
                 parent_clv_index=node.clv_index,
                 parent_scaler_index=node.scaler_index,
