@@ -1,0 +1,197 @@
+"""Benchmark: CLV site-update throughput, TPU engine vs reference C library.
+
+Headline metric (BASELINE.md north star): CLV site-updates/sec/chip on a
+GTR+Gamma(4) DNA full-tree traversal. One site-update = one Felsenstein
+pruning step for one alignment site at one inner node (sites x inner-nodes
+per traversal).
+
+vs_baseline: ratio against the reference libpll-2 compiled with full native
+SIMD (-O3 -march=native, AVX2 kernels, OpenMP site loops) running the same
+traversal on the host CPU — the reference's fastest configuration.
+
+Prints ONE JSON line on stdout; all diagnostics go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_TAXA = int(os.environ.get("BENCH_TAXA", "128"))
+N_SITES = int(os.environ.get("BENCH_SITES", "16384"))
+RATE_CATS = 4
+REPS = int(os.environ.get("BENCH_REPS", "10"))
+SEED = 7
+
+REPO = Path(__file__).resolve().parent
+CACHE = REPO / ".refbuild" / "bench_baseline.json"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_problem(dtype=None):
+    import numpy as np
+    from libpll2_tpu import Partition, TreeEngine, compute_gamma_cats
+    from libpll2_tpu.io import maps
+    from libpll2_tpu.trees import random_alignment, random_utree
+
+    headers, seqs = random_alignment(N_TAXA, N_SITES, seed=SEED)
+    tree = random_utree(headers, seed=SEED)
+    part = Partition(tree.tip_count, tree.inner_count, 4, N_SITES, 1,
+                     tree.edge_count, RATE_CATS, tree.inner_count,
+                     dtype=dtype)
+    by_label = dict(zip(headers, seqs))
+    for tip in tree.tips():
+        part.set_tip_states(tip.clv_index, maps.map_nt, by_label[tip.label])
+    rng = np.random.default_rng(SEED)
+    freqs = rng.dirichlet(np.ones(4) * 10)
+    subst = rng.uniform(0.5, 2.0, size=6)
+    rates = compute_gamma_cats(0.8, RATE_CATS)
+    part.set_frequencies(0, freqs)
+    part.set_subst_params(0, subst)
+    part.set_category_rates(rates)
+    return part, tree, (headers, seqs, freqs, subst, rates)
+
+
+def bench_tpu():
+    """Fused traversal logL throughput on the default JAX device."""
+    import jax
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:    # the axon plugin overrides JAX_PLATFORMS; force via config
+        jax.config.update("jax_platforms", plat)
+    part, tree, _ = build_problem()
+    from libpll2_tpu import TreeEngine
+    eng = TreeEngine(part, tree)
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} ({dev.device_kind}), dtype={part.dtype}")
+
+    # hold CLV/scaler fixed so every rep does the full traversal work
+    clv0, sc0 = part.clv, part.scale_buffer
+    lk = eng.loglikelihood()            # compile + warm
+    log(f"logL = {lk:.4f}")
+    times = []
+    for _ in range(REPS):
+        part.clv, part.scale_buffer = clv0, sc0
+        t0 = time.perf_counter()
+        eng.loglikelihood()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    n_ops = tree.inner_count
+    site_updates = n_ops * N_SITES
+    log(f"traversal: {dt*1e3:.2f} ms best of {REPS} "
+        f"({site_updates/dt/1e6:.1f} M site-updates/s)")
+    return site_updates / dt, 1.0 / dt
+
+
+def bench_reference():
+    """Same traversal through the reference C library at full native speed."""
+    sys.path.insert(0, str(REPO / "tests"))
+    import oracle
+    import numpy as np
+    from libpll2_tpu.trees import (create_operations, random_alignment,
+                                   random_utree, traverse)
+
+    if not oracle.available():
+        return None
+    if CACHE.exists():
+        cached = json.loads(CACHE.read_text())
+        if cached.get("config") == [N_TAXA, N_SITES, RATE_CATS]:
+            log(f"reference baseline (cached): "
+                f"{cached['site_updates_per_sec']/1e6:.1f} M site-updates/s")
+            return cached["site_updates_per_sec"]
+
+    # build a native-optimized reference lib (separate from the test oracle)
+    fast_lib = REPO / ".refbuild" / "libpll_ref_fast.so"
+    if not fast_lib.exists():
+        fast_lib.parent.mkdir(exist_ok=True)
+        src = sorted(str(p) for p in
+                     (oracle.REFERENCE / "src").glob("*.c"))
+        cmd = ["gcc", "-O3", "-march=native", "-fopenmp", "-D_GNU_SOURCE",
+               "-DHAVE_X86INTRIN_H", "-DHAVE_SSE3", "-DHAVE_AVX",
+               "-DHAVE_AVX2", "-fPIC", "-shared", "-o", str(fast_lib),
+               *src, "-lm", "-Wl,--unresolved-symbols=ignore-all"]
+        log("building native reference:", " ".join(cmd[:6]), "...")
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            log("native reference build failed:", r.stderr[-2000:])
+            return None
+    oracle.LIB_PATH = fast_lib
+    oracle._lib = None
+
+    headers, seqs = random_alignment(N_TAXA, N_SITES, seed=SEED)
+    tree = random_utree(headers, seed=SEED)
+    rng = np.random.default_rng(SEED)
+    freqs = rng.dirichlet(np.ones(4) * 10)
+    subst = rng.uniform(0.5, 2.0, size=6)
+    import oracle as orc
+    from libpll2_tpu import compute_gamma_cats
+    ref = orc.OraclePartition(tree.tip_count, tree.inner_count, 4, N_SITES,
+                              1, tree.edge_count, RATE_CATS,
+                              tree.inner_count)
+    by_label = dict(zip(headers, seqs))
+    for tip in tree.tips():
+        ref.set_tip_states(tip.clv_index, "nt", by_label[tip.label])
+    ref.set_frequencies(0, freqs)
+    ref.set_subst_params(0, subst)
+    ref.set_category_rates(compute_gamma_cats(0.8, RATE_CATS))
+
+    trav = traverse(tree.vroot)
+    ops, branches, pmat_idx = create_operations(trav)
+    op_tuples = [(o.parent_clv_index, o.parent_scaler_index,
+                  o.child1_clv_index, o.child1_matrix_index,
+                  o.child1_scaler_index, o.child2_clv_index,
+                  o.child2_matrix_index, o.child2_scaler_index)
+                 for o in ops]
+    pidx = [0] * RATE_CATS
+    root = tree.vroot
+
+    def once():
+        ref.update_prob_matrices(pidx, pmat_idx, branches)
+        ref.update_partials(op_tuples)
+        return ref.edge_loglikelihood(root.clv_index, root.scaler_index,
+                                      root.back.clv_index,
+                                      root.back.scaler_index,
+                                      root.pmatrix_index, pidx)
+
+    lk = once()    # warm
+    log(f"reference logL = {lk:.4f}")
+    times = []
+    for _ in range(max(3, REPS // 2)):
+        t0 = time.perf_counter()
+        once()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    rate = tree.inner_count * N_SITES / dt
+    log(f"reference traversal: {dt*1e3:.2f} ms "
+        f"({rate/1e6:.1f} M site-updates/s)")
+    ref.destroy()
+    CACHE.write_text(json.dumps({"config": [N_TAXA, N_SITES, RATE_CATS],
+                                 "site_updates_per_sec": rate}))
+    return rate
+
+
+def main():
+    tpu_rate, evals_per_sec = bench_tpu()
+    try:
+        ref_rate = bench_reference()
+    except Exception as e:       # baseline failure must not kill the bench
+        log("reference baseline failed:", repr(e))
+        ref_rate = None
+    vs = (tpu_rate / ref_rate) if ref_rate else None
+    print(json.dumps({
+        "metric": "clv_site_updates_per_sec",
+        "value": round(tpu_rate, 1),
+        "unit": "site-updates/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

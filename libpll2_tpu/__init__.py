@@ -10,10 +10,11 @@ from . import constants
 from .constants import AscBias, PllError
 from .partition import Operation, Partition, pack_operations
 from .ops.gamma import compute_gamma_cats
+from .engine import TreeEngine
 
 __all__ = [
     "constants", "AscBias", "PllError",
     "Operation", "Partition", "pack_operations",
-    "compute_gamma_cats",
+    "compute_gamma_cats", "TreeEngine",
 ]
 __version__ = "0.1.0"

@@ -40,6 +40,10 @@ class AscBias(enum.Enum):
     STAMATAKIS = 3
 
 
+# --- branch-length optimization bounds (RAxML-NG convention) -----------------
+OPT_MIN_BRANCH_LEN = 1e-6
+OPT_MAX_BRANCH_LEN = 100.0
+
 # --- traversal orders (pll.h:141-142) ---------------------------------------
 TRAVERSE_POSTORDER = 1
 TRAVERSE_PREORDER = 2

@@ -1,0 +1,173 @@
+"""Fused full-tree evaluation: one compiled program per problem size.
+
+The reference evaluates a tree by four separate library calls
+(reference: /root/reference/src/models.c:412, partials.c:237,
+likelihood.c:586, derivatives.c:239,333). On TPU, each host round-trip and
+each separately-launched kernel costs more than the math for small state
+counts, so the engine fuses the whole traversal into ONE jitted function:
+
+    branches -> P-matrices -> CLV scan -> edge logL (-> d1/d2 -> Newton step)
+
+Topology is data, not code: the operation list, root indices and the
+params->matrix ordering enter as traced integer arrays, so one compiled
+program serves every topology of a given (tips, sites, states, rates) size —
+the SPR search loop never re-compiles (see SURVEY §7 "Host-device churn").
+
+All functions are shape-polymorphic over a sharded site axis; under a
+`jax.sharding.Mesh` the final site reductions lower to `psum` over ICI
+(see parallel/sharding.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .ops import derivatives as ops_derivatives
+from .ops import likelihood as ops_likelihood
+from .ops import partials as ops_partials
+from .ops import pmatrix as ops_pmatrix
+from .partition import Operation, Partition, pack_operations
+from .trees import create_operations, traverse
+
+
+@partial(jax.jit, static_argnames=('rate_scalers',))
+def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
+                         prop_invar, rates, rate_weights, freqs,
+                         params_idx_rates, branches,
+                         op_arrays, root_idx, pattern_weights, invariant,
+                         scale_threshold, scale_factor,
+                         rate_scalers: bool = False):
+    """branches[e] is ordered by pmatrix index e."""
+    pmatrix = ops_pmatrix.update_prob_matrices(
+        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+        params_idx_rates, branches)
+    clv, scaler = ops_partials.update_partials(
+        clv, scaler, pmatrix, op_arrays, scale_threshold, scale_factor,
+        rate_scalers=rate_scalers)
+    p_clv, p_sc, c_clv, c_sc, mat = root_idx
+    total, per = ops_likelihood.edge_loglikelihood(
+        jnp.take(clv, p_clv, axis=0), jnp.take(clv, c_clv, axis=0),
+        jnp.take(scaler, p_sc, axis=0), jnp.take(scaler, c_sc, axis=0),
+        jnp.take(pmatrix, mat, axis=0),
+        freqs, prop_invar, rate_weights, params_idx_rates,
+        pattern_weights, invariant, scale_threshold,
+        rate_scalers=rate_scalers, has_pscaler=True, has_cscaler=True)
+    return total, per, clv, scaler, pmatrix
+
+
+@partial(jax.jit, static_argnames=('rate_scalers',))
+def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
+                       prop_invar, rates, rate_weights, freqs,
+                       params_idx_rates, branches,
+                       op_arrays, root_idx, pattern_weights, invariant,
+                       scale_threshold, scale_factor,
+                       rate_scalers: bool = False):
+    """One full 'training' step: evaluate the tree, then Newton-update the
+    root branch length from d1/d2 (the reference's examples/newton loop body,
+    reference: /root/reference/examples/newton/newton.c:66-96, fused)."""
+    total, _, clv, scaler, pmatrix = _fused_loglikelihood(
+        clv, scaler, eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+        rate_weights, freqs, params_idx_rates, branches,
+        op_arrays, root_idx, pattern_weights, invariant,
+        scale_threshold, scale_factor, rate_scalers=rate_scalers)
+    p_clv, p_sc, c_clv, c_sc, mat = root_idx
+    sumtable = ops_derivatives.update_sumtable(
+        jnp.take(clv, p_clv, axis=0), jnp.take(clv, c_clv, axis=0),
+        jnp.take(scaler, p_sc, axis=0), jnp.take(scaler, c_sc, axis=0),
+        inv_eigenvecs, eigenvecs, freqs, params_idx_rates, scale_threshold,
+        rate_scalers=rate_scalers, has_pscaler=True, has_cscaler=True)
+    blen = jnp.take(branches, mat)
+    d1, d2 = ops_derivatives.likelihood_derivatives(
+        sumtable, eigenvals, prop_invar, freqs, rates, rate_weights,
+        params_idx_rates, pattern_weights, invariant, blen)
+    new_len = ops_derivatives.newton_step(blen, d1, d2,
+                                          C.OPT_MIN_BRANCH_LEN,
+                                          C.OPT_MAX_BRANCH_LEN)
+    branches = branches.at[mat].set(new_len)
+    return total, d1, d2, branches, clv, scaler
+
+
+class TreeEngine:
+    """Compiled full-tree evaluator bound to one Partition + topology size.
+
+    Host-side it compiles the traversal once into operation arrays; after
+    a topology move only the arrays change, not the program.
+    """
+
+    def __init__(self, partition: Partition, tree=None,
+                 operations: Optional[Sequence[Operation]] = None,
+                 branches: Optional[Sequence[float]] = None,
+                 pmatrix_indices: Optional[Sequence[int]] = None,
+                 root=None, params_index: int = 0):
+        self.partition = partition
+        p = partition
+        if tree is not None:
+            trav = traverse(tree.vroot)
+            operations, branches, pmatrix_indices = create_operations(trav)
+            root = tree.vroot
+        # when the partition lives on a mesh, pin every small operand to the
+        # same mesh (replicated) so one SPMD program sees consistent devices
+        mesh = getattr(p, "mesh", None)
+        if mesh is not None:
+            from .parallel.sharding import replicated, site_vector_sharding
+            self._rep = lambda x: jax.device_put(x, replicated(mesh))
+            self._site = lambda x: jax.device_put(x, site_vector_sharding(mesh))
+        else:
+            self._rep = self._site = jnp.asarray
+
+        self.ops = jax.tree.map(self._rep,
+                                pack_operations(operations,
+                                                scratch_clv=p.nodes))
+        # branch lengths stored in pmatrix-index order
+        blen = np.zeros(p.prob_matrices)
+        blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
+        self.branches = self._rep(jnp.asarray(blen, p.dtype))
+        self.root_idx = self._rep(jnp.asarray(
+            [root.clv_index, root.scaler_index,
+             root.back.clv_index, root.back.scaler_index,
+             root.pmatrix_index], dtype=np.int32))
+        self.params_index = params_index
+        R = p.rate_cats
+        self.params_idx_rates = self._rep(
+            jnp.asarray([params_index] * R, np.int32))
+        p._ensure_eigen([params_index])
+
+    def _model_args(self):
+        p = self.partition
+        d = p.dtype
+        return tuple(self._rep(jnp.asarray(a, d)) for a in (
+            p.eigenvals, p.inv_eigenvecs, p.eigenvecs, p.prop_invar,
+            p.rates, p.rate_weights, p.frequencies)) + (self.params_idx_rates,)
+
+    def _site_args(self):
+        p = self.partition
+        return (self._site(jnp.asarray(p.pattern_weights)),
+                self._site(jnp.asarray(p.invariant)))
+
+    def loglikelihood(self, branches=None) -> float:
+        p = self.partition
+        if branches is not None:
+            self.branches = self._rep(jnp.asarray(branches, p.dtype))
+        total, per, clv, scaler, pmatrix = _fused_loglikelihood(
+            p.clv, p.scale_buffer, *self._model_args(),
+            self.branches, self.ops, self.root_idx, *self._site_args(),
+            p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers)
+        p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
+        return float(total)
+
+    def newton_step(self):
+        """Evaluate + one Newton update of the root branch; returns
+        (logL, d1, d2)."""
+        p = self.partition
+        total, d1, d2, branches, clv, scaler = _fused_newton_step(
+            p.clv, p.scale_buffer, *self._model_args(),
+            self.branches, self.ops, self.root_idx, *self._site_args(),
+            p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers)
+        self.branches = branches
+        p.clv, p.scale_buffer = clv, scaler
+        return float(total), float(d1), float(d2)

@@ -1,0 +1,142 @@
+"""M6 validation: fused TreeEngine and site-axis sharding over a virtual
+8-device CPU mesh — shard-count invariance of logL/d1/d2 (the property the
+reference's MPI consumers rely on; SURVEY §2.3)."""
+import numpy as np
+import pytest
+
+import oracle
+from libpll2_tpu import Partition, TreeEngine, compute_gamma_cats
+from libpll2_tpu.io import maps
+from libpll2_tpu.parallel import make_mesh, shard_partition
+from libpll2_tpu.trees import parse_newick
+
+import jax
+
+pytestmark = pytest.mark.skipif(not oracle.available(),
+                                reason="reference not available")
+
+LG4_FAS = "/root/reference/examples/lg4/data/example.fas"
+LG4_TREE = "/root/reference/examples/lg4/data/example.tree"
+RNG = np.random.default_rng(23)
+
+
+def build_partition(sites_alignment=1, rate_scalers=False):
+    from libpll2_tpu.io import load_fasta
+    rng = np.random.default_rng(23)   # same params for every build
+    headers, seqs = load_fasta(LG4_FAS)
+    by_label = dict(zip(headers, seqs))
+    tree = parse_newick(open(LG4_TREE).read())
+    n_tips, n_inner = tree.tip_count, tree.inner_count
+    part = Partition(n_tips, n_inner, 20, len(seqs[0]), 1, tree.edge_count,
+                     4, n_inner, sites_alignment=sites_alignment,
+                     rate_scalers=rate_scalers)
+    for tip in tree.tips():
+        part.set_tip_states(tip.clv_index, maps.map_aa, by_label[tip.label])
+    part.set_frequencies(0, rng.dirichlet(np.ones(20) * 10))
+    part.set_subst_params(0, rng.uniform(0.2, 3.0, size=190))
+    part.set_category_rates(compute_gamma_cats(0.75, 4))
+    return part, tree
+
+
+def reference_logl(part, tree):
+    """Same model through the step-by-step Partition path."""
+    from libpll2_tpu.trees import create_operations, traverse
+    trav = traverse(tree.vroot)
+    ops, branches, pmat_idx = create_operations(trav)
+    part.update_prob_matrices([0] * 4, pmat_idx, branches)
+    part.update_partials(ops)
+    root = tree.vroot
+    return part.compute_edge_loglikelihood(
+        root.clv_index, root.scaler_index, root.back.clv_index,
+        root.back.scaler_index, root.pmatrix_index, [0] * 4)
+
+
+def test_engine_matches_stepwise_path():
+    part, tree = build_partition()
+    expected = reference_logl(part, tree)
+    part2, _ = build_partition()
+    eng = TreeEngine(part2, tree)
+    np.testing.assert_allclose(eng.loglikelihood(), expected, rtol=1e-12)
+
+
+def test_engine_newton_step_improves_logl():
+    part, tree = build_partition()
+    eng = TreeEngine(part, tree)
+    lk0, d1, d2 = eng.newton_step()
+    for _ in range(8):
+        lk, d1, d2 = eng.newton_step()
+    assert lk >= lk0 - 1e-9
+    assert abs(d1) < 1e-3  # converged on the root branch
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_shard_count_invariance_logl(n_dev):
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual devices"
+    mesh = make_mesh(n_dev)
+    part, tree = build_partition(sites_alignment=n_dev)
+    shard_partition(part, mesh)
+    eng = TreeEngine(part, tree)
+    sharded = eng.loglikelihood()
+
+    part1, _ = build_partition()
+    expected = TreeEngine(part1, tree).loglikelihood()
+    np.testing.assert_allclose(sharded, expected, rtol=1e-12)
+
+
+def test_shard_count_invariance_derivatives():
+    mesh = make_mesh(8)
+    part, tree = build_partition(sites_alignment=8)
+    shard_partition(part, mesh)
+    eng = TreeEngine(part, tree)
+    _, d1s, d2s = eng.newton_step()
+
+    part1, _ = build_partition()
+    _, d1, d2 = TreeEngine(part1, tree).newton_step()
+    np.testing.assert_allclose([d1s, d2s], [d1, d2], rtol=1e-10)
+
+
+def test_sharded_vs_oracle():
+    """Sharded fused path reproduces the reference C library end to end."""
+    from libpll2_tpu.io import load_fasta
+    from libpll2_tpu.trees import create_operations, traverse
+    headers, seqs = load_fasta(LG4_FAS)
+    by_label = dict(zip(headers, seqs))
+    tree = parse_newick(open(LG4_TREE).read())
+    n_tips, n_inner = tree.tip_count, tree.inner_count
+    freqs = RNG.dirichlet(np.ones(20) * 10)
+    subst = RNG.uniform(0.2, 3.0, size=190)
+    rates = compute_gamma_cats(0.75, 4)
+
+    ref = oracle.OraclePartition(n_tips, n_inner, 20, len(seqs[0]), 1,
+                                 tree.edge_count, 4, n_inner)
+    for tip in tree.tips():
+        ref.set_tip_states(tip.clv_index, "aa", by_label[tip.label])
+    ref.set_frequencies(0, freqs)
+    ref.set_subst_params(0, subst)
+    ref.set_category_rates(rates)
+    trav = traverse(tree.vroot)
+    ops, branches, pmat_idx = create_operations(trav)
+    ref.update_prob_matrices([0] * 4, pmat_idx, branches)
+    ref.update_partials([(o.parent_clv_index, o.parent_scaler_index,
+                          o.child1_clv_index, o.child1_matrix_index,
+                          o.child1_scaler_index, o.child2_clv_index,
+                          o.child2_matrix_index, o.child2_scaler_index)
+                         for o in ops])
+    root = tree.vroot
+    lk_ref = ref.edge_loglikelihood(root.clv_index, root.scaler_index,
+                                    root.back.clv_index,
+                                    root.back.scaler_index,
+                                    root.pmatrix_index, [0] * 4)
+    ref.destroy()
+
+    mesh = make_mesh(8)
+    part = Partition(n_tips, n_inner, 20, len(seqs[0]), 1, tree.edge_count,
+                     4, n_inner, sites_alignment=8)
+    for tip in tree.tips():
+        part.set_tip_states(tip.clv_index, maps.map_aa, by_label[tip.label])
+    part.set_frequencies(0, freqs)
+    part.set_subst_params(0, subst)
+    part.set_category_rates(rates)
+    shard_partition(part, mesh)
+    lk = TreeEngine(part, tree).loglikelihood()
+    np.testing.assert_allclose(lk, lk_ref, rtol=1e-10)
