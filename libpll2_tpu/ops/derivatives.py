@@ -71,7 +71,10 @@ def update_sumtable(clv_parent: jnp.ndarray,   # [R, s, S]
     return sumtable
 
 
-@jax.jit
+AB_NONE, AB_LEWIS, AB_FELSENSTEIN, AB_STAMATAKIS = 0, 1, 2, 3
+
+
+@partial(jax.jit, static_argnames=('asc_type', 'n_real'))
 def likelihood_derivatives(sumtable: jnp.ndarray,      # [R, s, S]
                            eigenvals: jnp.ndarray,     # [M, s]
                            prop_invar: jnp.ndarray,    # [M]
@@ -81,8 +84,20 @@ def likelihood_derivatives(sumtable: jnp.ndarray,      # [R, s, S]
                            params_idx: jnp.ndarray,    # [R]
                            pattern_weights: jnp.ndarray,  # [S]
                            invariant: jnp.ndarray,     # [S]
-                           branch_length: jnp.ndarray):  # scalar
-    """Returns (d1, d2): first/second derivative of -logL w.r.t. the length."""
+                           branch_length: jnp.ndarray,  # scalar
+                           asc_scalers: jnp.ndarray | None = None,  # [S]
+                           scale_threshold: float = 0.0,
+                           asc_type: int = AB_NONE,
+                           n_real: int = -1):
+    """Returns (d1, d2): first/second derivative of -logL w.r.t. the length.
+
+    Ascertainment bias (core_derivatives.c:852-924): Stamatakis needs no
+    special handling here — the synthetic columns carry ordinary pattern
+    weights and enter the main sums (scalers cancel in the L'/L ratios).
+    Lewis/Felsenstein exclude them from the main sums and add derivative
+    corrections of the log-of-sum terms; absolute likelihoods of the
+    synthetic columns need their per-site scalers (`asc_scalers` = summed
+    parent+child scaler rows) un-done explicitly."""
     dtype = sumtable.dtype
     lam = eigenvals[params_idx].astype(dtype)           # [R, s]
     pinv = prop_invar[params_idx].astype(dtype)         # [R]
@@ -113,7 +128,38 @@ def likelihood_derivatives(sumtable: jnp.ndarray,      # [R, s, S]
     deriv1 = -site[1] / lk0
     deriv2 = deriv1 * deriv1 - site[2] / lk0
     pw = jnp.where(valid, pattern_weights.astype(dtype), 0.0)
-    return jnp.sum(pw * deriv1), jnp.sum(pw * deriv2)
+    if asc_type == AB_STAMATAKIS or (asc_type == AB_NONE and n_real < 0):
+        return jnp.sum(pw * deriv1), jnp.sum(pw * deriv2)
+
+    # mask the synthetic columns out of the main sums
+    states = sumtable.shape[1]
+    main = (jnp.arange(site.shape[1]) < n_real).astype(dtype)
+    d1 = jnp.sum(pw * main * deriv1)
+    d2 = jnp.sum(pw * main * deriv2)
+    if asc_type == AB_NONE:
+        return d1, d2
+
+    # Lewis / Felsenstein corrections (core_derivatives.c:852-924)
+    sc = jax.lax.dynamic_slice(asc_scalers, (n_real,), (states,))
+    scaling = jnp.asarray(scale_threshold, dtype) ** sc.astype(dtype)
+    asc_lk = jnp.sum(
+        jax.lax.dynamic_slice(site, (0, n_real), (3, states))
+        * scaling[None, :], axis=1)                      # [3]
+    if asc_type == AB_LEWIS:
+        sum_w = jnp.sum(pw * main)
+        d1 = d1 + sum_w * (asc_lk[1] / (asc_lk[0] - 1.0))
+        d2 = d2 + sum_w * (((asc_lk[0] - 1.0) * asc_lk[2]
+                            - asc_lk[1] * asc_lk[1])
+                           / ((asc_lk[0] - 1.0) * (asc_lk[0] - 1.0)))
+    else:
+        pw_all = pattern_weights.astype(dtype)
+        sum_w_inv = jnp.sum(jax.lax.dynamic_slice(pw_all, (n_real,),
+                                                  (states,)))
+        d1 = d1 - sum_w_inv * (asc_lk[1] / asc_lk[0])
+        d2 = d2 - sum_w_inv * ((asc_lk[2] * asc_lk[0]
+                                - asc_lk[1] * asc_lk[1])
+                               / (asc_lk[0] * asc_lk[0]))
+    return d1, d2
 
 
 def newton_step(length, d1, d2, xmin, xmax):

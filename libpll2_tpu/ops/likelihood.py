@@ -29,6 +29,8 @@ import jax.numpy as jnp
 
 from ..constants import SCALE_RATE_MAXDIFF
 
+AB_NONE, AB_LEWIS, AB_FELSENSTEIN, AB_STAMATAKIS = 0, 1, 2, 3
+
 
 def _cap_table(threshold, dtype):
     """[1, t, t^2, ..., t^MAXDIFF] for capped scaler undoing."""
@@ -67,6 +69,41 @@ def _finalize_site_lk(terma, terminv, site_sc, threshold, dtype):
     return site_lk
 
 
+def _apply_asc(site_lk, terma, site_sc, pattern_weights,
+               asc_type: int, n_real: int, states: int, threshold, dtype):
+    """Ascertainment-bias corrections (likelihood.c:24-117).
+
+    The partition stores `states` synthetic all-state-k columns after the
+    real sites; their pre-log likelihood `terma` and per-site scalers feed
+    the correction. Stamatakis treats them as ordinary weighted sites (no
+    masking needed); Lewis/Felsenstein exclude them from the main sum and
+    apply a log-of-sum correction. Requires pinv == 0 (enforced upstream).
+    Returns (total, weighted_per_site)."""
+    pw = pattern_weights.astype(dtype)
+    if asc_type == AB_STAMATAKIS or (asc_type == AB_NONE and n_real < 0):
+        # Stamatakis treats the synthetic columns as ordinary weighted sites;
+        # n_real < 0 marks "no synthetic columns allocated"
+        weighted = site_lk * pw
+        return jnp.sum(weighted), weighted
+    # mask the synthetic columns out of the main sum (their weights may be
+    # set even when the correction is currently switched off)
+    main = (jnp.arange(site_lk.shape[0]) < n_real).astype(dtype)
+    weighted = site_lk * pw * main
+    if asc_type == AB_NONE:
+        return jnp.sum(weighted), weighted
+    term_asc = jax.lax.dynamic_slice(terma, (n_real,), (states,))
+    sc_asc = jax.lax.dynamic_slice(site_sc, (n_real,), (states,))
+    base = jnp.sum(term_asc * jnp.asarray(threshold, dtype)
+                   ** sc_asc.astype(dtype))
+    if asc_type == AB_LEWIS:
+        sum_w = jnp.sum(pw * main)
+        corr = -sum_w * jnp.log(1.0 - base)
+    else:
+        sum_w_inv = jnp.sum(jax.lax.dynamic_slice(pw, (n_real,), (states,)))
+        corr = sum_w_inv * jnp.log(base)
+    return jnp.sum(weighted) + corr, weighted
+
+
 def _mix_rates(terma_r, rate_factor, freqs_r, pinv_r, rate_weights,
                invariant, dtype):
     """Rate-weighted mixing with proportion-of-invariant-sites handling.
@@ -89,7 +126,8 @@ def _mix_rates(terma_r, rate_factor, freqs_r, pinv_r, rate_weights,
     return terma, terminv
 
 
-@partial(jax.jit, static_argnames=('rate_scalers', 'has_scaler'))
+@partial(jax.jit, static_argnames=('rate_scalers', 'has_scaler',
+                                   'asc_type', 'n_real'))
 def root_loglikelihood(clv: jnp.ndarray,            # [R, s, S]
                        scaler: jnp.ndarray,         # [S] or [R, S] int32
                        freqs: jnp.ndarray,          # [M, s]
@@ -100,7 +138,9 @@ def root_loglikelihood(clv: jnp.ndarray,            # [R, s, S]
                        invariant: jnp.ndarray,      # [S] int (-1 = variable)
                        scale_threshold: float,
                        rate_scalers: bool = False,
-                       has_scaler: bool = True):
+                       has_scaler: bool = True,
+                       asc_type: int = AB_NONE,
+                       n_real: int = -1):
     """Returns (total logL, per-site weighted logL [S])."""
     dtype = clv.dtype
     f = freqs[params_idx].astype(dtype)              # [R, s]
@@ -117,13 +157,13 @@ def root_loglikelihood(clv: jnp.ndarray,            # [R, s, S]
 
     terma, terminv = _mix_rates(term_r, rate_factor, f[:, :],
                                 pinv, rate_weights, invariant, dtype)
-    # _mix_rates needs per-site invariant freqs: recompute gather properly
     site_lk = _finalize_site_lk(terma, terminv, site_sc, scale_threshold, dtype)
-    weighted = site_lk * pattern_weights.astype(dtype)
-    return jnp.sum(weighted), weighted
+    return _apply_asc(site_lk, terma, site_sc, pattern_weights,
+                      asc_type, n_real, clv.shape[1], scale_threshold, dtype)
 
 
-@partial(jax.jit, static_argnames=('rate_scalers', 'has_pscaler', 'has_cscaler'))
+@partial(jax.jit, static_argnames=('rate_scalers', 'has_pscaler',
+                                   'has_cscaler', 'asc_type', 'n_real'))
 def edge_loglikelihood(clv_parent: jnp.ndarray,     # [R, s, S]
                        clv_child: jnp.ndarray,      # [R, s, S]
                        pscaler: jnp.ndarray,
@@ -138,7 +178,9 @@ def edge_loglikelihood(clv_parent: jnp.ndarray,     # [R, s, S]
                        scale_threshold: float,
                        rate_scalers: bool = False,
                        has_pscaler: bool = True,
-                       has_cscaler: bool = True):
+                       has_cscaler: bool = True,
+                       asc_type: int = AB_NONE,
+                       n_real: int = -1):
     """Likelihood across the edge (parent, child) with transition matrix
     `pmatrix` on it; returns (total logL, per-site weighted logL)."""
     dtype = clv_parent.dtype
@@ -165,5 +207,6 @@ def edge_loglikelihood(clv_parent: jnp.ndarray,     # [R, s, S]
     terma, terminv = _mix_rates(terma_r, rate_factor, f, pinv,
                                 rate_weights, invariant, dtype)
     site_lk = _finalize_site_lk(terma, terminv, site_sc, scale_threshold, dtype)
-    weighted = site_lk * pattern_weights.astype(dtype)
-    return jnp.sum(weighted), weighted
+    return _apply_asc(site_lk, terma, site_sc, pattern_weights,
+                      asc_type, n_real, clv_parent.shape[1],
+                      scale_threshold, dtype)

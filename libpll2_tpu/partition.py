@@ -217,6 +217,35 @@ class Partition:
         self.pattern_weights[:self.sites] = w
         self._invariant_valid = False
 
+    def set_asc_bias_type(self, asc_bias: C.AscBias) -> None:
+        """Switch the correction type (pll.c:1126-1172). The partition must
+        have been created with asc_bias != NONE so the synthetic all-state-k
+        columns are allocated."""
+        if not self.asc_extra:
+            raise C.PllError(C.ERROR_AB_NOSUPPORT,
+                             "Partition was not created with ascertainment "
+                             "bias support")
+        if asc_bias != C.AscBias.NONE and np.any(self.prop_invar > 0):
+            raise C.PllError(C.ERROR_INVAR_INCOMPAT,
+                             "Invariant sites are not compatible with asc "
+                             "bias correction")
+        if asc_bias != C.AscBias.NONE and self.rate_scalers:
+            raise C.PllError(C.ERROR_AB_NOSUPPORT,
+                             "Per-rate scalers are not supported with asc "
+                             "bias correction")
+        self.asc_bias = asc_bias
+
+    def set_asc_state_weights(self, state_weights) -> None:
+        """Weights of the synthetic per-state columns (pll.c:1174-1181):
+        for Stamatakis the per-state invariant-site counts; for Felsenstein
+        the total number of invariant sites (on any column)."""
+        if not self.asc_extra:
+            raise C.PllError(C.ERROR_AB_NOSUPPORT,
+                             "Partition was not created with ascertainment "
+                             "bias support")
+        w = np.asarray(state_weights, dtype=np.int64)
+        self.pattern_weights[self.sites:self.sites + self.states] = w
+
     def update_invariant_sites_proportion(self, params_index: int,
                                           prop_invar: float) -> None:
         """models.c:495-544."""
@@ -313,7 +342,8 @@ class Partition:
             jnp.asarray(self.pattern_weights),
             jnp.asarray(self.invariant),
             self.scale_threshold,
-            rate_scalers=self.rate_scalers, has_scaler=has_scaler)
+            rate_scalers=self.rate_scalers, has_scaler=has_scaler,
+            asc_type=self.asc_bias.value, n_real=self.sites)
         if persite:
             return float(total), np.asarray(per)[:self.sites]
         return float(total)
@@ -339,7 +369,8 @@ class Partition:
             jnp.asarray(self.invariant),
             self.scale_threshold,
             rate_scalers=self.rate_scalers,
-            has_pscaler=has_p, has_cscaler=has_c)
+            has_pscaler=has_p, has_cscaler=has_c,
+            asc_type=self.asc_bias.value, n_real=self.sites)
         if persite:
             return float(total), np.asarray(per)[:self.sites]
         return float(total)
@@ -364,8 +395,24 @@ class Partition:
 
     def compute_likelihood_derivatives(self, sumtable: jnp.ndarray,
                                        params_indices,
-                                       branch_length: float):
-        """derivatives.c:333-416 (phase 2, per candidate length)."""
+                                       branch_length: float,
+                                       parent_scaler_index: int =
+                                       C.SCALE_BUFFER_NONE,
+                                       child_scaler_index: int =
+                                       C.SCALE_BUFFER_NONE):
+        """derivatives.c:333-416 (phase 2, per candidate length).
+
+        For Lewis/Felsenstein ascertainment bias the parent/child scaler
+        indices of the sumtable's edge must be passed so the synthetic
+        columns' absolute likelihoods can be un-scaled."""
+        asc_scalers = None
+        if self.asc_bias.value in (1, 2):   # Lewis / Felsenstein
+            sc = jnp.zeros(self.sites_padded, dtype=jnp.int32)
+            for idx in (parent_scaler_index, child_scaler_index):
+                row, has = self._scaler_row(idx)
+                if has:
+                    sc = sc + row
+            asc_scalers = sc
         d1, d2 = ops_derivatives.likelihood_derivatives(
             sumtable,
             jnp.asarray(self.eigenvals, self.dtype),
@@ -376,7 +423,10 @@ class Partition:
             jnp.asarray(np.asarray(params_indices, dtype=np.int32)),
             jnp.asarray(self.pattern_weights),
             jnp.asarray(self.invariant),
-            jnp.asarray(branch_length, self.dtype))
+            jnp.asarray(branch_length, self.dtype),
+            asc_scalers=asc_scalers,
+            scale_threshold=self.scale_threshold,
+            asc_type=self.asc_bias.value, n_real=self.sites)
         return float(d1), float(d2)
 
     # ------------------------------------------------------------- debugging

@@ -125,6 +125,10 @@ def _declare(lib):
     lib.pll_set_pattern_weights.argtypes = [P(PllPartition), P(ct.c_uint)]
     lib.pll_update_invariant_sites.restype = ct.c_int
     lib.pll_update_invariant_sites.argtypes = [P(PllPartition)]
+    lib.pll_set_asc_bias_type.restype = ct.c_int
+    lib.pll_set_asc_bias_type.argtypes = [P(PllPartition), ct.c_int]
+    lib.pll_set_asc_state_weights.restype = None
+    lib.pll_set_asc_state_weights.argtypes = [P(PllPartition), P(ct.c_uint)]
     lib.pll_update_invariant_sites_proportion.restype = ct.c_int
     lib.pll_update_invariant_sites_proportion.argtypes = [
         P(PllPartition), ct.c_uint, ct.c_double]
@@ -204,6 +208,13 @@ class OraclePartition:
 
     def set_pattern_weights(self, w):
         self.lib.pll_set_pattern_weights(self.ptr, u32(w))
+
+    def set_asc_bias_type(self, asc_type):
+        r = self.lib.pll_set_asc_bias_type(self.ptr, asc_type)
+        assert r == 1
+
+    def set_asc_state_weights(self, weights):
+        self.lib.pll_set_asc_state_weights(self.ptr, u32(weights))
 
     def set_invariant_proportion(self, idx, pinv):
         r = self.lib.pll_update_invariant_sites_proportion(
