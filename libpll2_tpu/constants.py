@@ -40,6 +40,9 @@ class AscBias(enum.Enum):
     STAMATAKIS = 3
 
 
+# --- site repeats (pll.c:441-449, pll.h:128) ---------------------------------
+REPEATS_MIN_SITES = 16
+
 # --- branch-length optimization bounds (RAxML-NG convention) -----------------
 OPT_MIN_BRANCH_LEN = 1e-6
 OPT_MAX_BRANCH_LEN = 100.0

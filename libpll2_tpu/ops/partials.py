@@ -115,6 +115,86 @@ def update_partials(clv: jnp.ndarray,        # [N, R, s, S]
 
 
 @partial(jax.jit, static_argnames=('rate_scalers',))
+def update_partials_repeats(clv: jnp.ndarray,      # [N, R, s, S]
+                            scaler: jnp.ndarray,   # [K+1, S] or [K+1, R, S]
+                            pmatrix: jnp.ndarray,  # [E, R, s, s]
+                            ops: Operations,       # one capacity bucket
+                            gather_left: jnp.ndarray,   # [n, W] int32
+                            gather_right: jnp.ndarray,  # [n, W] int32
+                            scale_threshold: float,
+                            scale_factor: float,
+                            rate_scalers: bool = False):
+    """Site-repeats pruning over one capacity bucket of width W <= S.
+
+    Computes only W class columns per operation: parent class c is fed by
+    the child class columns gather_left[c] / gather_right[c] (the
+    reference's compressed-CLV indexing, core_partials.c:843-849, turned
+    into a gather). Columns >= W of the parent rows keep stale values and
+    are never read — every consumer gathers through site_id < ids <= W.
+    Child scalers propagate through the same indirection
+    (pll_fill_parent_scaler_repeats, repeats.c:392-440).
+    """
+    dtype = clv.dtype
+    trash = scaler.shape[0] - 1
+    thresh = jnp.asarray(scale_threshold, dtype)
+    factor = jnp.asarray(scale_factor, dtype)
+
+    def body(carry, xs):
+        clv, scaler = carry
+        op, gl, gr = xs
+        (parent, psc, c1, m1, s1, c2, m2, s2) = op
+
+        left = jnp.take(jnp.take(clv, c1, axis=0), gl, axis=2)   # [R, s, W]
+        right = jnp.take(jnp.take(clv, c2, axis=0), gr, axis=2)
+        pl = jnp.take(pmatrix, m1, axis=0)
+        pr = jnp.take(pmatrix, m2, axis=0)
+        x = _one_partial(pl, left, pr, right, dtype)             # [R, s, W]
+
+        has_scaler = psc >= 0
+        sc1 = jnp.take(_read_scaler(scaler, s1), gl, axis=-1)
+        sc2 = jnp.take(_read_scaler(scaler, s2), gr, axis=-1)
+        child_sc = sc1 + sc2                                     # [W]/[R, W]
+        if rate_scalers:
+            mask = jnp.all(x < thresh, axis=1)                   # [R, W]
+            scaled = jnp.where(mask[:, None, :], x * factor, x)
+        else:
+            mask = jnp.all(x < thresh, axis=(0, 1))              # [W]
+            scaled = jnp.where(mask[None, None, :], x * factor, x)
+        new_sc = child_sc + mask.astype(scaler.dtype)
+
+        x = jnp.where(has_scaler, scaled, x)
+        # write the first W class columns of the parent row in place
+        row = jax.lax.dynamic_slice_in_dim(clv, parent, 1, axis=0)[0]
+        row = jax.lax.dynamic_update_slice_in_dim(row, x, 0, axis=2)
+        clv = jax.lax.dynamic_update_index_in_dim(clv, row, parent, axis=0)
+        write_row = jnp.where(has_scaler, psc, trash)
+        srow = jnp.take(scaler, write_row, axis=0)
+        srow = jax.lax.dynamic_update_slice_in_dim(srow, new_sc, 0, axis=-1)
+        scaler = jax.lax.dynamic_update_index_in_dim(scaler, srow,
+                                                     write_row, axis=0)
+        return (clv, scaler), None
+
+    op_stack = jnp.stack([ops.parent_clv, ops.parent_scaler,
+                          ops.child1_clv, ops.child1_matrix,
+                          ops.child1_scaler, ops.child2_clv,
+                          ops.child2_matrix, ops.child2_scaler], axis=1)
+    (clv, scaler), _ = jax.lax.scan(body, (clv, scaler),
+                                    (op_stack, gather_left, gather_right))
+    return clv, scaler
+
+
+@jax.jit
+def gather_site_view(clv_node: jnp.ndarray,     # [R, s, S] class columns
+                     scaler_row: jnp.ndarray,   # [S] or [R, S]
+                     site_id: jnp.ndarray):     # [S] int32
+    """Expand class columns back to per-site order for the likelihood /
+    sumtable kernels (the reference's repeats likelihood indexing,
+    core_likelihood.c:211-349)."""
+    return (jnp.take(clv_node, site_id, axis=2),
+            jnp.take(scaler_row, site_id, axis=-1))
+
+
+@partial(jax.jit, static_argnames=('rate_scalers',))
 def update_partials_levels(clv: jnp.ndarray,
                            scaler: jnp.ndarray,
                            pmatrix: jnp.ndarray,

@@ -95,7 +95,8 @@ class Partition:
                  dtype=None,
                  rate_scalers: bool = False,
                  asc_bias: C.AscBias = C.AscBias.NONE,
-                 sites_alignment: int = 1):
+                 sites_alignment: int = 1,
+                 site_repeats: bool = False):
         if dtype is None:
             # float64 when jax_enable_x64 is on, else the float32 fast path
             dtype = jax.dtypes.canonicalize_dtype(np.float64)
@@ -124,6 +125,14 @@ class Partition:
 
         base = sites + self.asc_extra
         self.sites_padded = -(-base // sites_alignment) * sites_alignment
+
+        self.repeats = None
+        if site_repeats:
+            # repeats auto-off below 16 sites, as in pll.c:441-449
+            if sites >= C.REPEATS_MIN_SITES and asc_bias == C.AscBias.NONE \
+                    and self.sites_padded == sites:
+                from .repeats import RepeatsTable
+                self.repeats = RepeatsTable(self.nodes, sites)
 
         S, R, s = self.sites_padded, rate_cats, states
         # +1 scratch row each for padded operations
@@ -172,9 +181,17 @@ class Partition:
         self._tips_set[tip_index] = True
         self._invariant_valid = False
 
-        ind = state_maps.bits_to_clv(masks, self.states)         # [sites, s]
         block = np.zeros((self.rate_cats, self.states, self.sites_padded))
-        block[:, :, :self.sites] = ind.T[None, :, :]
+        if self.repeats is not None:
+            # tip CLV columns are class columns (pll_update_repeats_tips)
+            self.repeats.set_tip(tip_index, masks)
+            ids = int(self.repeats.ids[tip_index])
+            rep = self.repeats.id_site[tip_index, :ids]
+            ind = state_maps.bits_to_clv(masks[rep], self.states)
+            block[:, :, :ids] = ind.T[None, :, :]
+        else:
+            ind = state_maps.bits_to_clv(masks, self.states)     # [sites, s]
+            block[:, :, :self.sites] = ind.T[None, :, :]
         if self.asc_extra:
             # synthetic invariant columns: column k observes state k everywhere
             eye = np.eye(self.states)
@@ -314,8 +331,28 @@ class Partition:
 
     # -------------------------------------------------------------- partials
     def update_partials(self, operations: Sequence[Operation],
-                        pad_to: Optional[int] = None) -> None:
-        """partials.c:237-291 — one scan over the operation list."""
+                        pad_to: Optional[int] = None,
+                        update_repeats: bool = True) -> None:
+        """partials.c:237-291 — one scan over the operation list.
+
+        With site repeats enabled, operations are grouped into capacity
+        buckets (see repeats.py) and each bucket runs as one scan computing
+        only its class columns."""
+        if self.repeats is not None and not isinstance(operations,
+                                                       Operations):
+            from .repeats import schedule_buckets
+            if update_repeats:
+                self._repeat_schedule = schedule_buckets(
+                    self.repeats, operations, self.sites)
+            for width, ops, gl, gr in self._repeat_schedule:
+                packed = pack_operations(ops, scratch_clv=self.nodes)
+                self.clv, self.scale_buffer = \
+                    ops_partials.update_partials_repeats(
+                        self.clv, self.scale_buffer, self.pmatrix, packed,
+                        jnp.asarray(gl), jnp.asarray(gr),
+                        self.scale_threshold, self.scale_factor,
+                        rate_scalers=self.rate_scalers)
+            return
         ops = operations if isinstance(operations, Operations) else \
             pack_operations(operations, pad_to=pad_to, scratch_clv=self.nodes)
         self.clv, self.scale_buffer = ops_partials.update_partials(
@@ -329,12 +366,24 @@ class Partition:
             return self.scale_buffer[self.scale_buffers], False
         return self.scale_buffer[index], True
 
+    def _node_view(self, clv_index: int, scaler_index: int):
+        """(clv, scaler, has_scaler) in per-site order — with repeats the
+        class columns are expanded through site_id."""
+        scaler, has = self._scaler_row(scaler_index)
+        clv_node = self.clv[clv_index]
+        if self.repeats is not None:
+            sid = jnp.asarray(self.repeats.site_id[clv_index])
+            clv_node, scaler = ops_partials.gather_site_view(
+                clv_node, scaler, sid)
+        return clv_node, scaler, has
+
     def compute_root_loglikelihood(self, clv_index: int, scaler_index: int,
                                    freqs_indices, persite: bool = False):
         """likelihood.c:122-190."""
-        scaler, has_scaler = self._scaler_row(scaler_index)
+        clv_node, scaler, has_scaler = self._node_view(clv_index,
+                                                       scaler_index)
         total, per = ops_likelihood.root_loglikelihood(
-            self.clv[clv_index], scaler,
+            clv_node, scaler,
             jnp.asarray(self.frequencies, self.dtype),
             jnp.asarray(self.prop_invar, self.dtype),
             jnp.asarray(self.rate_weights, self.dtype),
@@ -356,10 +405,12 @@ class Partition:
                                    freqs_indices,
                                    persite: bool = False):
         """likelihood.c:586-700."""
-        pscaler, has_p = self._scaler_row(parent_scaler_index)
-        cscaler, has_c = self._scaler_row(child_scaler_index)
+        pclv, pscaler, has_p = self._node_view(parent_clv_index,
+                                               parent_scaler_index)
+        cclv, cscaler, has_c = self._node_view(child_clv_index,
+                                               child_scaler_index)
         total, per = ops_likelihood.edge_loglikelihood(
-            self.clv[parent_clv_index], self.clv[child_clv_index],
+            pclv, cclv,
             pscaler, cscaler, self.pmatrix[matrix_index],
             jnp.asarray(self.frequencies, self.dtype),
             jnp.asarray(self.prop_invar, self.dtype),
@@ -380,10 +431,12 @@ class Partition:
                         parent_scaler_index: int, child_scaler_index: int,
                         params_indices) -> jnp.ndarray:
         """derivatives.c:239-330 (phase 1, once per edge)."""
-        pscaler, has_p = self._scaler_row(parent_scaler_index)
-        cscaler, has_c = self._scaler_row(child_scaler_index)
+        pclv, pscaler, has_p = self._node_view(parent_clv_index,
+                                               parent_scaler_index)
+        cclv, cscaler, has_c = self._node_view(child_clv_index,
+                                               child_scaler_index)
         return ops_derivatives.update_sumtable(
-            self.clv[parent_clv_index], self.clv[child_clv_index],
+            pclv, cclv,
             pscaler, cscaler,
             jnp.asarray(self.inv_eigenvecs, self.dtype),
             jnp.asarray(self.eigenvecs, self.dtype),
@@ -431,8 +484,12 @@ class Partition:
 
     # ------------------------------------------------------------- debugging
     def get_clv(self, index: int) -> np.ndarray:
-        """CLV as [sites, rate_cats, states] (reference memory order)."""
-        block = np.asarray(self.clv[index])[:, :, :self.sites]
+        """CLV as [sites, rate_cats, states] (reference memory order);
+        with repeats, class columns are expanded to per-site order."""
+        block = np.asarray(self.clv[index])
+        if self.repeats is not None:
+            block = block[:, :, self.repeats.site_id[index]]
+        block = block[:, :, :self.sites]
         return np.transpose(block, (2, 0, 1))
 
     def get_pmatrix(self, index: int) -> np.ndarray:

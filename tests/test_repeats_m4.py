@@ -1,0 +1,171 @@
+"""M4 validation: site repeats — class identification, bucketed CLV
+kernels, gather-based likelihood/derivatives — against both the plain path
+and the reference oracle running with PLL_ATTRIB_SITE_REPEATS."""
+import numpy as np
+import pytest
+
+import oracle
+from libpll2_tpu import Partition, compute_gamma_cats
+from libpll2_tpu.io import maps
+from libpll2_tpu.trees import create_operations, random_utree, traverse
+from libpll2_tpu.utils.simulate import simulate_alignment
+
+pytestmark = pytest.mark.skipif(not oracle.available(),
+                                reason="reference not available")
+
+N_TAXA = 24
+N_SITES = 600
+FREQS = [0.3, 0.25, 0.2, 0.25]
+SUBST = [1.2, 3.0, 0.8, 1.1, 2.6, 1.0]
+RATES = None  # filled in fixture
+
+
+def _simulated(seed=11, scale=1.0):
+    tree = random_utree([f"t{i}" for i in range(N_TAXA)], seed=seed)
+    # stretch branches optionally to force scaling events
+    if scale != 1.0:
+        seen = set()
+        for n in tree.nodes():
+            for h in ([n] if n.is_tip() else list(n.ring())):
+                if id(h) not in seen and h.back:
+                    seen.add(id(h)), seen.add(id(h.back))
+                    h.length = h.back.length = h.length * scale
+    headers, seqs = simulate_alignment(tree, N_SITES, FREQS, SUBST,
+                                       alpha=0.8, seed=seed)
+    return tree, headers, seqs
+
+
+def _build(tree, headers, seqs, repeats: bool, oracle_attrs=None):
+    by_label = dict(zip(headers, seqs))
+    rates = compute_gamma_cats(0.8, 4)
+    if oracle_attrs is not None:
+        impl = oracle.OraclePartition(tree.tip_count, tree.inner_count, 4,
+                                      N_SITES, 1, tree.edge_count, 4,
+                                      tree.inner_count,
+                                      attributes=oracle_attrs)
+        for tip in tree.tips():
+            impl.set_tip_states(tip.clv_index, "nt", by_label[tip.label])
+    else:
+        impl = Partition(tree.tip_count, tree.inner_count, 4, N_SITES, 1,
+                         tree.edge_count, 4, tree.inner_count,
+                         site_repeats=repeats)
+        for tip in tree.tips():
+            impl.set_tip_states(tip.clv_index, maps.map_nt,
+                                by_label[tip.label])
+    impl.set_frequencies(0, FREQS)
+    impl.set_subst_params(0, SUBST)
+    impl.set_category_rates(rates)
+    return impl
+
+
+def _evaluate(impl, tree, is_oracle=False):
+    trav = traverse(tree.vroot)
+    ops, branches, pmat_idx = create_operations(trav)
+    pidx = [0] * 4
+    impl.update_prob_matrices(pidx, pmat_idx, branches)
+    if is_oracle:
+        impl.update_partials([(o.parent_clv_index, o.parent_scaler_index,
+                               o.child1_clv_index, o.child1_matrix_index,
+                               o.child1_scaler_index, o.child2_clv_index,
+                               o.child2_matrix_index, o.child2_scaler_index)
+                              for o in ops])
+    else:
+        impl.update_partials(ops)
+    root = tree.vroot
+    args = (root.clv_index, root.scaler_index, root.back.clv_index,
+            root.back.scaler_index, root.pmatrix_index, pidx)
+    if is_oracle:
+        return impl.edge_loglikelihood(*args, persite=True)
+    return impl.compute_edge_loglikelihood(*args, persite=True)
+
+
+def test_repeats_classes_compress():
+    tree, headers, seqs = _simulated()
+    part = _build(tree, headers, seqs, repeats=True)
+    assert part.repeats is not None
+    # tips have at most |alphabet| classes on simulated gap-free data
+    for t in range(tree.tip_count):
+        assert 0 < part.repeats.ids[t] <= 4
+    trav = traverse(tree.vroot)
+    ops, _, _ = create_operations(trav)
+    from libpll2_tpu.repeats import schedule_buckets
+    sched = schedule_buckets(part.repeats, ops, N_SITES)
+    widths = [w for w, *_ in sched]
+    assert min(widths) == 128          # deep nodes land in small buckets
+    total_classes = sum(part.repeats.classes(o.parent_clv_index)
+                        for o in ops)
+    assert total_classes < len(ops) * N_SITES / 2   # real compression
+
+
+def test_repeats_logl_equals_plain():
+    tree, headers, seqs = _simulated()
+    lk_p, per_p = _evaluate(_build(tree, headers, seqs, False), tree)
+    lk_r, per_r = _evaluate(_build(tree, headers, seqs, True), tree)
+    np.testing.assert_allclose(lk_r, lk_p, rtol=1e-12)
+    np.testing.assert_allclose(per_r, per_p, rtol=1e-10)
+
+
+def test_repeats_logl_vs_oracle_repeats():
+    tree, headers, seqs = _simulated()
+    ref = _build(tree, headers, seqs, False,
+                 oracle_attrs=oracle.ATTRIB_SITE_REPEATS)
+    lk_ref, per_ref = _evaluate(ref, tree, is_oracle=True)
+    ref.destroy()
+    lk, per = _evaluate(_build(tree, headers, seqs, True), tree)
+    np.testing.assert_allclose(lk, lk_ref, rtol=1e-10)
+    np.testing.assert_allclose(per, per_ref, rtol=1e-8)
+
+
+def test_repeats_with_scaling_caterpillar():
+    """A caterpillar tree (depth = taxa) forces CLV underflow scaling;
+    repeats scaler propagation must match the plain path."""
+    from libpll2_tpu.trees import parse_newick
+    global N_TAXA, N_SITES
+    n = 150
+    text = f"t{n-1}:0.1"
+    for i in range(n - 2, 1, -1):
+        text = f"(t{i}:0.1,{text}):0.1"
+    tree = parse_newick(f"(t0:0.1,t1:0.1,{text});")
+    headers, seqs = simulate_alignment(tree, 300, FREQS, SUBST,
+                                       alpha=0.8, seed=13)
+    saved = (N_TAXA, N_SITES)
+    N_TAXA, N_SITES = n, 300
+    try:
+        part_p = _build(tree, headers, seqs, False)
+        part_r = _build(tree, headers, seqs, True)
+        lk_p, _ = _evaluate(part_p, tree)
+        lk_r, _ = _evaluate(part_r, tree)
+    finally:
+        N_TAXA, N_SITES = saved
+    # verify scaling actually happened
+    assert np.asarray(part_p.scale_buffer).sum() > 0
+    np.testing.assert_allclose(lk_r, lk_p, rtol=1e-12)
+
+
+def test_repeats_derivatives_equal_plain():
+    tree, headers, seqs = _simulated()
+    part_p = _build(tree, headers, seqs, False)
+    part_r = _build(tree, headers, seqs, True)
+    _evaluate(part_p, tree)
+    _evaluate(part_r, tree)
+    root = tree.vroot
+    pidx = [0] * 4
+    for part in (part_p, part_r):
+        part._sum = part.update_sumtable(
+            root.clv_index, root.back.clv_index,
+            root.scaler_index, root.back.scaler_index, pidx)
+    for blen in (0.01, 0.1, 1.0):
+        d_p = part_p.compute_likelihood_derivatives(part_p._sum, pidx, blen)
+        d_r = part_r.compute_likelihood_derivatives(part_r._sum, pidx, blen)
+        np.testing.assert_allclose(d_r, d_p, rtol=1e-10)
+
+
+def test_repeats_clv_expansion_matches_plain():
+    tree, headers, seqs = _simulated()
+    part_p = _build(tree, headers, seqs, False)
+    part_r = _build(tree, headers, seqs, True)
+    _evaluate(part_p, tree)
+    _evaluate(part_r, tree)
+    for node in (0, tree.tip_count, tree.tip_count + tree.inner_count - 1):
+        np.testing.assert_allclose(part_r.get_clv(node),
+                                   part_p.get_clv(node), rtol=1e-12)
