@@ -1,0 +1,4 @@
+from .fitch import FastParsimony
+from .sankoff import Parsimony, ParsBuildOp, ParsRecOp
+
+__all__ = ["Parsimony", "FastParsimony", "ParsBuildOp", "ParsRecOp"]

@@ -111,6 +111,24 @@ def traverse(root: RNode,
     return out
 
 
+def create_pars_buildops(trav: Sequence[RNode]):
+    """pll_rtree_create_pars_buildops (rtree.c:458-481)."""
+    from ..parsimony.sankoff import ParsBuildOp
+    return [ParsBuildOp(n.clv_index, n.left.clv_index, n.right.clv_index)
+            for n in trav if n.left is not None]
+
+
+def create_pars_recops(trav: Sequence[RNode]):
+    """pll_rtree_create_pars_recops (rtree.c:483-518), preorder input."""
+    from ..parsimony.sankoff import ParsRecOp
+    ops = []
+    for n in trav:
+        if n.left is not None:
+            pidx = n.parent.clv_index if n.parent is not None else 0
+            ops.append(ParsRecOp(n.clv_index, n.clv_index, pidx, pidx))
+    return ops
+
+
 def create_operations(trav: Sequence[RNode]):
     """rtree.c:262-321: ops + per-child edges (the root has no edge)."""
     operations: List[Operation] = []

@@ -210,6 +210,15 @@ def create_operations(trav: Sequence[UNode]):
     return operations, branches, pmatrix_indices
 
 
+def create_pars_buildops(trav: Sequence[UNode]):
+    """Fitch-parsimony operation list over half-edge node indices
+    (pll_utree_create_pars_buildops, utree.c:762-785)."""
+    from ..parsimony.sankoff import ParsBuildOp
+    return [ParsBuildOp(node.node_index, node.next.back.node_index,
+                        node.next.next.back.node_index)
+            for node in trav if not node.is_tip()]
+
+
 def compile_levels(operations: Sequence[Operation],
                    n_tips: int) -> List[List[Operation]]:
     """Group operations into dependency levels for batched execution.

@@ -95,6 +95,38 @@ class PllPartition(ct.Structure):
     ]
 
 
+class PllParsBuildOp(ct.Structure):
+    _fields_ = [("parent_score_index", ct.c_uint),
+                ("child1_score_index", ct.c_uint),
+                ("child2_score_index", ct.c_uint)]
+
+
+class PllParsRecOp(ct.Structure):
+    _fields_ = [("node_score_index", ct.c_uint),
+                ("node_ancestral_index", ct.c_uint),
+                ("parent_score_index", ct.c_uint),
+                ("parent_ancestral_index", ct.c_uint)]
+
+
+class PllParsimony(ct.Structure):
+    # mirrors pll_parsimony_t, pll.h:457-481
+    _fields_ = [
+        ("tips", ct.c_uint), ("inner_nodes", ct.c_uint),
+        ("sites", ct.c_uint), ("states", ct.c_uint),
+        ("attributes", ct.c_uint), ("alignment", ct.c_size_t),
+        ("packedvector", ct.POINTER(ct.POINTER(ct.c_uint))),
+        ("node_cost", ct.POINTER(ct.c_uint)),
+        ("packedvector_count", ct.c_uint),
+        ("const_cost", ct.c_uint),
+        ("informative", ct.POINTER(ct.c_int)),
+        ("informative_count", ct.c_uint),
+        ("score_buffers", ct.c_uint), ("ancestral_buffers", ct.c_uint),
+        ("score_matrix", ct.POINTER(ct.c_double)),
+        ("sbuffer", ct.POINTER(ct.POINTER(ct.c_double))),
+        ("anc_states", ct.POINTER(ct.POINTER(ct.c_uint))),
+    ]
+
+
 _lib = None
 
 
@@ -105,6 +137,7 @@ def load():
             _build()
         _lib = ct.CDLL(str(LIB_PATH), mode=os.RTLD_LAZY)
         _declare(_lib)
+        _declare_parsimony(_lib)
     return _lib
 
 
@@ -156,6 +189,43 @@ def _declare(lib):
     lib.pll_compute_likelihood_derivatives.argtypes = [
         P(PllPartition), ct.c_int, ct.c_int, ct.c_double, P(ct.c_uint),
         P(ct.c_double), P(ct.c_double), P(ct.c_double)]
+
+
+def _declare_parsimony(lib):
+    P = ct.POINTER
+    lib.pll_parsimony_create.restype = P(PllParsimony)
+    lib.pll_parsimony_create.argtypes = [
+        ct.c_uint, ct.c_uint, ct.c_uint, P(ct.c_double), ct.c_uint,
+        ct.c_uint]
+    lib.pll_set_parsimony_sequence.restype = ct.c_int
+    lib.pll_set_parsimony_sequence.argtypes = [
+        P(PllParsimony), ct.c_uint, P(ct.c_ulonglong), ct.c_char_p]
+    lib.pll_parsimony_build.restype = ct.c_double
+    lib.pll_parsimony_build.argtypes = [P(PllParsimony), P(PllParsBuildOp),
+                                        ct.c_uint]
+    lib.pll_parsimony_score.restype = ct.c_double
+    lib.pll_parsimony_score.argtypes = [P(PllParsimony), ct.c_uint]
+    lib.pll_parsimony_reconstruct.argtypes = [
+        P(PllParsimony), P(ct.c_ulonglong), P(PllParsRecOp), ct.c_uint]
+    lib.pll_parsimony_destroy.argtypes = [P(PllParsimony)]
+    lib.pll_fastparsimony_init.restype = P(PllParsimony)
+    lib.pll_fastparsimony_init.argtypes = [P(PllPartition)]
+    lib.pll_fastparsimony_update_vectors.argtypes = [
+        P(PllParsimony), P(PllParsBuildOp), ct.c_uint]
+    lib.pll_fastparsimony_edge_score.restype = ct.c_uint
+    lib.pll_fastparsimony_edge_score.argtypes = [P(PllParsimony), ct.c_uint,
+                                                 ct.c_uint]
+    lib.pll_fastparsimony_root_score.restype = ct.c_uint
+    lib.pll_fastparsimony_root_score.argtypes = [P(PllParsimony), ct.c_uint]
+
+
+def build_ops(ops):
+    arr = (PllParsBuildOp * len(ops))()
+    for k, o in enumerate(ops):
+        arr[k].parent_score_index = o[0]
+        arr[k].child1_score_index = o[1]
+        arr[k].child2_score_index = o[2]
+    return arr
 
 
 def charmap(name: str):
