@@ -101,7 +101,7 @@ def _edge_score_kernel(vectors: jnp.ndarray, node_cost: jnp.ndarray,
     a = jnp.take(vectors, i1, axis=0)
     b = jnp.take(vectors, i2, axis=0)
     union = _union_ands(a, b)
-    return (jnp.sum(jax.lax.population_count(~union))
+    return (jnp.sum(jax.lax.population_count(~union)).astype(jnp.int32)
             + node_cost[i1] + node_cost[i2])
 
 
@@ -123,10 +123,10 @@ def _batch_insert_scores(vectors: jnp.ndarray,   # [N, states, W]
         ors = a | b
         union = _union_ands(a, b)
         joined = ands | (~union & ors)
-        steps = jnp.sum(jax.lax.population_count(~union))
+        steps = jnp.sum(jax.lax.population_count(~union)).astype(jnp.int32)
         cost = steps + node_cost[i1] + node_cost[i2]
         union2 = _union_ands(joined, tip_vec)
-        return (jnp.sum(jax.lax.population_count(~union2))
+        return (jnp.sum(jax.lax.population_count(~union2)).astype(jnp.int32)
                 + cost + tip_cost)
 
     return jax.vmap(one)(e1, e2)

@@ -200,11 +200,12 @@ def export_newick(root: UNode, rooted: bool = False,
     if root.is_tip():
         root = root.back
     sub1 = _utree_newick_recurse(root.back)
-    parts = [_utree_newick_recurse(r.back) for r in list(root.ring())[1:]]
-    inner = f"({','.join(parts)}){root.label or ''}"
+    flat = ",".join(_utree_newick_recurse(r.back)
+                    for r in list(root.ring())[1:])
     if rooted:
-        return f"({sub1},{inner}:{_format_length(root_brlen)});"
-    return f"({sub1},{inner});"
+        return (f"({sub1},({flat}){root.label or ''}:"
+                f"{_format_length(root_brlen)});")
+    return f"({sub1},{flat}){root.label or ''};"
 
 
 # ----------------------------------------------------------------- rooted

@@ -34,12 +34,34 @@ def available() -> bool:
     return (REFERENCE / "src" / "pll.c").exists()
 
 
+# The flex/bison-generated parser sources don't exist in the image (no
+# flex/bison installed), so pll_utree_wraptree — defined in parse_utree.y —
+# is shimmed here; only its struct-filling behavior matters for tests.
+_WRAPTREE_SHIM = """
+#include <stdlib.h>
+typedef struct { unsigned int tip_count, inner_count, edge_count;
+                 int binary; void ** nodes; void * vroot; } shim_utree;
+void * pll_utree_wraptree(void * root, unsigned int tip_count)
+{
+  shim_utree * t = (shim_utree *)calloc(1, sizeof(shim_utree));
+  t->tip_count = tip_count;
+  t->inner_count = tip_count - 2;
+  t->edge_count = 2 * tip_count - 3;
+  t->binary = 1;
+  t->vroot = root;
+  return t;
+}
+"""
+
+
 def _build() -> Path:
     BUILD_DIR.mkdir(exist_ok=True)
+    shim = BUILD_DIR / "wraptree_shim.c"
+    shim.write_text(_WRAPTREE_SHIM)
     sources = sorted(
         str(p) for p in (REFERENCE / "src").glob("*.c")
         if not any(k in p.name for k in ("_avx", "_sse"))
-    )
+    ) + [str(shim)]
     cmd = ["gcc", "-O2", "-fPIC", "-shared", "-D_GNU_SOURCE",
            "-o", str(LIB_PATH), *sources, "-lm",
            "-Wl,--unresolved-symbols=ignore-all"]
