@@ -35,20 +35,27 @@ from .partition import Operation, Partition, pack_operations
 from .trees import create_operations, traverse
 
 
-@partial(jax.jit, static_argnames=('rate_scalers',))
+@partial(jax.jit, static_argnames=('rate_scalers', 'levels'))
 def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                          prop_invar, rates, rate_weights, freqs,
                          params_idx_rates, branches,
                          op_arrays, root_idx, pattern_weights, invariant,
                          scale_threshold, scale_factor,
-                         rate_scalers: bool = False):
-    """branches[e] is ordered by pmatrix index e."""
+                         rate_scalers: bool = False,
+                         valid=None, levels: bool = False):
+    """branches[e] is ordered by pmatrix index e. With `levels`, op_arrays
+    are [L, W] level-grouped and each level runs as one batched launch."""
     pmatrix = ops_pmatrix.update_prob_matrices(
         eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
         params_idx_rates, branches)
-    clv, scaler = ops_partials.update_partials(
-        clv, scaler, pmatrix, op_arrays, scale_threshold, scale_factor,
-        rate_scalers=rate_scalers)
+    if levels:
+        clv, scaler = ops_partials.update_partials_levels(
+            clv, scaler, pmatrix, op_arrays, valid, scale_threshold,
+            scale_factor, rate_scalers=rate_scalers)
+    else:
+        clv, scaler = ops_partials.update_partials(
+            clv, scaler, pmatrix, op_arrays, scale_threshold, scale_factor,
+            rate_scalers=rate_scalers)
     p_clv, p_sc, c_clv, c_sc, mat = root_idx
     total, per = ops_likelihood.edge_loglikelihood(
         jnp.take(clv, p_clv, axis=0), jnp.take(clv, c_clv, axis=0),
@@ -60,13 +67,14 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
     return total, per, clv, scaler, pmatrix
 
 
-@partial(jax.jit, static_argnames=('rate_scalers',))
+@partial(jax.jit, static_argnames=('rate_scalers', 'levels'))
 def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        prop_invar, rates, rate_weights, freqs,
                        params_idx_rates, branches,
                        op_arrays, root_idx, pattern_weights, invariant,
                        scale_threshold, scale_factor,
-                       rate_scalers: bool = False):
+                       rate_scalers: bool = False,
+                       valid=None, levels: bool = False):
     """One full 'training' step: evaluate the tree, then Newton-update the
     root branch length from d1/d2 (the reference's examples/newton loop body,
     reference: /root/reference/examples/newton/newton.c:66-96, fused)."""
@@ -74,7 +82,8 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
         clv, scaler, eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
         rate_weights, freqs, params_idx_rates, branches,
         op_arrays, root_idx, pattern_weights, invariant,
-        scale_threshold, scale_factor, rate_scalers=rate_scalers)
+        scale_threshold, scale_factor, rate_scalers=rate_scalers,
+        valid=valid, levels=levels)
     p_clv, p_sc, c_clv, c_sc, mat = root_idx
     sumtable = ops_derivatives.update_sumtable(
         jnp.take(clv, p_clv, axis=0), jnp.take(clv, c_clv, axis=0),
@@ -103,7 +112,8 @@ class TreeEngine:
                  operations: Optional[Sequence[Operation]] = None,
                  branches: Optional[Sequence[float]] = None,
                  pmatrix_indices: Optional[Sequence[int]] = None,
-                 root=None, params_index: int = 0):
+                 root=None, params_index: int = 0,
+                 level_schedule: bool = True):
         self.partition = partition
         p = partition
         if tree is not None:
@@ -120,9 +130,20 @@ class TreeEngine:
         else:
             self._rep = self._site = jnp.asarray
 
-        self.ops = jax.tree.map(self._rep,
-                                pack_operations(operations,
-                                                scratch_clv=p.nodes))
+        # level-scheduled batching keeps the MXU busy: depth-many batched
+        # launches instead of ops-many scan steps (SURVEY §2.3 "task
+        # parallelism over tree nodes"). Semantically identical: ops within
+        # a level are independent.
+        self.levels = level_schedule
+        if level_schedule:
+            from .partition import pack_level_operations
+            ops, valid = pack_level_operations(operations, p.tips,
+                                               scratch_clv=p.nodes)
+            self.valid = self._rep(valid)
+        else:
+            ops = pack_operations(operations, scratch_clv=p.nodes)
+            self.valid = None
+        self.ops = jax.tree.map(self._rep, ops)
         # branch lengths stored in pmatrix-index order
         blen = np.zeros(p.prob_matrices)
         blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
@@ -156,7 +177,8 @@ class TreeEngine:
         total, per, clv, scaler, pmatrix = _fused_loglikelihood(
             p.clv, p.scale_buffer, *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
-            p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers)
+            p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
+            valid=self.valid, levels=self.levels)
         p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
         return float(total)
 
@@ -167,7 +189,8 @@ class TreeEngine:
         total, d1, d2, branches, clv, scaler = _fused_newton_step(
             p.clv, p.scale_buffer, *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
-            p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers)
+            p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
+            valid=self.valid, levels=self.levels)
         self.branches = branches
         p.clv, p.scale_buffer = clv, scaler
         return float(total), float(d1), float(d2)

@@ -47,9 +47,12 @@ class Operations(NamedTuple):
 
 
 def _read_scaler(scaler: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Child scaler row, or zeros when idx is SCALE_BUFFER_NONE (-1)."""
+    """Child scaler row(s), or zeros when idx is SCALE_BUFFER_NONE (-1).
+
+    idx may be a scalar (scan variant) or a [W] vector (level variant)."""
     row = jnp.take(scaler, jnp.maximum(idx, 0), axis=0)
-    return jnp.where(idx >= 0, row, jnp.zeros_like(row))
+    ok = (idx >= 0).reshape(jnp.shape(idx) + (1,) * (row.ndim - jnp.ndim(idx)))
+    return jnp.where(ok, row, jnp.zeros_like(row))
 
 
 def _one_partial(pl, left, pr, right, preferred):

@@ -79,6 +79,42 @@ def pack_operations(operations: Sequence[Operation],
     )
 
 
+def pack_level_operations(operations: Sequence[Operation],
+                          n_tips: int,
+                          scratch_clv: int = 0):
+    """Group operations into dependency levels and pad to a rectangle.
+
+    Returns (Operations with [L, W] arrays, valid [L, W] bool) for
+    `update_partials_levels` — all ops in one level are independent, so each
+    level executes as one batched kernel launch (depth-many launches instead
+    of ops-many scan steps)."""
+    from .trees.utree import compile_levels
+    levels = compile_levels(operations, n_tips)
+    L = len(levels)
+    W = max(len(lv) for lv in levels)
+
+    def arr(get, pad_value):
+        out = np.full((L, W), pad_value, dtype=np.int32)
+        for i, lv in enumerate(levels):
+            out[i, :len(lv)] = [get(op) for op in lv]
+        return jnp.asarray(out)
+
+    valid = np.zeros((L, W), dtype=bool)
+    for i, lv in enumerate(levels):
+        valid[i, :len(lv)] = True
+    ops = Operations(
+        parent_clv=arr(lambda o: o.parent_clv_index, scratch_clv),
+        parent_scaler=arr(lambda o: o.parent_scaler_index, -1),
+        child1_clv=arr(lambda o: o.child1_clv_index, 0),
+        child1_matrix=arr(lambda o: o.child1_matrix_index, 0),
+        child1_scaler=arr(lambda o: o.child1_scaler_index, -1),
+        child2_clv=arr(lambda o: o.child2_clv_index, 0),
+        child2_matrix=arr(lambda o: o.child2_matrix_index, 0),
+        child2_scaler=arr(lambda o: o.child2_scaler_index, -1),
+    )
+    return ops, jnp.asarray(valid)
+
+
 class Partition:
     """Likelihood computation state for one alignment partition."""
 

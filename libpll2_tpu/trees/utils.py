@@ -1,0 +1,160 @@
+"""Tree utilities: integrity checking, cloning, rooted->unrooted conversion.
+
+Reference: /root/reference/src/utree.c:464-760, /root/reference/src/rtree.c.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from ..constants import ERROR_TREE_CONVERSION, ERROR_TREE_INVALID, PllError
+from .rtree import RNode, RTree
+from .utree import UNode, UTree, link
+
+
+def check_integrity(tree: UTree, binary: bool = True) -> bool:
+    """pll_utree_check_integrity (utree.c:464-553): consistent edge
+    attributes across back pointers, consistent ring attributes, closed
+    roundabouts. Raises PllError on the first violation."""
+    for node in tree.nodes():
+        halves = [node] if node.is_tip() else list(node.ring())
+        for h in halves:
+            if h.back is None:
+                raise PllError(ERROR_TREE_INVALID,
+                               f"Unlinked half-edge at clv {h.clv_index}")
+            if h.back.length != h.length:
+                raise PllError(ERROR_TREE_INVALID,
+                               f"Inconsistent branch lengths: {h.length} != "
+                               f"{h.back.length}")
+            if h.back.pmatrix_index != h.pmatrix_index:
+                raise PllError(ERROR_TREE_INVALID,
+                               f"Inconsistent pmatrix indices: "
+                               f"{h.pmatrix_index} != "
+                               f"{h.back.pmatrix_index}")
+        if not node.is_tip():
+            if binary and len(halves) != 3:
+                raise PllError(ERROR_TREE_INVALID,
+                               "Multifurcation found in a binary tree at "
+                               f"node with clv_index = {node.clv_index}")
+            for h in halves[1:]:
+                if h.clv_index != node.clv_index:
+                    raise PllError(ERROR_TREE_INVALID,
+                                   f"Inconsistent CLV indices: "
+                                   f"{node.clv_index} != {h.clv_index}")
+                if h.scaler_index != node.scaler_index:
+                    raise PllError(ERROR_TREE_INVALID,
+                                   f"Inconsistent scaler indices: "
+                                   f"{node.scaler_index} != "
+                                   f"{h.scaler_index}")
+    return True
+
+
+def _clone_half(h: UNode) -> UNode:
+    n = UNode(label=h.label, length=h.length)
+    n.node_index = h.node_index
+    n.clv_index = h.clv_index
+    n.scaler_index = h.scaler_index
+    n.pmatrix_index = h.pmatrix_index
+    return n
+
+
+def graph_clone(root: UNode) -> UNode:
+    """Deep-copy the node graph (pll_utree_graph_clone, utree.c:551-633)."""
+    mapping: Dict[int, UNode] = {}
+
+    def get(h: UNode) -> UNode:
+        if id(h) not in mapping:
+            mapping[id(h)] = _clone_half(h)
+        return mapping[id(h)]
+
+    stack = [root]
+    seen = set()
+    while stack:
+        h = stack.pop()
+        if id(h) in seen:
+            continue
+        seen.add(id(h))
+        c = get(h)
+        if h.next is not None:
+            c.next = get(h.next)
+            stack.append(h.next)
+        if h.back is not None:
+            c.back = get(h.back)
+            stack.append(h.back)
+    return mapping[id(root)]
+
+
+def utree_clone(tree: UTree) -> UTree:
+    """pll_utree_clone (utree.c:635-682)."""
+    return UTree(vroot=graph_clone(tree.vroot), tip_count=tree.tip_count,
+                 inner_count=tree.inner_count, edge_count=tree.edge_count)
+
+
+def rtree_unroot(tree: RTree) -> UTree:
+    """Convert a rooted tree into an unrooted one by dissolving the root
+    into an edge between its children (pll_rtree_unroot, utree.c:684-760):
+    the root's right child becomes one endpoint, the left child's ring the
+    other; branch lengths of the two root edges are summed."""
+    root = tree.root
+    if root.left is None or root.right is None:
+        raise PllError(ERROR_TREE_CONVERSION, "Root must have two children")
+    if root.left.left is None and root.right.left is None:
+        raise PllError(ERROR_TREE_CONVERSION,
+                       "Tree requires at least three tips to be converted "
+                       "to unrooted")
+    # pick an inner child to dissolve into
+    new_root_r = root.left if root.left.left is not None else root.right
+    other_r = root.right if new_root_r is root.left else root.left
+    length = root.left.length + root.right.length
+
+    def convert(rnode: RNode, parent_half: Optional[UNode]) -> UNode:
+        """Build the unrooted subtree below rnode; returns the half-edge
+        facing the parent."""
+        if rnode.left is None:
+            tip = UNode(label=rnode.label, length=rnode.length)
+            return tip
+        entry = UNode(label=rnode.label, length=rnode.length)
+        h1 = UNode(label=rnode.label)
+        h2 = UNode(label=rnode.label)
+        entry.next, h1.next, h2.next = h1, h2, entry
+        c1 = convert(rnode.left, h1)
+        c2 = convert(rnode.right, h2)
+        link(h1, c1, rnode.left.length)
+        link(h2, c2, rnode.right.length)
+        return entry
+
+    # dissolve: new_root ring gets three children — its own two plus the
+    # other side of the old root
+    entry = UNode(label=new_root_r.label)
+    h1 = UNode(label=new_root_r.label)
+    h2 = UNode(label=new_root_r.label)
+    entry.next, h1.next, h2.next = h1, h2, entry
+    c1 = convert(new_root_r.left, h1)
+    c2 = convert(new_root_r.right, h2)
+    link(h1, c1, new_root_r.left.length)
+    link(h2, c2, new_root_r.right.length)
+    other = convert(other_r, entry)
+    link(entry, other, length)
+
+    tips = len([n for n in _iter_unodes(entry) if n.is_tip()])
+    from .utree import reset_template_indices
+    reset_template_indices(entry, tips)
+    return UTree(vroot=entry, tip_count=tips, inner_count=tips - 2,
+                 edge_count=2 * tips - 3)
+
+
+def _iter_unodes(root: UNode):
+    seen = set()
+    stack = [root]
+    while stack:
+        h = stack.pop()
+        if id(h) in seen or h is None:
+            continue
+        ring = [h] if h.is_tip() else list(h.ring())
+        if any(id(r) in seen for r in ring):
+            continue
+        for r in ring:
+            seen.add(id(r))
+        yield h
+        for r in ring:
+            if r.back is not None:
+                stack.append(r.back)
