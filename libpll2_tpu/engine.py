@@ -30,25 +30,38 @@ from . import constants as C
 from .ops import derivatives as ops_derivatives
 from .ops import likelihood as ops_likelihood
 from .ops import partials as ops_partials
+from .ops import pallas_partials as ops_pallas
 from .ops import pmatrix as ops_pmatrix
 from .partition import Operation, Partition, pack_operations
 from .trees import create_operations, traverse
 
 
-@partial(jax.jit, static_argnames=('rate_scalers', 'levels'))
+@partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
+                                   'pallas_interpret', 'scale_threshold',
+                                   'scale_factor'))
 def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                          prop_invar, rates, rate_weights, freqs,
                          params_idx_rates, branches,
                          op_arrays, root_idx, pattern_weights, invariant,
                          scale_threshold, scale_factor,
                          rate_scalers: bool = False,
-                         valid=None, levels: bool = False):
+                         valid=None, levels: bool = False,
+                         use_pallas: bool = False,
+                         pallas_interpret: bool = False):
     """branches[e] is ordered by pmatrix index e. With `levels`, op_arrays
-    are [L, W] level-grouped and each level runs as one batched launch."""
+    are [L, W] level-grouped and each level runs as one batched launch; with
+    `use_pallas` they are per-level [8, W] index tables driving the fused
+    Pallas kernel (ops/pallas_partials.py)."""
     pmatrix = ops_pmatrix.update_prob_matrices(
         eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
         params_idx_rates, branches)
-    if levels:
+    if use_pallas:
+        clv, scaler = ops_pallas.update_partials_pallas(
+            clv, scaler, pmatrix, op_arrays,
+            rates=clv.shape[1], states=clv.shape[2],
+            threshold=scale_threshold, factor=scale_factor,
+            interpret=pallas_interpret)
+    elif levels:
         clv, scaler = ops_partials.update_partials_levels(
             clv, scaler, pmatrix, op_arrays, valid, scale_threshold,
             scale_factor, rate_scalers=rate_scalers)
@@ -67,14 +80,18 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
     return total, per, clv, scaler, pmatrix
 
 
-@partial(jax.jit, static_argnames=('rate_scalers', 'levels'))
+@partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
+                                   'pallas_interpret', 'scale_threshold',
+                                   'scale_factor'))
 def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        prop_invar, rates, rate_weights, freqs,
                        params_idx_rates, branches,
                        op_arrays, root_idx, pattern_weights, invariant,
                        scale_threshold, scale_factor,
                        rate_scalers: bool = False,
-                       valid=None, levels: bool = False):
+                       valid=None, levels: bool = False,
+                       use_pallas: bool = False,
+                       pallas_interpret: bool = False):
     """One full 'training' step: evaluate the tree, then Newton-update the
     root branch length from d1/d2 (the reference's examples/newton loop body,
     reference: /root/reference/examples/newton/newton.c:66-96, fused)."""
@@ -83,7 +100,8 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
         rate_weights, freqs, params_idx_rates, branches,
         op_arrays, root_idx, pattern_weights, invariant,
         scale_threshold, scale_factor, rate_scalers=rate_scalers,
-        valid=valid, levels=levels)
+        valid=valid, levels=levels, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret)
     p_clv, p_sc, c_clv, c_sc, mat = root_idx
     sumtable = ops_derivatives.update_sumtable(
         jnp.take(clv, p_clv, axis=0), jnp.take(clv, c_clv, axis=0),
@@ -101,6 +119,36 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
     return total, d1, d2, branches, clv, scaler
 
 
+@partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
+                                   'pallas_interpret', 'scale_threshold',
+                                   'scale_factor'))
+def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
+                              eigenvecs, prop_invar, rates, rate_weights,
+                              freqs, params_idx_rates, branches, op_arrays,
+                              root_idx, pattern_weights, invariant,
+                              scale_threshold, scale_factor,
+                              rate_scalers: bool = False,
+                              valid=None, levels: bool = False,
+                              use_pallas: bool = False,
+                              pallas_interpret: bool = False):
+    """k chained full-traversal evaluations in ONE dispatch (the CLV state
+    threads through the loop, so XLA cannot hoist the work). Benchmarking
+    helper: amortizes host->device dispatch latency."""
+    def body(_, carry):
+        clv, scaler, acc = carry
+        total, _, clv, scaler, _ = _fused_loglikelihood(
+            clv, scaler, eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
+            rates, rate_weights, freqs, params_idx_rates, branches,
+            op_arrays, root_idx, pattern_weights, invariant,
+            scale_threshold, scale_factor, rate_scalers=rate_scalers,
+            valid=valid, levels=levels, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret)
+        return clv, scaler, acc + total
+    clv, scaler, acc = jax.lax.fori_loop(
+        0, k, body, (clv, scaler, jnp.zeros((), clv.dtype)))
+    return acc, clv, scaler
+
+
 class TreeEngine:
     """Compiled full-tree evaluator bound to one Partition + topology size.
 
@@ -113,7 +161,11 @@ class TreeEngine:
                  branches: Optional[Sequence[float]] = None,
                  pmatrix_indices: Optional[Sequence[int]] = None,
                  root=None, params_index: int = 0,
-                 level_schedule: bool = True):
+                 level_schedule: bool = True,
+                 pallas="auto"):
+        """pallas: 'auto' (fused Pallas CLV kernel on TPU when eligible:
+        fp32, per-site scalers, no repeats, 128-aligned sites), True,
+        'interpret' (CPU debugging), or False."""
         self.partition = partition
         p = partition
         if tree is not None:
@@ -134,8 +186,20 @@ class TreeEngine:
         # launches instead of ops-many scan steps (SURVEY §2.3 "task
         # parallelism over tree nodes"). Semantically identical: ops within
         # a level are independent.
+        eligible = (p.dtype == jnp.float32 and not p.rate_scalers
+                    and p.repeats is None and p.sites_padded % 128 == 0
+                    and getattr(p, "mesh", None) is None)
+        self.pallas_interpret = pallas == "interpret"
+        self.use_pallas = bool(pallas) and eligible and (
+            jax.default_backend() == "tpu" if pallas == "auto" else True)
         self.levels = level_schedule
-        if level_schedule:
+        if self.use_pallas:
+            ops = ops_pallas.pack_pallas_levels(
+                operations, p.tips, scratch_clv=p.nodes,
+                zero_scaler_row=p.scale_buffers + 1,
+                trash_scaler_row=p.scale_buffers)
+            self.valid = None
+        elif level_schedule:
             from .partition import pack_level_operations
             ops, valid = pack_level_operations(operations, p.tips,
                                                scratch_clv=p.nodes)
@@ -178,9 +242,23 @@ class TreeEngine:
             p.clv, p.scale_buffer, *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
             p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
-            valid=self.valid, levels=self.levels)
+            valid=self.valid, levels=self.levels, use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret)
         p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
         return float(total)
+
+    def loglikelihood_loop(self, k: int) -> float:
+        """Sum of k chained full-traversal logL evaluations, one dispatch.
+        The trip count is traced: one compilation serves every k."""
+        p = self.partition
+        acc, _, _ = _fused_loglikelihood_loop(
+            jnp.asarray(k), p.clv, p.scale_buffer, *self._model_args(),
+            self.branches, self.ops, self.root_idx, *self._site_args(),
+            p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
+            valid=self.valid, levels=self.levels,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret)
+        return float(acc)
 
     def newton_step(self):
         """Evaluate + one Newton update of the root branch; returns
@@ -190,7 +268,8 @@ class TreeEngine:
             p.clv, p.scale_buffer, *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
             p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
-            valid=self.valid, levels=self.levels)
+            valid=self.valid, levels=self.levels, use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret)
         self.branches = branches
         p.clv, p.scale_buffer = clv, scaler
         return float(total), float(d1), float(d2)

@@ -1,0 +1,186 @@
+"""Pallas TPU kernel for the hot operation: batched CLV pruning updates.
+
+One tree level = W independent Felsenstein pruning steps. The XLA path
+(ops/partials.py) materializes gathered child copies, runs two einsums, the
+product, the underflow mask, and a scatter — five HBM passes over
+[W, R, s, S] data. This kernel fuses everything into one pass:
+
+    grid = (W ops, S/TILE site tiles); per step the pipeline DMAs the two
+    child CLV blocks (rows chosen by scalar-prefetched node indices), the
+    two P-matrices and the two child scaler blocks into VMEM, computes
+
+        x = (Pl @ left) * (Pr @ right)         (per rate, states unrolled)
+        mask = all_states_and_rates(x < threshold)
+        out = where(mask, x * 2^64, x);  new_scaler = sc1 + sc2 + mask
+
+    and writes the compact level outputs. The states contraction is an
+    unrolled multiply-accumulate on the VPU — for 4..20 states the MXU's
+    128x128 tiles would be mostly padding; sites ride the 128-wide lanes.
+
+fp32 only (the TPU fast path; fp64 validation stays on the XLA path).
+Scalar-prefetch carries the per-op index table so one compiled kernel
+serves every topology of a given (W, R, s, S) shape.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _site_tile(sites: int) -> int:
+    for t in (2048, 1024, 512, 256, LANE):
+        if sites % t == 0:
+            return t
+    return sites
+
+
+def _kernel(idx_ref,            # [8, W] int32 (SMEM, prefetched)
+            left_ref,           # [1, RS, T]
+            right_ref,          # [1, RS, T]
+            pl_ref,             # [1, R, s, s]
+            pr_ref,             # [1, R, s, s]
+            sc1_ref,            # [1, 1, T] int32
+            sc2_ref,            # [1, 1, T] int32
+            out_ref,            # [1, RS, T]
+            scout_ref,          # [1, 1, T] int32
+            *, rates: int, states: int, threshold: float, factor: float):
+    left = left_ref[0]                       # [RS, T]
+    right = right_ref[0]
+    pmat_l = pl_ref[0]                       # [R, s, s]
+    pmat_r = pr_ref[0]
+
+    tile = left.shape[-1]
+    x_rows = []
+    all_small = None
+    for r in range(rates):
+        lrow = left[r * states:(r + 1) * states]     # [s, T]
+        rrow = right[r * states:(r + 1) * states]
+        # unrolled state contraction on the VPU: terma[i,:] = sum_j P[i,j]*l[j,:]
+        terma = jnp.zeros((states, tile), left.dtype)
+        termb = jnp.zeros((states, tile), left.dtype)
+        for j in range(states):
+            terma = terma + pmat_l[r, :, j][:, None] * lrow[j][None, :]
+            termb = termb + pmat_r[r, :, j][:, None] * rrow[j][None, :]
+        x = terma * termb                            # [s, T]
+        small = jnp.all(x < threshold, axis=0)       # [T]
+        all_small = small if all_small is None else (all_small & small)
+        x_rows.append(x)
+
+    x = jnp.concatenate(x_rows, axis=0)              # [RS, T]
+    scale = all_small
+    x = jnp.where(scale[None, :], x * factor, x)
+    out_ref[0] = x
+    scout_ref[0, 0] = (sc1_ref[0, 0] + sc2_ref[0, 0]
+                       + scale.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=('rates', 'states', 'threshold', 'factor',
+                                   'interpret'))
+def level_update_pallas(clv2d: jnp.ndarray,      # [N+1, R*s, S]
+                        scaler: jnp.ndarray,     # [K+2, S] int32
+                        pmatrix: jnp.ndarray,    # [E, R, s, s]
+                        idx: jnp.ndarray,        # [8, W] int32
+                        rates: int, states: int,
+                        threshold: float, factor: float,
+                        interpret: bool = False):
+    """One level of W ops. idx rows: parent, c1, c2, m1, m2, s1r, s2r, pscw
+    (s*r = read rows with NONE already mapped to the zero row; pscw = write
+    rows with NONE mapped to the trash row). Returns (new_rows [W, RS, S],
+    new_scaler_rows [W, S])."""
+    n_ops = idx.shape[1]
+    rs = rates * states
+    sites = clv2d.shape[-1]
+    tile = _site_tile(sites)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ops, sites // tile),
+        in_specs=[
+            pl.BlockSpec((1, rs, tile), lambda i, j, idx: (idx[1, i], 0, j)),
+            pl.BlockSpec((1, rs, tile), lambda i, j, idx: (idx[2, i], 0, j)),
+            pl.BlockSpec((1, rates, states, states),
+                         lambda i, j, idx: (idx[3, i], 0, 0, 0)),
+            pl.BlockSpec((1, rates, states, states),
+                         lambda i, j, idx: (idx[4, i], 0, 0, 0)),
+            pl.BlockSpec((1, 1, tile), lambda i, j, idx: (idx[5, i], 0, j)),
+            pl.BlockSpec((1, 1, tile), lambda i, j, idx: (idx[6, i], 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rs, tile), lambda i, j, idx: (i, 0, j)),
+            pl.BlockSpec((1, 1, tile), lambda i, j, idx: (i, 0, j)),
+        ],
+    )
+    kernel = partial(_kernel, rates=rates, states=states,
+                     threshold=threshold, factor=factor)
+    scaler3d = scaler[:, None, :]
+    out, scout = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_ops, rs, sites), clv2d.dtype),
+            jax.ShapeDtypeStruct((n_ops, 1, sites), scaler.dtype),
+        ],
+        interpret=interpret,
+    )(idx, clv2d, clv2d, pmatrix, pmatrix, scaler3d, scaler3d)
+    return out, scout[:, 0, :]
+
+
+@partial(jax.jit, static_argnames=('rates', 'states', 'threshold', 'factor',
+                                   'interpret'))
+def update_partials_pallas(clv: jnp.ndarray,       # [N+1, R, s, S]
+                           scaler: jnp.ndarray,    # [K+2, S] int32
+                           pmatrix: jnp.ndarray,   # [E, R, s, s]
+                           level_idx,              # tuple of [8, W_l] arrays
+                           rates: int, states: int,
+                           threshold: float, factor: float,
+                           interpret: bool = False):
+    """Run all levels; returns updated (clv, scaler). The index tables come
+    from `pack_pallas_levels` (a tuple, so level count/widths are static)."""
+    n = clv.shape[0]
+    sites = clv.shape[-1]
+    clv2d = clv.reshape(n, rates * states, sites)
+    for idx in level_idx:
+        out, scout = level_update_pallas(clv2d, scaler, pmatrix, idx,
+                                         rates, states, threshold, factor,
+                                         interpret=interpret)
+        clv2d = clv2d.at[idx[0]].set(out)
+        scaler = scaler.at[idx[7]].set(scout)
+    return clv2d.reshape(clv.shape), scaler
+
+
+def pack_pallas_levels(operations, n_tips: int, scratch_clv: int,
+                       zero_scaler_row: int, trash_scaler_row: int):
+    """Compile an operation list into per-level [8, W] index tables.
+
+    Rows: parent, child1_clv, child2_clv, matrix1, matrix2,
+    scaler1_read, scaler2_read, parent_scaler_write. SCALE_BUFFER_NONE
+    reads map to the guaranteed-zero row, NONE writes to the trash row.
+    """
+    from ..trees.utree import compile_levels
+    levels = compile_levels(operations, n_tips)
+    tables = []
+    for lv in levels:
+        t = np.zeros((8, len(lv)), dtype=np.int32)
+        for k, op in enumerate(lv):
+            t[:, k] = [
+                op.parent_clv_index,
+                op.child1_clv_index,
+                op.child2_clv_index,
+                op.child1_matrix_index,
+                op.child2_matrix_index,
+                op.child1_scaler_index if op.child1_scaler_index >= 0
+                else zero_scaler_row,
+                op.child2_scaler_index if op.child2_scaler_index >= 0
+                else zero_scaler_row,
+                op.parent_scaler_index if op.parent_scaler_index >= 0
+                else trash_scaler_row,
+            ]
+        tables.append(jnp.asarray(t))
+    return tuple(tables)

@@ -77,7 +77,7 @@ def update_partials(clv: jnp.ndarray,        # [N, R, s, S]
     writes for operations with parent_scaler_index == -1.
     """
     dtype = clv.dtype
-    trash = scaler.shape[0] - 1
+    trash = scaler.shape[0] - 2       # last row is the guaranteed-zero row
     thresh = jnp.asarray(scale_threshold, dtype)
     factor = jnp.asarray(scale_factor, dtype)
 
@@ -138,7 +138,7 @@ def update_partials_repeats(clv: jnp.ndarray,      # [N, R, s, S]
     (pll_fill_parent_scaler_repeats, repeats.c:392-440).
     """
     dtype = clv.dtype
-    trash = scaler.shape[0] - 1
+    trash = scaler.shape[0] - 2       # last row is the guaranteed-zero row
     thresh = jnp.asarray(scale_threshold, dtype)
     factor = jnp.asarray(scale_factor, dtype)
 
@@ -216,7 +216,7 @@ def update_partials_levels(clv: jnp.ndarray,
     """
     dtype = clv.dtype
     n_nodes = clv.shape[0] - 1          # last row is scratch
-    trash_sc = scaler.shape[0] - 1
+    trash_sc = scaler.shape[0] - 2      # last row is the guaranteed-zero row
     thresh = jnp.asarray(scale_threshold, dtype)
     factor = jnp.asarray(scale_factor, dtype)
 

@@ -171,10 +171,12 @@ class Partition:
                 self.repeats = RepeatsTable(self.nodes, sites)
 
         S, R, s = self.sites_padded, rate_cats, states
-        # +1 scratch row each for padded operations
+        # +1 scratch CLV row for padded operations; scalers get +2 rows:
+        # row K absorbs writes of scaler-less/padded ops (trash), row K+1 is
+        # guaranteed zero and serves every SCALE_BUFFER_NONE read
         self.clv = jnp.zeros((self.nodes + 1, R, s, S), dtype=self.dtype)
-        scaler_shape = (scale_buffers + 1, R, S) if rate_scalers \
-            else (scale_buffers + 1, S)
+        scaler_shape = (scale_buffers + 2, R, S) if rate_scalers \
+            else (scale_buffers + 2, S)
         self.scale_buffer = jnp.zeros(scaler_shape, dtype=jnp.int32)
         self.pmatrix = jnp.zeros((prob_matrices, R, s, s), dtype=self.dtype)
 
@@ -399,7 +401,8 @@ class Partition:
     # ------------------------------------------------------------ likelihood
     def _scaler_row(self, index: int):
         if index == C.SCALE_BUFFER_NONE:
-            return self.scale_buffer[self.scale_buffers], False
+            # the guaranteed-zero row (never written)
+            return self.scale_buffer[self.scale_buffers + 1], False
         return self.scale_buffer[index], True
 
     def _node_view(self, clv_index: int, scaler_index: int):
