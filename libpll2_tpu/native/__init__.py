@@ -1,0 +1,104 @@
+"""ctypes loader for the native host kernels (numpy fallback elsewhere).
+
+The shared library is built on first use with g++ (tools/build_native.py
+does the same ahead of time); if no toolchain is available the package
+falls back to the numpy implementations transparently.
+"""
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SRC = _DIR / "pllnative.cpp"
+_LIB = _DIR / "libpllnative.so"
+
+_lib = None
+_tried = False
+
+
+def build() -> bool:
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+           "-o", str(_LIB), str(_SRC)]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=120)
+        return r.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def load() -> Optional[ct.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not build():
+            return None
+    try:
+        lib = ct.CDLL(str(_LIB))
+    except OSError:
+        return None
+    i32p = ct.POINTER(ct.c_int32)
+    lib.pll_tpu_repeats_update.restype = ct.c_int64
+    lib.pll_tpu_repeats_update.argtypes = [i32p, i32p, ct.c_int64,
+                                           ct.c_int64, i32p, i32p, i32p]
+    lib.pll_tpu_repeats_tips.restype = ct.c_int64
+    lib.pll_tpu_repeats_tips.argtypes = [ct.POINTER(ct.c_uint64),
+                                         ct.c_int64, i32p, i32p]
+    _lib = lib
+    return _lib
+
+
+_lookup_scratch: Optional[np.ndarray] = None
+
+
+def _scratch(size: int) -> np.ndarray:
+    global _lookup_scratch
+    if _lookup_scratch is None or _lookup_scratch.size < size:
+        _lookup_scratch = np.full(size, -1, dtype=np.int32)
+    return _lookup_scratch
+
+
+def _ptr(a: np.ndarray, typ):
+    return a.ctypes.data_as(ct.POINTER(typ))
+
+
+def repeats_update(site_id_l: np.ndarray, site_id_r: np.ndarray,
+                   ids_l: int, pair_space: int
+                   ) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+    """First-occurrence pair classes; None when the native lib is absent."""
+    lib = load()
+    if lib is None:
+        return None
+    sites = site_id_l.shape[0]
+    site_id = np.empty(sites, dtype=np.int32)
+    id_site = np.empty(sites, dtype=np.int32)
+    lookup = _scratch(pair_space)
+    l = np.ascontiguousarray(site_id_l, dtype=np.int32)
+    r = np.ascontiguousarray(site_id_r, dtype=np.int32)
+    ids = lib.pll_tpu_repeats_update(
+        _ptr(l, ct.c_int32), _ptr(r, ct.c_int32), ids_l, sites,
+        _ptr(lookup, ct.c_int32), _ptr(site_id, ct.c_int32),
+        _ptr(id_site, ct.c_int32))
+    return site_id, id_site[:ids].copy(), int(ids)
+
+
+def repeats_tips(codes: np.ndarray
+                 ) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+    lib = load()
+    if lib is None:
+        return None
+    sites = codes.shape[0]
+    site_id = np.empty(sites, dtype=np.int32)
+    id_site = np.empty(sites, dtype=np.int32)
+    c = np.ascontiguousarray(codes, dtype=np.uint64)
+    ids = lib.pll_tpu_repeats_tips(
+        _ptr(c, ct.c_uint64), sites,
+        _ptr(site_id, ct.c_int32), _ptr(id_site, ct.c_int32))
+    return site_id, id_site[:ids].copy(), int(ids)

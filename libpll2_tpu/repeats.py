@@ -76,7 +76,12 @@ class RepeatsTable:
 
     def set_tip(self, tip_index: int, codes: np.ndarray) -> None:
         """Class tips by state code (pll_update_repeats_tips)."""
-        site_id, id_site, ids = _first_occurrence_classes(codes)
+        from . import native
+        nat = native.repeats_tips(np.asarray(codes, dtype=np.uint64))
+        if nat is not None:
+            site_id, id_site, ids = nat
+        else:
+            site_id, id_site, ids = _first_occurrence_classes(codes)
         self.site_id[tip_index, :] = site_id
         self.id_site[tip_index, :ids] = id_site
         self.id_site[tip_index, ids:] = 0
@@ -101,9 +106,16 @@ class RepeatsTable:
             self.site_id[p, :] = np.arange(self.sites, dtype=np.int32)
             self.id_site[p, :] = np.arange(self.sites, dtype=np.int32)
             return
-        codes = (self.site_id[l].astype(np.int64)
-                 + self.site_id[r].astype(np.int64) * int(self.ids[l]))
-        site_id, id_site, ids = _first_occurrence_classes(codes)
+        from . import native
+        nat = native.repeats_update(self.site_id[l], self.site_id[r],
+                                    int(self.ids[l]),
+                                    int(self.ids[l]) * int(self.ids[r]))
+        if nat is not None:
+            site_id, id_site, ids = nat
+        else:
+            codes = (self.site_id[l].astype(np.int64)
+                     + self.site_id[r].astype(np.int64) * int(self.ids[l]))
+            site_id, id_site, ids = _first_occurrence_classes(codes)
         if ids >= self.sites:         # no compression: force plain
             self.ids[p] = 0
             self.site_id[p, :] = np.arange(self.sites, dtype=np.int32)
