@@ -48,6 +48,50 @@ def iter_fasta(path: str) -> Iterator[FastaRecord]:
             yield FastaRecord(header, "".join(chunks), seqno)
 
 
+class FastaFile:
+    """Streaming handle with position queries — the pll_fasta_open /
+    getnext / rewind / getfilepos / getfilesize / close API surface
+    (fasta.c:40-128, 259-316)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._it = None
+        try:
+            self._size = __import__("os").path.getsize(path)
+        except OSError as e:
+            raise PllError(ERROR_FILE_OPEN,
+                           f"Unable to open file ({path})") from e
+        self.rewind()
+
+    def getnext(self) -> FastaRecord | None:
+        """Next record, or None at EOF (pll_fasta_getnext)."""
+        rec = next(self._it, None)
+        if rec is not None:
+            self._count = rec.seqno + 1
+        return rec
+
+    def rewind(self) -> None:
+        self._it = iter_fasta(self.path)
+        self._count = 0
+
+    def getfilesize(self) -> int:
+        return self._size
+
+    def getfilepos(self) -> int:
+        """Records consumed so far (the streaming analog of the byte
+        offset the reference exposes)."""
+        return self._count
+
+    def close(self) -> None:
+        self._it = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def load_fasta(path: str, require_aligned: bool = True
                ) -> Tuple[List[str], List[str]]:
     """pll_fasta_load equivalent (fasta.c:318-333)."""

@@ -162,12 +162,23 @@ def pack_pallas_levels(operations, n_tips: int, scratch_clv: int,
     Rows: parent, child1_clv, child2_clv, matrix1, matrix2,
     scaler1_read, scaler2_read, parent_scaler_write. SCALE_BUFFER_NONE
     reads map to the guaranteed-zero row, NONE writes to the trash row.
+    Level widths are padded to powers of two (padded slots write the
+    scratch CLV row / trash scaler row), so SPR-style topology changes hit
+    a bounded set of compiled kernel shapes instead of recompiling.
     """
     from ..trees.utree import compile_levels
     levels = compile_levels(operations, n_tips)
     tables = []
     for lv in levels:
-        t = np.zeros((8, len(lv)), dtype=np.int32)
+        w = 1
+        while w < len(lv):
+            w *= 2
+        t = np.zeros((8, w), dtype=np.int32)
+        # padded slots: recompute a harmless op into the scratch rows
+        t[0, :] = scratch_clv
+        t[5, :] = zero_scaler_row
+        t[6, :] = zero_scaler_row
+        t[7, :] = trash_scaler_row
         for k, op in enumerate(lv):
             t[:, k] = [
                 op.parent_clv_index,
