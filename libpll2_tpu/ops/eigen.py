@@ -89,6 +89,42 @@ def update_eigen(subst_params: np.ndarray, freqs: np.ndarray) -> EigenSystem:
     return EigenSystem(eigenvals, evecs, inv_evecs)
 
 
+def update_eigen_jax(subst_params, freqs):
+    """Differentiable on-device eigendecomposition (batched over a leading
+    axis): same math as update_eigen but in jnp with `jnp.linalg.eigh`, so
+    model parameters can be optimized by gradient descent through the whole
+    likelihood — a capability the reference's host-side path cannot offer.
+    No zero-frequency elimination (gradients need all states live).
+
+    subst_params: [M, s*(s-1)/2], freqs: [M, s] (jnp arrays).
+    Returns (eigenvals [M, s], evecs [M, s, s], inv_evecs [M, s, s]).
+    """
+    import jax.numpy as jnp
+
+    freqs = jnp.asarray(freqs)
+    params = jnp.asarray(subst_params)
+    m, states = freqs.shape
+    params = params / params[:, -1:]
+
+    iu, ju = np.triu_indices(states, k=1)
+    s = jnp.zeros((m, states, states), dtype=freqs.dtype)
+    factor = params * jnp.sqrt(freqs[:, iu] * freqs[:, ju])
+    s = s.at[:, iu, ju].set(factor)
+    s = s.at[:, ju, iu].set(factor)
+    diag = (jnp.zeros((m, states), freqs.dtype)
+            .at[:, iu].add(-params * freqs[:, ju])
+            .at[:, ju].add(-params * freqs[:, iu]))
+    s = s.at[:, jnp.arange(states), jnp.arange(states)].set(diag)
+    mean = jnp.sum(freqs * -diag, axis=1)
+    s = s / mean[:, None, None]
+
+    w, v = jnp.linalg.eigh(s)
+    sqrt_f = jnp.sqrt(freqs)
+    evecs = jnp.swapaxes(v, 1, 2) * sqrt_f[:, None, :]
+    inv_evecs = v / sqrt_f[:, :, None]
+    return w, evecs, inv_evecs
+
+
 def update_eigen_batch(subst_params: np.ndarray,
                        freqs: np.ndarray) -> EigenSystem:
     """Vectorized convenience over the leading rate-matrix axis.

@@ -1,0 +1,161 @@
+"""Gradient-based model optimization — differentiable all the way through.
+
+The reference is a pure evaluation library; its clients bolt Newton/Brent
+loops on top, one parameter at a time (examples/newton, RAxML-NG's
+optimizers). On TPU the natural design is different: the entire fused
+likelihood — eigendecomposition (jnp.linalg.eigh), P-matrices, the pruning
+recursion, scaling, rate mixing — is differentiable JAX code, so ALL branch
+lengths and model parameters can be optimized simultaneously with
+`jax.grad` + a first-order optimizer, in a handful of compiled steps.
+
+Parameterization (unconstrained):
+  * branch lengths: log-space (positivity);
+  * substitution rates: log-space with the last rate pinned to 1;
+  * frequencies: softmax logits.
+
+The per-edge Newton engine (ops/derivatives.py) remains available for
+reference-style single-branch optimization.
+
+Caveat: `jnp.linalg.eigh`'s gradient is undefined at repeated eigenvalues —
+exactly-symmetric models (JC69: all rates equal) sit on that degeneracy.
+Start substitution-rate optimization from a slightly perturbed point, or
+optimize branches first.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .engine import TreeEngine, _fused_loglikelihood
+from .ops import eigen as ops_eigen
+
+
+def _build_params(engine: TreeEngine,
+                  optimize: Iterable[str]) -> Dict[str, jnp.ndarray]:
+    p = engine.partition
+    d = p.dtype
+    params: Dict[str, jnp.ndarray] = {}
+    if "branches" in optimize:
+        blen = jnp.maximum(engine.branches, C.OPT_MIN_BRANCH_LEN)
+        params["log_branches"] = jnp.log(blen).astype(d)
+    if "subst" in optimize:
+        rates = np.maximum(p.subst_params, 1e-6)
+        rates = rates / rates[:, -1:]
+        params["log_subst"] = jnp.asarray(np.log(rates[:, :-1]), d)
+    if "freqs" in optimize:
+        params["freq_logits"] = jnp.asarray(np.log(
+            np.maximum(p.frequencies, 1e-10)), d)
+    return params
+
+
+def make_loglikelihood_fn(engine: TreeEngine,
+                          optimize: Iterable[str] = ("branches",)):
+    """Returns (fn, params0): fn(params) -> logL, differentiable.
+
+    Only the XLA execution paths are differentiable; the engine may use
+    Pallas for plain evaluation, but optimization always runs levels/scan.
+    """
+    p = engine.partition
+    d = p.dtype
+    optimize = tuple(optimize)
+    if engine.use_pallas:
+        # rebuild XLA-path op tables for the differentiable program
+        raise ValueError("build the TreeEngine with pallas=False for "
+                         "gradient optimization")
+    base_eigen = (jnp.asarray(p.eigenvals, d),
+                  jnp.asarray(p.inv_eigenvecs, d),
+                  jnp.asarray(p.eigenvecs, d))
+    base_subst = jnp.asarray(p.subst_params, d)
+    base_freqs = jnp.asarray(p.frequencies, d)
+    model_tail = (jnp.asarray(p.prop_invar, d), jnp.asarray(p.rates, d),
+                  jnp.asarray(p.rate_weights, d))
+    site_args = engine._site_args()
+    clv0, sc0 = p.clv, p.scale_buffer
+
+    def fn(params: Dict[str, jnp.ndarray]):
+        freqs = (jax.nn.softmax(params["freq_logits"], axis=-1)
+                 if "freq_logits" in params else base_freqs)
+        if "log_subst" in params or "freq_logits" in params:
+            subst = (jnp.concatenate(
+                [jnp.exp(params["log_subst"]),
+                 jnp.ones_like(params["log_subst"][:, :1])], axis=1)
+                if "log_subst" in params else base_subst)
+            ev, evecs, inv_evecs = ops_eigen.update_eigen_jax(subst, freqs)
+        else:
+            ev, inv_evecs, evecs = base_eigen
+        branches = (jnp.exp(params["log_branches"])
+                    if "log_branches" in params else engine.branches)
+        total, _, _, _, _ = _fused_loglikelihood(
+            clv0, sc0, ev, inv_evecs, evecs, *model_tail, freqs,
+            engine.params_idx_rates, branches, engine.ops, engine.root_idx,
+            *site_args, p.scale_threshold, p.scale_factor,
+            rate_scalers=p.rate_scalers, valid=engine.valid,
+            levels=engine.levels)
+        return total
+
+    return fn, _build_params(engine, optimize)
+
+
+def maximize_loglikelihood(engine: TreeEngine,
+                           optimize: Iterable[str] = ("branches",),
+                           steps: int = 200,
+                           learning_rate: float = 0.02,
+                           tol: float = 1e-6):
+    """Adam ascent on logL over the selected parameter groups.
+
+    Returns (final logL, params, history). Applies the optimized values
+    back to the engine/partition.
+    """
+    import optax
+
+    fn, params = make_loglikelihood_fn(engine, optimize)
+    loss = jax.jit(lambda q: -fn(q))
+    grad = jax.jit(jax.value_and_grad(lambda q: -fn(q)))
+    opt = optax.adam(learning_rate)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        value, g = grad(params)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(params, updates), state, -value
+
+    history = []
+    best = -np.inf
+    for i in range(steps):
+        params, state, lk = step(params, state)
+        lk = float(lk)
+        history.append(lk)
+        if lk - best < tol and i > 10:
+            break
+        best = max(best, lk)
+
+    final = float(-loss(params))
+    _apply(engine, params)
+    return final, params, history
+
+
+def _apply(engine: TreeEngine, params: Dict[str, jnp.ndarray]) -> None:
+    p = engine.partition
+    if "log_branches" in params:
+        engine.branches = jnp.exp(params["log_branches"]).astype(p.dtype)
+    if "log_subst" in params:
+        subst = np.concatenate(
+            [np.exp(np.asarray(params["log_subst"], np.float64)),
+             np.ones((p.rate_matrices, 1))], axis=1)
+        for m in range(p.rate_matrices):
+            p.set_subst_params(m, subst[m])
+    if "freq_logits" in params:
+        logits = np.asarray(params["freq_logits"], np.float64)
+        f = np.exp(logits - logits.max(axis=1, keepdims=True))
+        f = f / f.sum(axis=1, keepdims=True)
+        for m in range(p.rate_matrices):
+            p.set_frequencies(m, f[m])
+    if "log_subst" in params or "freq_logits" in params:
+        for m in range(p.rate_matrices):
+            p.update_eigen(m)
