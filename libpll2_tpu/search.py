@@ -1,0 +1,131 @@
+"""Hill-climbing topology search: NNI and SPR rounds over the fused engine.
+
+This is the consumer pattern the reference library serves (SURVEY call
+stack 3.4: move -> partial traversal -> rescore -> accept/rollback,
+test/src/partial-traversal.c) packaged as a ready-to-use search loop.
+Because topology is data, re-evaluating after a move reuses the SAME
+compiled program in the scan path (operation count is invariant), or one of
+a bounded set of bucket shapes in the Pallas path — the host never
+recompiles inside the loop.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import constants as C
+from .engine import TreeEngine
+from .partition import Partition
+from .trees import moves
+from .trees.utree import UNode, UTree, traverse
+
+
+def _internal_edges(tree: UTree) -> List[UNode]:
+    """One half-edge per internal edge (both endpoints inner)."""
+    out = []
+    seen = set()
+    for node in tree.nodes():
+        if node.is_tip():
+            continue
+        for h in node.ring():
+            if h.back is not None and not h.back.is_tip() \
+                    and id(h) not in seen and id(h.back) not in seen:
+                seen.add(id(h))
+                out.append(h)
+    return out
+
+
+def _all_edges(tree: UTree) -> List[UNode]:
+    out = []
+    seen = set()
+    for node in tree.nodes():
+        halves = [node] if node.is_tip() else list(node.ring())
+        for h in halves:
+            if h.back is not None and id(h) not in seen \
+                    and id(h.back) not in seen:
+                seen.add(id(h))
+                out.append(h)
+    return out
+
+
+class TreeSearch:
+    """Greedy hill climbing with accept/rollback (first-improvement)."""
+
+    def __init__(self, partition: Partition, tree: UTree,
+                 params_index: int = 0, epsilon: float = 1e-6,
+                 **engine_kwargs):
+        self.partition = partition
+        self.tree = tree
+        self.params_index = params_index
+        self.epsilon = epsilon
+        # scan path: the op count never changes across topologies of one
+        # tree size, so every evaluation reuses one compiled program
+        engine_kwargs.setdefault("level_schedule", False)
+        self.engine_kwargs = engine_kwargs
+
+    def evaluate(self) -> float:
+        eng = TreeEngine(self.partition, self.tree,
+                         params_index=self.params_index,
+                         **self.engine_kwargs)
+        return eng.loglikelihood()
+
+    def nni_round(self) -> Tuple[float, int]:
+        """Try both NNI alternatives on every internal edge; keep
+        improvements. Returns (best logL, accepted moves)."""
+        best = self.evaluate()
+        accepted = 0
+        for edge in _internal_edges(self.tree):
+            for move_type in (C.UTREE_MOVE_NNI_LEFT, C.UTREE_MOVE_NNI_RIGHT):
+                rb = moves.Rollback()
+                moves.nni(edge, move_type, rb)
+                lk = self.evaluate()
+                if lk > best + self.epsilon:
+                    best = lk
+                    accepted += 1
+                else:
+                    moves.rollback_move(rb)
+        return best, accepted
+
+    def spr_round(self, max_candidates: Optional[int] = None,
+                  seed: int = 0) -> Tuple[float, int]:
+        """Try SPR regrafts of each prunable subtree onto candidate edges;
+        keep improvements (first-improvement per prune edge)."""
+        best = self.evaluate()
+        accepted = 0
+        rng = np.random.default_rng(seed)
+        for p in list(_internal_edges(self.tree)):
+            targets = [r for r in _all_edges(self.tree)
+                       if r not in (p, p.back, p.next, p.next.back,
+                                    p.next.next, p.next.next.back)
+                       and not moves.utree_find(p.back, r)
+                       and r.back is not None]
+            if max_candidates and len(targets) > max_candidates:
+                idx = rng.permutation(len(targets))[:max_candidates]
+                targets = [targets[i] for i in idx]
+            for r in targets:
+                rb = moves.Rollback()
+                try:
+                    moves.spr(p, r, rb, safe=True)
+                except C.PllError:
+                    continue
+                lk = self.evaluate()
+                if lk > best + self.epsilon:
+                    best = lk
+                    accepted += 1
+                    break              # re-enumerate from the new topology
+                moves.rollback_move(rb)
+        return best, accepted
+
+    def run(self, max_rounds: int = 10, use_spr: bool = True) -> float:
+        """Alternate NNI (and optionally SPR) rounds until no move is
+        accepted. Returns the final logL."""
+        best = self.evaluate()
+        for _ in range(max_rounds):
+            best, acc = self.nni_round()
+            if use_spr:
+                best_spr, acc_spr = self.spr_round()
+                best, acc = max(best, best_spr), acc + acc_spr
+            if acc == 0:
+                break
+        return best

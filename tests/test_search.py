@@ -1,0 +1,63 @@
+"""Topology search: NNI/SPR hill climbing recovers likelihood lost to
+random topology perturbations (the reference consumers' search-loop
+pattern, test/src/partial-traversal.c)."""
+import numpy as np
+import pytest
+
+from libpll2_tpu import Partition, compute_gamma_cats
+from libpll2_tpu import constants as C
+from libpll2_tpu.io import maps
+from libpll2_tpu.search import TreeSearch, _internal_edges
+from libpll2_tpu.trees import moves, random_utree
+from libpll2_tpu.utils import simulate_alignment
+
+N_TAXA, N_SITES = 12, 500
+
+
+def _setup(perturb: int):
+    tree = random_utree([f"t{i}" for i in range(N_TAXA)], seed=33)
+    headers, seqs = simulate_alignment(tree, N_SITES, [0.25] * 4,
+                                       [1, 3, 1, 1, 3, 1], alpha=0.9,
+                                       seed=33)
+    rng = np.random.default_rng(1)
+    for _ in range(perturb):
+        edges = _internal_edges(tree)
+        edge = edges[rng.integers(len(edges))]
+        moves.nni(edge, C.UTREE_MOVE_NNI_LEFT, None)
+
+    part = Partition(tree.tip_count, tree.inner_count, 4, N_SITES, 1,
+                     tree.edge_count, 4, tree.inner_count)
+    by_label = dict(zip(headers, seqs))
+    for tip in tree.tips():
+        part.set_tip_states(tip.clv_index, maps.map_nt, by_label[tip.label])
+    part.set_frequencies(0, [0.25] * 4)
+    part.set_subst_params(0, [1, 3, 1, 1, 3, 1])
+    part.set_category_rates(compute_gamma_cats(0.9, 4))
+    return part, tree
+
+
+def test_nni_round_improves_perturbed_tree():
+    part, tree = _setup(perturb=3)
+    search = TreeSearch(part, tree)
+    lk0 = search.evaluate()
+    lk, accepted = search.nni_round()
+    assert accepted >= 1
+    assert lk > lk0 + 1.0
+
+
+def test_search_converges_and_rollback_is_clean():
+    part, tree = _setup(perturb=2)
+    search = TreeSearch(part, tree)
+    lk_final = search.run(max_rounds=5, use_spr=True)
+    # converged: one more NNI round accepts nothing
+    lk_again, accepted = search.nni_round()
+    assert accepted == 0
+    np.testing.assert_allclose(lk_again, lk_final, rtol=1e-12)
+
+
+def test_search_on_true_tree_accepts_nothing_worse():
+    part, tree = _setup(perturb=0)
+    search = TreeSearch(part, tree)
+    lk0 = search.evaluate()
+    lk, accepted = search.nni_round()
+    assert lk >= lk0 - 1e-9
