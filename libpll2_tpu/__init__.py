@@ -11,10 +11,11 @@ from .constants import AscBias, PllError
 from .partition import Operation, Partition, pack_operations
 from .ops.gamma import compute_gamma_cats
 from .engine import TreeEngine
+from . import checkpoint
 
 __all__ = [
     "constants", "AscBias", "PllError",
     "Operation", "Partition", "pack_operations",
-    "compute_gamma_cats", "TreeEngine",
+    "compute_gamma_cats", "TreeEngine", "checkpoint",
 ]
 __version__ = "0.1.0"

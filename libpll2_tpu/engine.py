@@ -52,31 +52,34 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
     are [L, W] level-grouped and each level runs as one batched launch; with
     `use_pallas` they are per-level [8, W] index tables driving the fused
     Pallas kernel (ops/pallas_partials.py)."""
-    pmatrix = ops_pmatrix.update_prob_matrices(
-        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
-        params_idx_rates, branches)
-    if use_pallas:
-        clv, scaler = ops_pallas.update_partials_pallas(
-            clv, scaler, pmatrix, op_arrays,
-            rates=clv.shape[1], states=clv.shape[2],
-            threshold=scale_threshold, factor=scale_factor,
-            interpret=pallas_interpret)
-    elif levels:
-        clv, scaler = ops_partials.update_partials_levels(
-            clv, scaler, pmatrix, op_arrays, valid, scale_threshold,
-            scale_factor, rate_scalers=rate_scalers)
-    else:
-        clv, scaler = ops_partials.update_partials(
-            clv, scaler, pmatrix, op_arrays, scale_threshold, scale_factor,
-            rate_scalers=rate_scalers)
-    p_clv, p_sc, c_clv, c_sc, mat = root_idx
-    total, per = ops_likelihood.edge_loglikelihood(
-        jnp.take(clv, p_clv, axis=0), jnp.take(clv, c_clv, axis=0),
-        jnp.take(scaler, p_sc, axis=0), jnp.take(scaler, c_sc, axis=0),
-        jnp.take(pmatrix, mat, axis=0),
-        freqs, prop_invar, rate_weights, params_idx_rates,
-        pattern_weights, invariant, scale_threshold,
-        rate_scalers=rate_scalers, has_pscaler=True, has_cscaler=True)
+    with jax.named_scope("pll.pmatrix"):
+        pmatrix = ops_pmatrix.update_prob_matrices(
+            eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+            params_idx_rates, branches)
+    with jax.named_scope("pll.partials"):
+        if use_pallas:
+            clv, scaler = ops_pallas.update_partials_pallas(
+                clv, scaler, pmatrix, op_arrays,
+                rates=clv.shape[1], states=clv.shape[2],
+                threshold=scale_threshold, factor=scale_factor,
+                interpret=pallas_interpret)
+        elif levels:
+            clv, scaler = ops_partials.update_partials_levels(
+                clv, scaler, pmatrix, op_arrays, valid, scale_threshold,
+                scale_factor, rate_scalers=rate_scalers)
+        else:
+            clv, scaler = ops_partials.update_partials(
+                clv, scaler, pmatrix, op_arrays, scale_threshold,
+                scale_factor, rate_scalers=rate_scalers)
+    with jax.named_scope("pll.edge_logl"):
+        p_clv, p_sc, c_clv, c_sc, mat = root_idx
+        total, per = ops_likelihood.edge_loglikelihood(
+            jnp.take(clv, p_clv, axis=0), jnp.take(clv, c_clv, axis=0),
+            jnp.take(scaler, p_sc, axis=0), jnp.take(scaler, c_sc, axis=0),
+            jnp.take(pmatrix, mat, axis=0),
+            freqs, prop_invar, rate_weights, params_idx_rates,
+            pattern_weights, invariant, scale_threshold,
+            rate_scalers=rate_scalers, has_pscaler=True, has_cscaler=True)
     return total, per, clv, scaler, pmatrix
 
 

@@ -215,6 +215,10 @@ class Partition:
             bad = sequence[int(np.argmax(masks == 0))]
             raise C.PllError(C.ERROR_TIPDATA_ILLEGALSTATE,
                              f"Illegal state code in tip \"{bad}\"")
+        self._set_tip_masks(tip_index, masks)
+
+    def _set_tip_masks(self, tip_index: int, masks: np.ndarray) -> None:
+        """Install decoded state bitmasks as a tip CLV (and repeat classes)."""
         self.tip_states[tip_index, :self.sites] = masks
         self._tips_set[tip_index] = True
         self._invariant_valid = False

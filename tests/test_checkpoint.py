@@ -1,0 +1,64 @@
+"""Checkpoint/resume: a restored partition+tree reproduces the exact logL,
+with and without stored CLVs, including repeats mode and extras."""
+import os
+
+import numpy as np
+import pytest
+
+from libpll2_tpu import Partition, TreeEngine, checkpoint, compute_gamma_cats
+from libpll2_tpu.io import maps
+from libpll2_tpu.trees import random_utree
+from libpll2_tpu.utils import simulate_alignment
+
+
+@pytest.fixture()
+def setup(tmp_path):
+    tree = random_utree([f"t{i}" for i in range(10)], seed=44)
+    headers, seqs = simulate_alignment(tree, 300, [0.25] * 4,
+                                       [1, 2, 1, 1, 2, 1], alpha=0.9,
+                                       seed=44)
+    part = Partition(tree.tip_count, tree.inner_count, 4, 300, 1,
+                     tree.edge_count, 4, tree.inner_count)
+    by_label = dict(zip(headers, seqs))
+    for tip in tree.tips():
+        part.set_tip_states(tip.clv_index, maps.map_nt, by_label[tip.label])
+    part.set_frequencies(0, [0.3, 0.2, 0.2, 0.3])
+    part.set_subst_params(0, [1, 2, 1, 1, 2, 1])
+    part.set_category_rates(compute_gamma_cats(0.9, 4))
+    return part, tree, str(tmp_path / "ck.npz")
+
+
+def test_roundtrip_exact_logl(setup):
+    part, tree, path = setup
+    lk0 = TreeEngine(part, tree).loglikelihood()
+    checkpoint.save(path, part, tree, best_logl=lk0, step=7)
+
+    part2, tree2, extras = checkpoint.load(path)
+    assert float(extras["best_logl"]) == lk0
+    assert int(extras["step"]) == 7
+    lk1 = TreeEngine(part2, tree2).loglikelihood()
+    np.testing.assert_array_equal(lk1, lk0)
+
+
+def test_roundtrip_with_clvs(setup):
+    part, tree, path = setup
+    lk0 = TreeEngine(part, tree).loglikelihood()   # populates CLVs
+    checkpoint.save(path, part, tree, include_clvs=True)
+    part2, tree2, _ = checkpoint.load(path)
+    np.testing.assert_array_equal(np.asarray(part2.clv),
+                                  np.asarray(part.clv))
+    root = tree2.vroot
+    lk = part2.compute_edge_loglikelihood(
+        root.clv_index, root.scaler_index, root.back.clv_index,
+        root.back.scaler_index, root.pmatrix_index, [0] * 4)
+    # pmatrix is not checkpointed; recompute-free eval needs stored CLVs
+    # plus fresh pmatrices — so compare after one engine run instead
+    lk1 = TreeEngine(part2, tree2).loglikelihood()
+    np.testing.assert_array_equal(lk1, lk0)
+
+
+def test_atomic_save_leaves_no_droppings(setup):
+    part, tree, path = setup
+    checkpoint.save(path, part, tree)
+    d = os.path.dirname(path)
+    assert [f for f in os.listdir(d) if f.endswith(".tmp")] == []

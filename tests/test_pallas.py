@@ -67,6 +67,30 @@ def test_pallas_matches_xla_with_scaling():
         np.asarray(p_xla.scale_buffer[:p_xla.scale_buffers]))
 
 
+def test_pallas_matches_xla_20_states():
+    from libpll2_tpu.models import load_aa_model
+    tree = random_utree([f"t{i}" for i in range(8)], seed=3)
+    headers, seqs = simulate_alignment(tree, 256, [1 / 20] * 20,
+                                       [1.0] * 190, alpha=1.0, seed=3)
+    by = dict(zip(headers, seqs))
+
+    def build():
+        part = Partition(tree.tip_count, tree.inner_count, 20, 256, 1,
+                         tree.edge_count, 4, tree.inner_count,
+                         dtype=jnp.float32)
+        for t in tree.tips():
+            part.set_tip_states(t.clv_index, maps.map_aa, by[t.label])
+        load_aa_model(part, "lg")
+        part.set_category_rates(compute_gamma_cats(1.0, 4))
+        return part
+
+    e_xla = TreeEngine(build(), tree, pallas=False)
+    e_pl = TreeEngine(build(), tree, pallas="interpret")
+    assert e_pl.use_pallas
+    np.testing.assert_array_equal(e_pl.loglikelihood(),
+                                  e_xla.loglikelihood())
+
+
 def test_pallas_newton_matches_xla():
     tree = random_utree([f"t{i}" for i in range(10)], seed=9)
     headers, seqs = simulate_alignment(tree, 128, FREQS, SUBST,
