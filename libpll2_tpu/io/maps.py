@@ -55,6 +55,48 @@ map_gt10 = _build({
 })
 
 
+# --- parser character classes (maps.c:142-225) -------------------------------
+# 0 = stripped, 1 = legal, 2 = fatal, 3 = silently ignored (whitespace)
+CHAR_STRIP, CHAR_LEGAL, CHAR_FATAL, CHAR_IGNORE = 0, 1, 2, 3
+
+
+def _char_class_table(legal: str, ignore: str = "\t\n\x0b\x0c\r",
+                      default: int = CHAR_STRIP,
+                      fatal_ctrl: bool = True) -> np.ndarray:
+    table = np.full(256, default, dtype=np.uint32)
+    if fatal_ctrl:
+        for i in list(range(0, 9)) + list(range(14, 32)):
+            table[i] = CHAR_FATAL
+    for ch in ignore:
+        table[ord(ch)] = CHAR_IGNORE
+    for ch in legal:
+        table[ord(ch)] = CHAR_LEGAL
+        table[ord(ch.lower())] = CHAR_LEGAL
+    return table
+
+
+_SEQ_CHARS = "-.0123456789?ABCDEFGHIJKLMNOPQRSTUVWXYZ*"
+map_fasta = _char_class_table(_SEQ_CHARS.replace("?", "") + "?*-.")
+map_phylip = _char_class_table(_SEQ_CHARS.replace("*", "") + "-.?")
+# generic alignments: any printable non-whitespace character is legal
+map_generic = _char_class_table(
+    "".join(chr(i) for i in list(range(33, 127)) + list(range(128, 255))),
+    ignore="\t\n\x0b\x0c\r ")
+
+
+def validate_sequence(sequence: str, char_class: np.ndarray) -> str:
+    """Filter a raw sequence through a character-class table: legal chars
+    kept, strip/ignore classes removed, fatal classes raise."""
+    codes = np.frombuffer(sequence.encode("latin-1"), dtype=np.uint8)
+    classes = char_class[codes]
+    if np.any(classes == CHAR_FATAL):
+        bad = sequence[int(np.argmax(classes == CHAR_FATAL))]
+        from .. import constants as C
+        raise C.PllError(C.ERROR_FASTA_UNPRINTABLECHAR,
+                         f"Illegal character {bad!r} in sequence")
+    return "".join(np.array(list(sequence))[classes == CHAR_LEGAL])
+
+
 def decode_states(sequence: str, charmap: np.ndarray) -> np.ndarray:
     """Map a sequence string to uint64 state bitmasks; 0 marks illegal chars."""
     codes = np.frombuffer(sequence.encode('ascii'), dtype=np.uint8)

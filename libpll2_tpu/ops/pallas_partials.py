@@ -35,6 +35,10 @@ LANE = 128
 
 
 def _site_tile(sites: int) -> int:
+    import os
+    forced = int(os.environ.get("PLL_PALLAS_TILE", "0"))
+    if forced and sites % forced == 0:
+        return forced
     for t in (2048, 1024, 512, 256, LANE):
         if sites % t == 0:
             return t

@@ -1,0 +1,178 @@
+"""Benchmark suite over the BASELINE.md configs; writes BENCHMARKS.md.
+
+    python tools/benchmarks.py [--quick]
+
+Device-side timings use k-chained evaluations inside one dispatch (see
+bench.py) to cancel the tunneled-TPU dispatch latency.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+from libpll2_tpu import Partition, TreeEngine, compute_gamma_cats
+from libpll2_tpu.io import maps
+from libpll2_tpu.models import load_aa_model
+from libpll2_tpu.parsimony import FastParsimony
+from libpll2_tpu.parsimony.stepwise import fastparsimony_stepwise
+from libpll2_tpu.trees import random_utree
+from libpll2_tpu.utils import simulate_alignment
+
+QUICK = "--quick" in sys.argv
+RESULTS = []
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(n_taxa, sites, states=4, rate_cats=4, seed=7, model=None,
+          repeats=False, **kw):
+    tree = random_utree([f"t{i}" for i in range(n_taxa)], seed=seed)
+    freqs = np.full(states, 1.0 / states)
+    subst = np.ones(states * (states - 1) // 2)
+    if states == 4:
+        subst = np.array([1, 2, 1, 1, 2, 1.0])
+    headers, seqs = simulate_alignment(tree, sites, freqs, subst,
+                                       alpha=0.9, seed=seed)
+    part = Partition(tree.tip_count, tree.inner_count, states, sites, 1,
+                     tree.edge_count, rate_cats, tree.inner_count,
+                     site_repeats=repeats, **kw)
+    by = dict(zip(headers, seqs))
+    cm = maps.map_nt if states == 4 else maps.map_aa
+    for t in tree.tips():
+        part.set_tip_states(t.clv_index, cm, by[t.label])
+    if model:
+        load_aa_model(part, model)
+    else:
+        part.set_frequencies(0, freqs)
+        part.set_subst_params(0, subst)
+    part.set_category_rates(compute_gamma_cats(0.9, rate_cats))
+    return part, tree, headers, seqs
+
+
+def device_time(eng, reps=3, k1=3, k2=9):
+    eng.loglikelihood_loop(1)
+
+    def run(k):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            eng.loglikelihood_loop(k)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((run(k2) - run(k1)) / (k2 - k1), 1e-9)
+
+
+def record(name, value, unit, note=""):
+    RESULTS.append(dict(name=name, value=value, unit=unit, note=note))
+    log(f"  {name}: {value:.4g} {unit}  {note}")
+
+
+def bench_unrooted():
+    log("[1] unrooted DNA GTR+G4 (64 taxa x 4096 sites)")
+    part, tree, *_ = build(64, 4096)
+    eng = TreeEngine(part, tree)
+    dt = device_time(eng)
+    su = tree.inner_count * 4096
+    record("dna_logl_evals_per_sec", 1 / dt, "evals/s",
+           f"pallas={eng.use_pallas}")
+    record("dna_site_updates_per_sec", su / dt, "site-updates/s")
+
+
+def bench_newton():
+    log("[2] Newton branch optimization (32 taxa x 2048 sites)")
+    part, tree, *_ = build(32, 2048, seed=9)
+    eng = TreeEngine(part, tree, pallas=False)
+    eng.newton_step()
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        eng.newton_step()
+    dt = (time.perf_counter() - t0) / n
+    record("newton_steps_per_sec", 1 / dt, "steps/s",
+           "full eval + sumtable + d1/d2 + update (per-dispatch)")
+
+
+def bench_protein():
+    log("[3] 20-state LG (32 taxa x 1024 sites)")
+    part, tree, *_ = build(32, 1024, states=20, model="lg", seed=11)
+    eng = TreeEngine(part, tree)
+    dt = device_time(eng)
+    su = tree.inner_count * 1024
+    record("aa_site_updates_per_sec", su / dt, "site-updates/s",
+           f"pallas={eng.use_pallas}")
+
+
+def bench_repeats():
+    log("[4] site repeats vs plain (96 taxa x 3072 sites, per-dispatch)")
+    from libpll2_tpu.trees import create_operations, traverse
+
+    def run_mode(repeats):
+        part, tree, *_ = build(96, 3072, seed=13, repeats=repeats)
+        trav = traverse(tree.vroot)
+        ops, branches, pmat_idx = create_operations(trav)
+        part.update_prob_matrices([0] * 4, pmat_idx, branches)
+        part.update_partials(ops)        # warm/compile
+        t0 = time.perf_counter()
+        n = 5
+        for _ in range(n):
+            part.update_partials(ops, update_repeats=False)
+        jax.block_until_ready(part.clv)
+        dt = (time.perf_counter() - t0) / n
+        work = None
+        if repeats:
+            work = sum(part.repeats.classes(o.parent_clv_index)
+                       for o in ops) / (len(ops) * 3072)
+        return dt, work
+
+    dt_plain, _ = run_mode(False)
+    dt_rep, work = run_mode(True)
+    record("repeats_speedup", dt_plain / dt_rep, "x",
+           f"class columns = {100 * work:.0f}% of plain work")
+
+
+def bench_stepwise():
+    log("[5] stepwise-addition starting tree (128 taxa x 1024 sites)")
+    n = 48 if QUICK else 128
+    part, tree, headers, seqs = build(n, 1024, rate_cats=1, seed=15)
+    fp = FastParsimony(part)
+    t0 = time.perf_counter()
+    stree, cost = fastparsimony_stepwise([fp], headers, seed=42)
+    dt = time.perf_counter() - t0
+    record("stepwise_seconds", dt, "s", f"{n} taxa, score {cost}")
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} ({dev.device_kind})")
+    bench_unrooted()
+    bench_newton()
+    bench_protein()
+    bench_repeats()
+    bench_stepwise()
+
+    lines = ["# BENCHMARKS — measured results",
+             "",
+             f"Device: {dev.platform} ({dev.device_kind}); "
+             "device-side timings via k-chained in-dispatch loops "
+             "(bench.py method). Regenerate: `python tools/benchmarks.py`.",
+             "",
+             "| Benchmark | Value | Unit | Notes |",
+             "|---|---|---|---|"]
+    for r in RESULTS:
+        lines.append(f"| {r['name']} | {r['value']:.4g} | {r['unit']} "
+                     f"| {r['note']} |")
+    open("BENCHMARKS.md", "w").write("\n".join(lines) + "\n")
+    print(json.dumps(RESULTS))
+
+
+if __name__ == "__main__":
+    main()
