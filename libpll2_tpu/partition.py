@@ -163,6 +163,7 @@ class Partition:
         self.sites_padded = -(-base // sites_alignment) * sites_alignment
 
         self.repeats = None
+        self._repeat_schedule = None
         if site_repeats:
             # repeats auto-off below 16 sites, as in pll.c:441-449
             if sites >= C.REPEATS_MIN_SITES and asc_bias == C.AscBias.NONE \
@@ -380,10 +381,14 @@ class Partition:
         With site repeats enabled, operations are grouped into capacity
         buckets (see repeats.py) and each bucket runs as one scan computing
         only its class columns."""
-        if self.repeats is not None and not isinstance(operations,
-                                                       Operations):
+        if self.repeats is not None and isinstance(operations, Operations):
+            raise C.PllError(C.ERROR_PARAM_INVALID,
+                             "site-repeats partitions need the host-side "
+                             "Operation list (class columns), not packed "
+                             "Operations")
+        if self.repeats is not None:
             from .repeats import schedule_buckets
-            if update_repeats:
+            if update_repeats or self._repeat_schedule is None:
                 self._repeat_schedule = schedule_buckets(
                     self.repeats, operations, self.sites)
             for width, ops, gl, gr in self._repeat_schedule:
