@@ -118,6 +118,22 @@ def update_partials(clv: jnp.ndarray,        # [N, R, s, S]
 
 
 @partial(jax.jit, static_argnames=('rate_scalers',))
+def update_partials_repeats_fused(clv: jnp.ndarray,
+                                  scaler: jnp.ndarray,
+                                  pmatrix: jnp.ndarray,
+                                  buckets,   # tuple of (Operations, gl, gr)
+                                  scale_threshold: float,
+                                  scale_factor: float,
+                                  rate_scalers: bool = False):
+    """All capacity buckets in ONE compiled program (one dispatch)."""
+    for ops, gl, gr in buckets:
+        clv, scaler = update_partials_repeats(
+            clv, scaler, pmatrix, ops, gl, gr, scale_threshold,
+            scale_factor, rate_scalers=rate_scalers)
+    return clv, scaler
+
+
+@partial(jax.jit, static_argnames=('rate_scalers',))
 def update_partials_repeats(clv: jnp.ndarray,      # [N, R, s, S]
                             scaler: jnp.ndarray,   # [K+1, S] or [K+1, R, S]
                             pmatrix: jnp.ndarray,  # [E, R, s, s]

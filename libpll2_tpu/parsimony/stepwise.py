@@ -108,15 +108,19 @@ def fastparsimony_stepwise(parsimony_list: Sequence[FastParsimony],
         tip = tip_nodes[i]
 
         # refresh every directional vector via partial traversals rooted at
-        # the tip-adjacent inner halves (stepwise.c:289-318)
+        # the tip-adjacent inner halves (stepwise.c:289-318). All traversals
+        # concatenate into ONE kernel launch: each is postorder and the
+        # validity flags guarantee no op appears twice, so the combined
+        # list stays dependency-ordered.
+        all_ops: List[ParsBuildOp] = []
         for e in edge_list:
             r = e if not e.is_tip() else e.back
             if not r.back.is_tip():
                 continue
-            ops = _partial_ops(r)
-            if ops:
-                for p in parsimony_list:
-                    p.update_vectors(ops)
+            all_ops.extend(_partial_ops(r))
+        if all_ops:
+            for p in parsimony_list:
+                p.update_vectors(all_ops)
 
         # score all candidate edges in one batched kernel launch
         e1 = np.array([e.node_index for e in edge_list], dtype=np.int32)

@@ -389,16 +389,18 @@ class Partition:
         if self.repeats is not None:
             from .repeats import schedule_buckets
             if update_repeats or self._repeat_schedule is None:
-                self._repeat_schedule = schedule_buckets(
-                    self.repeats, operations, self.sites)
-            for width, ops, gl, gr in self._repeat_schedule:
-                packed = pack_operations(ops, scratch_clv=self.nodes)
-                self.clv, self.scale_buffer = \
-                    ops_partials.update_partials_repeats(
-                        self.clv, self.scale_buffer, self.pmatrix, packed,
-                        jnp.asarray(gl), jnp.asarray(gr),
-                        self.scale_threshold, self.scale_factor,
-                        rate_scalers=self.rate_scalers)
+                sched = schedule_buckets(self.repeats, operations,
+                                         self.sites)
+                self._repeat_schedule = tuple(
+                    (pack_operations(ops, scratch_clv=self.nodes),
+                     jnp.asarray(gl), jnp.asarray(gr))
+                    for _, ops, gl, gr in sched)
+            self.clv, self.scale_buffer = \
+                ops_partials.update_partials_repeats_fused(
+                    self.clv, self.scale_buffer, self.pmatrix,
+                    self._repeat_schedule,
+                    self.scale_threshold, self.scale_factor,
+                    rate_scalers=self.rate_scalers)
             return
         ops = operations if isinstance(operations, Operations) else \
             pack_operations(operations, pad_to=pad_to, scratch_clv=self.nodes)

@@ -102,17 +102,19 @@ def bench_newton():
 
 
 def bench_protein():
-    log("[3] 20-state LG (32 taxa x 1024 sites)")
-    part, tree, *_ = build(32, 1024, states=20, model="lg", seed=11)
+    log("[3] 20-state LG (64 taxa x 2048 sites)")
+    part, tree, *_ = build(64, 2048, states=20, model="lg", seed=11)
     eng = TreeEngine(part, tree)
-    dt = device_time(eng)
-    su = tree.inner_count * 1024
+    dt = device_time(eng, k1=2, k2=10)
+    su = tree.inner_count * 2048
     record("aa_site_updates_per_sec", su / dt, "site-updates/s",
-           f"pallas={eng.use_pallas}")
+           f"pallas={eng.use_pallas}, {dt*1e3:.2f} ms/traversal")
 
 
 def bench_repeats():
-    log("[4] site repeats vs plain (96 taxa x 3072 sites, per-dispatch)")
+    log("[4] site repeats vs plain (96 taxa x 3072 sites, device-side)")
+    from libpll2_tpu.ops import partials as ops_partials
+    from libpll2_tpu.partition import pack_operations
     from libpll2_tpu.trees import create_operations, traverse
 
     def run_mode(repeats):
@@ -120,13 +122,34 @@ def bench_repeats():
         trav = traverse(tree.vroot)
         ops, branches, pmat_idx = create_operations(trav)
         part.update_prob_matrices([0] * 4, pmat_idx, branches)
-        part.update_partials(ops)        # warm/compile
-        t0 = time.perf_counter()
-        n = 5
-        for _ in range(n):
-            part.update_partials(ops, update_repeats=False)
-        jax.block_until_ready(part.clv)
-        dt = (time.perf_counter() - t0) / n
+        part.update_partials(ops)        # builds schedule / warms
+        pmat = part.pmatrix
+        thr, fac = part.scale_threshold, part.scale_factor
+        if repeats:
+            sched = part._repeat_schedule
+            body = lambda c: ops_partials.update_partials_repeats_fused(
+                c[0], c[1], pmat, sched, thr, fac)
+        else:
+            packed = pack_operations(ops, scratch_clv=part.nodes)
+            body = lambda c: ops_partials.update_partials(
+                c[0], c[1], pmat, packed, thr, fac)
+
+        @jax.jit
+        def loop(k, clv, sc):
+            return jax.lax.fori_loop(0, k, lambda i, c: body(c), (clv, sc))
+
+        clv0, sc0 = part.clv, part.scale_buffer
+        jax.block_until_ready(loop(1, clv0, sc0))
+
+        def run(k):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(loop(k, clv0, sc0))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        dt = max((run(9) - run(3)) / 6, 1e-9)
         work = None
         if repeats:
             work = sum(part.repeats.classes(o.parent_clv_index)
@@ -136,7 +159,8 @@ def bench_repeats():
     dt_plain, _ = run_mode(False)
     dt_rep, work = run_mode(True)
     record("repeats_speedup", dt_plain / dt_rep, "x",
-           f"class columns = {100 * work:.0f}% of plain work")
+           f"class columns = {100 * work:.0f}% of plain work; "
+           f"plain {dt_plain*1e3:.2f} ms vs repeats {dt_rep*1e3:.2f} ms")
 
 
 def bench_stepwise():
