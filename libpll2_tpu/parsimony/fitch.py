@@ -143,7 +143,9 @@ class FastParsimony:
         self.states = partition.states
         self.sites = partition.sites
         self.inner_nodes = self.tips - 1
-        nodes_count = self.tips + 3 * self.inner_nodes
+        # +1 scratch slot absorbing padded no-op writes (see stepwise.py)
+        nodes_count = self.tips + 3 * self.inner_nodes + 1
+        self.scratch_index = nodes_count - 1
 
         codes = partition.tip_states[:, :self.sites]
         weights = partition.pattern_weights[:self.sites]
@@ -158,12 +160,28 @@ class FastParsimony:
         self.vectors = jnp.asarray(vecs)
         self.node_cost = jnp.zeros(nodes_count, dtype=jnp.int32)
 
-    def update_vectors(self, operations: Sequence[ParsBuildOp]) -> None:
-        ops = jnp.asarray([(o.parent_score_index, o.child1_score_index,
-                            o.child2_score_index) for o in operations],
-                          dtype=jnp.int32)
-        self.vectors, self.node_cost = _update_kernel(
-            self.vectors, self.node_cost, ops)
+    CHUNK = 128   # fixed scan length: one compiled kernel, any op count
+
+    def update_vectors(self, operations: Sequence[ParsBuildOp],
+                       chunked: bool = False) -> None:
+        """With `chunked`, the list is executed as fixed-size scan chunks
+        (padded with no-ops writing the scratch slot) so callers with
+        varying op counts — the stepwise loop — reuse one compiled kernel;
+        chunks run in order, preserving dependencies."""
+        rows = [(o.parent_score_index, o.child1_score_index,
+                 o.child2_score_index) for o in operations]
+        if not chunked:
+            ops = jnp.asarray(rows, dtype=jnp.int32)
+            self.vectors, self.node_cost = _update_kernel(
+                self.vectors, self.node_cost, ops)
+            return
+        pad_row = (self.scratch_index, 0, 0)
+        for start in range(0, len(rows), self.CHUNK):
+            chunk = rows[start:start + self.CHUNK]
+            chunk += [pad_row] * (self.CHUNK - len(chunk))
+            self.vectors, self.node_cost = _update_kernel(
+                self.vectors, self.node_cost,
+                jnp.asarray(chunk, dtype=jnp.int32))
 
     def edge_score(self, index1: int, index2: int) -> int:
         return int(_edge_score_kernel(
@@ -174,10 +192,30 @@ class FastParsimony:
         return int(self.node_cost[index]) + self.const_cost
 
     def batch_insert_scores(self, tip_index: int,
-                            e1: np.ndarray, e2: np.ndarray) -> np.ndarray:
-        """const_cost-inclusive scores of inserting tip_index on each edge."""
-        scores = _batch_insert_scores(
-            self.vectors, self.node_cost, self.vectors[tip_index],
-            self.node_cost[tip_index],
-            jnp.asarray(e1, jnp.int32), jnp.asarray(e2, jnp.int32))
-        return np.asarray(scores) + self.const_cost
+                            e1: np.ndarray, e2: np.ndarray,
+                            chunked: bool = False) -> np.ndarray:
+        """const_cost-inclusive scores of inserting tip_index on each edge.
+        With `chunked`, candidates run in fixed-size chunks (one compiled
+        kernel shape regardless of the candidate count)."""
+        tip_vec = self.vectors[tip_index]
+        tip_cost = self.node_cost[tip_index]
+        if not chunked:
+            scores = _batch_insert_scores(
+                self.vectors, self.node_cost, tip_vec, tip_cost,
+                jnp.asarray(e1, jnp.int32), jnp.asarray(e2, jnp.int32))
+            return np.asarray(scores) + self.const_cost
+        n = len(e1)
+        out = np.empty(n, dtype=np.int64)
+        for start in range(0, n, self.CHUNK):
+            c1 = np.zeros(self.CHUNK, dtype=np.int32)
+            c2 = np.zeros(self.CHUNK, dtype=np.int32)
+            m = min(self.CHUNK, n - start)
+            c1[:m] = e1[start:start + m]
+            c2[:m] = e2[start:start + m]
+            c1[m:] = c1[0]
+            c2[m:] = c2[0]
+            scores = _batch_insert_scores(
+                self.vectors, self.node_cost, tip_vec, tip_cost,
+                jnp.asarray(c1), jnp.asarray(c2))
+            out[start:start + m] = np.asarray(scores)[:m]
+        return out + self.const_cost

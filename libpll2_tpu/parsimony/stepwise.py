@@ -119,15 +119,18 @@ def fastparsimony_stepwise(parsimony_list: Sequence[FastParsimony],
                 continue
             all_ops.extend(_partial_ops(r))
         if all_ops:
+            # fixed-size chunks -> one compiled kernel for the whole build
             for p in parsimony_list:
-                p.update_vectors(all_ops)
+                p.update_vectors(all_ops, chunked=True)
 
-        # score all candidate edges in one batched kernel launch
+        # score all candidate edges in fixed-size chunked kernel launches
         e1 = np.array([e.node_index for e in edge_list], dtype=np.int32)
-        e2 = np.array([e.back.node_index for e in edge_list], dtype=np.int32)
+        e2 = np.array([e.back.node_index for e in edge_list],
+                      dtype=np.int32)
         total = np.zeros(len(edge_list), dtype=np.int64)
         for p in parsimony_list:
-            total += p.batch_insert_scores(tip.node_index, e1, e2)
+            total += p.batch_insert_scores(tip.node_index, e1, e2,
+                                           chunked=True)
         best = int(np.argmin(total))        # first minimum, as reference
         cost = int(total[best])
 
