@@ -146,7 +146,14 @@ def update_partials_pallas(clv: jnp.ndarray,       # [N+1, R, s, S]
                            threshold: float, factor: float,
                            interpret: bool = False):
     """Run all levels; returns updated (clv, scaler). The index tables come
-    from `pack_pallas_levels` (a tuple, so level count/widths are static)."""
+    from `pack_pallas_levels` (a tuple, so level count/widths are static).
+    PLL_PALLAS_INPLACE=1 selects the manual-DMA in-place variant (no
+    per-level scatter)."""
+    import os
+    if os.environ.get("PLL_PALLAS_INPLACE"):
+        return update_partials_inplace(clv, scaler, pmatrix, level_idx,
+                                       rates, states, threshold, factor,
+                                       interpret=interpret)
     n = clv.shape[0]
     sites = clv.shape[-1]
     clv2d = clv.reshape(n, rates * states, sites)
@@ -155,6 +162,190 @@ def update_partials_pallas(clv: jnp.ndarray,       # [N+1, R, s, S]
                                          rates, states, threshold, factor,
                                          interpret=interpret)
         clv2d = clv2d.at[idx[0]].set(out)
+        scaler = scaler.at[idx[7]].set(scout)
+    return clv2d.reshape(clv.shape), scaler
+
+
+def _inplace_kernel(idx_ref,           # [8, W] int32 (SMEM, prefetched)
+                    clv_hbm,           # [N+1, RS, S] in ANY/HBM (aliased)
+                    pl_ref,            # [1, R, s, s] VMEM (auto)
+                    pr_ref,
+                    sc1_ref,           # [1, 1, T] int32 (auto)
+                    sc2_ref,
+                    out_hbm,           # aliased with clv_hbm
+                    scout_ref,         # [1, 1, T] int32 (auto)
+                    lbuf, rbuf, obuf,  # VMEM [2, RS, T] scratch
+                    sems,              # DMA sems [3, 2]
+                    *, rates: int, states: int, threshold: float,
+                    factor: float, tile: int):
+    """In-place level update: child blocks are DMA'd from the aliased HBM
+    CLV buffer, the parent block is DMA'd back into it. Safe because ops
+    within one level never read rows written by the level; double-buffered
+    reads overlap compute."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_i = pl.num_programs(0)
+    n_j = pl.num_programs(1)
+    step = i * n_j + j
+    slot = step % 2
+
+    def child_dma(buf, which, row_sel, i_, j_, slot_):
+        return pltpu.make_async_copy(
+            clv_hbm.at[row_sel, :, pl.ds(j_ * tile, tile)],
+            buf.at[slot_],
+            sems.at[which, slot_])
+
+    def start_reads(i_, j_, slot_):
+        child_dma(lbuf, 0, idx_ref[1, i_], i_, j_, slot_).start()
+        child_dma(rbuf, 1, idx_ref[2, i_], i_, j_, slot_).start()
+
+    @pl.when(step == 0)
+    def _():
+        start_reads(i, j, slot)
+
+    # prefetch next step's children
+    @pl.when(step + 1 < n_i * n_j)
+    def _():
+        nstep = step + 1
+        ni = nstep // n_j
+        nj = nstep % n_j
+        start_reads(ni, nj, nstep % 2)
+
+    child_dma(lbuf, 0, idx_ref[1, i], i, j, slot).wait()
+    child_dma(rbuf, 1, idx_ref[2, i], i, j, slot).wait()
+
+    left = lbuf[slot]
+    right = rbuf[slot]
+    pmat_l = pl_ref[0]
+    pmat_r = pr_ref[0]
+    x_rows = []
+    all_small = None
+    for r in range(rates):
+        lrow = left[r * states:(r + 1) * states]
+        rrow = right[r * states:(r + 1) * states]
+        terma = jnp.zeros((states, tile), left.dtype)
+        termb = jnp.zeros((states, tile), left.dtype)
+        for jj in range(states):
+            terma = terma + pmat_l[r, :, jj][:, None] * lrow[jj][None, :]
+            termb = termb + pmat_r[r, :, jj][:, None] * rrow[jj][None, :]
+        x = terma * termb
+        small = jnp.all(x < threshold, axis=0)
+        all_small = small if all_small is None else (all_small & small)
+        x_rows.append(x)
+    x = jnp.concatenate(x_rows, axis=0)
+    x = jnp.where(all_small[None, :], x * factor, x)
+
+    # wait for the write that used this obuf slot two steps ago
+    @pl.when(step >= 2)
+    def _():
+        pstep = step - 2
+        pi = pstep // n_j
+        pj = pstep % n_j
+        pltpu.make_async_copy(
+            obuf.at[slot],
+            out_hbm.at[idx_ref[0, pi], :, pl.ds(pj * tile, tile)],
+            sems.at[2, slot]).wait()
+
+    obuf[slot] = x
+    pltpu.make_async_copy(
+        obuf.at[slot],
+        out_hbm.at[idx_ref[0, i], :, pl.ds(j * tile, tile)],
+        sems.at[2, slot]).start()
+    scout_ref[0, 0] = (sc1_ref[0, 0] + sc2_ref[0, 0]
+                       + all_small.astype(jnp.int32))
+
+    # drain outstanding writes at the very end
+    @pl.when(step == n_i * n_j - 1)
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[slot],
+            out_hbm.at[idx_ref[0, i], :, pl.ds(j * tile, tile)],
+            sems.at[2, slot]).wait()
+
+        @pl.when(n_i * n_j >= 2)
+        def _():
+            pstep = step - 1
+            pi = pstep // n_j
+            pj = pstep % n_j
+            pltpu.make_async_copy(
+                obuf.at[pstep % 2],
+                out_hbm.at[idx_ref[0, pi], :, pl.ds(pj * tile, tile)],
+                sems.at[2, pstep % 2]).wait()
+
+
+@partial(jax.jit, static_argnames=('rates', 'states', 'threshold', 'factor',
+                                   'interpret'))
+def level_update_inplace(clv2d: jnp.ndarray,      # [N+1, RS, S]
+                        scaler: jnp.ndarray,      # [K+2, S] int32
+                        pmatrix: jnp.ndarray,
+                        idx: jnp.ndarray,         # [8, W]
+                        rates: int, states: int,
+                        threshold: float, factor: float,
+                        interpret: bool = False):
+    """One level, writing parent rows in place (clv2d is donated/aliased).
+    Returns (clv2d', scaler_rows [W, S])."""
+    n_ops = idx.shape[1]
+    rs = rates * states
+    sites = clv2d.shape[-1]
+    tile = _site_tile(sites)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ops, sites // tile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, rates, states, states),
+                         lambda i, j, idx: (idx[3, i], 0, 0, 0)),
+            pl.BlockSpec((1, rates, states, states),
+                         lambda i, j, idx: (idx[4, i], 0, 0, 0)),
+            pl.BlockSpec((1, 1, tile), lambda i, j, idx: (idx[5, i], 0, j)),
+            pl.BlockSpec((1, 1, tile), lambda i, j, idx: (idx[6, i], 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, tile), lambda i, j, idx: (i, 0, j)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, rs, tile), clv2d.dtype),
+            pltpu.VMEM((2, rs, tile), clv2d.dtype),
+            pltpu.VMEM((2, rs, tile), clv2d.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+    )
+    kernel = partial(_inplace_kernel, rates=rates, states=states,
+                     threshold=threshold, factor=factor, tile=tile)
+    scaler3d = scaler[:, None, :]
+    clv2d, scout = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(clv2d.shape, clv2d.dtype),
+            jax.ShapeDtypeStruct((n_ops, 1, sites), scaler.dtype),
+        ],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx, clv2d, pmatrix, pmatrix, scaler3d, scaler3d)
+    return clv2d, scout[:, 0, :]
+
+
+@partial(jax.jit, static_argnames=('rates', 'states', 'threshold', 'factor',
+                                   'interpret'))
+def update_partials_inplace(clv: jnp.ndarray,
+                            scaler: jnp.ndarray,
+                            pmatrix: jnp.ndarray,
+                            level_idx,
+                            rates: int, states: int,
+                            threshold: float, factor: float,
+                            interpret: bool = False):
+    """All levels with in-place parent writes (no per-level scatter)."""
+    n = clv.shape[0]
+    sites = clv.shape[-1]
+    clv2d = clv.reshape(n, rates * states, sites)
+    for idx in level_idx:
+        clv2d, scout = level_update_inplace(clv2d, scaler, pmatrix, idx,
+                                            rates, states, threshold,
+                                            factor, interpret=interpret)
         scaler = scaler.at[idx[7]].set(scout)
     return clv2d.reshape(clv.shape), scaler
 
