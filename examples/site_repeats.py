@@ -5,8 +5,6 @@ import sys
 
 sys.path.insert(0, ".")
 
-import numpy as np
-
 from libpll2_tpu import Partition, compute_gamma_cats
 from libpll2_tpu.io import maps
 from libpll2_tpu.trees import create_operations, random_utree, traverse

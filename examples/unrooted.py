@@ -4,8 +4,6 @@ import sys
 
 sys.path.insert(0, ".")
 
-import numpy as np
-
 from libpll2_tpu import Partition, TreeEngine, compute_gamma_cats
 from libpll2_tpu.io import load_fasta, maps
 from libpll2_tpu.trees import parse_newick, random_alignment, random_utree

@@ -23,8 +23,7 @@ optimize branches first.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict, Iterable
 
 import jax
 import jax.numpy as jnp

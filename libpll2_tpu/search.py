@@ -18,7 +18,7 @@ from . import constants as C
 from .engine import TreeEngine
 from .partition import Partition
 from .trees import moves
-from .trees.utree import UNode, UTree, traverse
+from .trees.utree import UNode, UTree
 
 
 def _internal_edges(tree: UTree) -> List[UNode]:

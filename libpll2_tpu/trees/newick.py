@@ -10,7 +10,7 @@ Export formats mirror utree.c:250-315 / rtree.c:143-230 ("label:%f", fixed
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List
 
 from ..constants import ERROR_NEWICK_SYNTAX, PllError
 from .rtree import RNode, RTree, rtree_reset_template_indices

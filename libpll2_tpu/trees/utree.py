@@ -19,7 +19,7 @@ one level, which the TPU kernels execute as a single batched launch.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence
 
 from ..constants import (ERROR_TREE_INVALID, SCALE_BUFFER_NONE,
