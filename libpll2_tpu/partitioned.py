@@ -1,0 +1,65 @@
+"""Multi-partition analyses: several alignments, one topology.
+
+The reference leaves partitioned models entirely to its consumers (each
+MPI rank / partition holds its own pll_partition_t and the client sums
+logL and d1/d2 across them — the pattern visible in stepwise.c:337-346's
+multi-partition score sum). This helper packages it: every partition gets
+its own TreeEngine bound to the shared tree; totals are summed.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from .engine import TreeEngine
+from .partition import Partition
+from .trees.utree import UTree
+
+
+class PartitionedEngine:
+    """Sum of per-partition log-likelihoods over one shared topology.
+
+    Branch lengths may be shared (linked=True: one set of lengths, summed
+    d1/d2 drive a single Newton update applied to every partition) or
+    unlinked (each partition optimizes its own root branch).
+    """
+
+    def __init__(self, partitions: Sequence[Partition], tree: UTree,
+                 params_indices: Optional[Sequence[int]] = None,
+                 linked: bool = True, **engine_kwargs):
+        if params_indices is None:
+            params_indices = [0] * len(partitions)
+        self.engines: List[TreeEngine] = [
+            TreeEngine(p, tree, params_index=i, **engine_kwargs)
+            for p, i in zip(partitions, params_indices)]
+        self.linked = linked
+
+    def loglikelihood(self) -> float:
+        return sum(e.loglikelihood() for e in self.engines)
+
+    def newton_step(self) -> Tuple[float, float, float]:
+        """(total logL, summed d1, summed d2); with linked branches a
+        single Newton update from the summed derivatives is applied to
+        every engine (the multi-partition derivative sum of the
+        reference's consumers)."""
+        import jax.numpy as jnp
+
+        from . import constants as C
+        from .ops.derivatives import newton_step as _newton
+
+        pre = [float(e.branches[int(e.root_idx[4])]) for e in self.engines]
+        totals = [e.newton_step() for e in self.engines]
+        total = sum(t[0] for t in totals)
+        d1 = sum(t[1] for t in totals)
+        d2 = sum(t[2] for t in totals)
+        if self.linked:
+            # replace each engine's independent update with one joint
+            # Newton step from the summed derivatives and the shared
+            # pre-step length
+            new_len = _newton(jnp.asarray(pre[0]), jnp.asarray(d1),
+                              jnp.asarray(d2), C.OPT_MIN_BRANCH_LEN,
+                              C.OPT_MAX_BRANCH_LEN)
+            for e in self.engines:
+                mat = int(e.root_idx[4])
+                e.branches = e.branches.at[mat].set(
+                    jnp.asarray(new_len, e.partition.dtype))
+        return total, d1, d2
