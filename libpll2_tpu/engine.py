@@ -152,6 +152,37 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
     return acc, clv, scaler
 
 
+@partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold',
+                                   'scale_factor'))
+def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
+                          prop_invar, rates, rate_weights, freqs,
+                          params_idx_rates, branches_k, ops_k, root_idx_k,
+                          pattern_weights, invariant,
+                          scale_threshold, scale_factor,
+                          rate_scalers: bool = False):
+    """logL of K candidate topologies in ONE dispatch.
+
+    branches_k [K, E], ops_k: Operations with [K, n] arrays, root_idx_k
+    [K, 5]. Each candidate runs a full traversal from the same initial
+    CLVs (scan path: the op count is topology-invariant, so every
+    candidate reuses the same compiled body); only the scalar logL is
+    kept, so memory stays at one CLV buffer. This is the TPU replacement
+    for the reference consumers' move -> rescore -> rollback loop: tens of
+    SPR/NNI candidates amortize one dispatch.
+    """
+    def body(carry, xs):
+        branches, ops, root_idx = xs
+        total, _, _, _, _ = _fused_loglikelihood(
+            clv, scaler, eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
+            rates, rate_weights, freqs, params_idx_rates, branches,
+            ops, root_idx, pattern_weights, invariant,
+            scale_threshold, scale_factor, rate_scalers=rate_scalers)
+        return carry, total
+
+    _, totals = jax.lax.scan(body, None, (branches_k, ops_k, root_idx_k))
+    return totals
+
+
 class TreeEngine:
     """Compiled full-tree evaluator bound to one Partition + topology size.
 
@@ -249,6 +280,36 @@ class TreeEngine:
             pallas_interpret=self.pallas_interpret)
         p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
         return float(total)
+
+    def evaluate_topologies(self, candidates) -> np.ndarray:
+        """logL for each (operations, branches, pmatrix_indices, root)
+        candidate tuple, all in one dispatch (see _fused_multi_topology).
+        Candidate count is padded to a power of two so varying counts hit
+        a bounded set of compiled shapes."""
+        p = self.partition
+        k = len(candidates)
+        w = 1
+        while w < k:
+            w *= 2
+        packed, blens, roots = [], [], []
+        for ci in range(w):
+            operations, branches, pmatrix_indices, root = \
+                candidates[min(ci, k - 1)]
+            packed.append(pack_operations(operations, scratch_clv=p.nodes))
+            b = np.zeros(p.prob_matrices)
+            b[np.asarray(pmatrix_indices)] = np.asarray(branches)
+            blens.append(b)
+            roots.append([root.clv_index, root.scaler_index,
+                          root.back.clv_index, root.back.scaler_index,
+                          root.pmatrix_index])
+        ops_k = jax.tree.map(lambda *xs: jnp.stack(xs), *packed)
+        totals = _fused_multi_topology(
+            p.clv, p.scale_buffer, *self._model_args(),
+            jnp.asarray(np.stack(blens), p.dtype), ops_k,
+            jnp.asarray(np.asarray(roots, dtype=np.int32)),
+            *self._site_args(), p.scale_threshold, p.scale_factor,
+            rate_scalers=p.rate_scalers)
+        return np.asarray(totals)[:k]
 
     def loglikelihood_loop(self, k: int) -> float:
         """Sum of k chained full-traversal logL evaluations, one dispatch.

@@ -87,6 +87,42 @@ class TreeSearch:
                     moves.rollback_move(rb)
         return best, accepted
 
+    def nni_round_batched(self) -> Tuple[float, int]:
+        """Steepest-ascent NNI: ALL candidate topologies scored in one
+        device dispatch (TreeEngine.evaluate_topologies), then the best
+        improving move is applied; repeats until no improvement. Orders of
+        magnitude fewer dispatches than move-by-move rescoring on a
+        tunneled TPU."""
+        from .trees.utree import traverse
+        from .trees import create_operations
+
+        eng = TreeEngine(self.partition, self.tree,
+                         params_index=self.params_index,
+                         **self.engine_kwargs)
+        best = eng.loglikelihood()
+        accepted = 0
+        while True:
+            candidates, applied = [], []
+            for edge in _internal_edges(self.tree):
+                for mt in (C.UTREE_MOVE_NNI_LEFT, C.UTREE_MOVE_NNI_RIGHT):
+                    rb = moves.Rollback()
+                    moves.nni(edge, mt, rb)
+                    trav = traverse(self.tree.vroot)
+                    ops, br, pidx = create_operations(trav)
+                    candidates.append((ops, br, pidx, self.tree.vroot))
+                    moves.rollback_move(rb)
+                    applied.append((edge, mt))
+            if not candidates:
+                return best, accepted
+            scores = eng.evaluate_topologies(candidates)
+            i = int(np.argmax(scores))
+            if scores[i] <= best + self.epsilon:
+                return best, accepted
+            edge, mt = applied[i]
+            moves.nni(edge, mt, None)
+            best = float(scores[i])
+            accepted += 1
+
     def spr_round(self, max_candidates: Optional[int] = None,
                   seed: int = 0) -> Tuple[float, int]:
         """Try SPR regrafts of each prunable subtree onto candidate edges;

@@ -55,6 +55,33 @@ def test_search_converges_and_rollback_is_clean():
     np.testing.assert_allclose(lk_again, lk_final, rtol=1e-12)
 
 
+def test_batched_nni_matches_sequential():
+    """One-dispatch candidate scoring finds the same optimum as
+    move-by-move rescoring."""
+    part_a, tree_a = _setup(perturb=3)
+    lk_seq, _ = TreeSearch(part_a, tree_a).nni_round()
+    # sequential is first-improvement, batched is steepest-ascent: both
+    # must converge to at least the same likelihood on this easy recovery
+    part_b, tree_b = _setup(perturb=3)
+    lk_bat, accepted = TreeSearch(part_b, tree_b).nni_round_batched()
+    assert accepted >= 1
+    assert lk_bat >= lk_seq - 1e-6
+
+
+def test_evaluate_topologies_agrees_with_single_eval():
+    from libpll2_tpu import TreeEngine
+    from libpll2_tpu.trees import create_operations
+    from libpll2_tpu.trees.utree import traverse
+
+    part, tree = _setup(perturb=1)
+    eng = TreeEngine(part, tree, level_schedule=False, pallas=False)
+    trav = traverse(tree.vroot)
+    ops, br, pidx = create_operations(trav)
+    scores = eng.evaluate_topologies([(ops, br, pidx, tree.vroot)] * 3)
+    single = eng.loglikelihood()
+    np.testing.assert_allclose(scores, [single] * 3, rtol=1e-12)
+
+
 def test_search_on_true_tree_accepts_nothing_worse():
     part, tree = _setup(perturb=0)
     search = TreeSearch(part, tree)
