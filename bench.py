@@ -66,6 +66,10 @@ def bench_tpu():
     plat = os.environ.get("BENCH_PLATFORM")
     if plat:    # the axon plugin overrides JAX_PLATFORMS; force via config
         jax.config.update("jax_platforms", plat)
+    # persistent compilation cache: compiles through the tunneled TPU
+    # toolchain are slow and occasionally flaky — cache them across runs
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     part, tree, _ = build_problem()
     from libpll2_tpu import TreeEngine
     eng = TreeEngine(part, tree)

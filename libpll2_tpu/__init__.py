@@ -12,10 +12,12 @@ from .partition import Operation, Partition, pack_operations
 from .ops.gamma import compute_gamma_cats
 from .engine import TreeEngine
 from . import checkpoint
+from .partitioned import PartitionedEngine
 
 __all__ = [
     "constants", "AscBias", "PllError",
     "Operation", "Partition", "pack_operations",
     "compute_gamma_cats", "TreeEngine", "checkpoint",
+    "PartitionedEngine",
 ]
 __version__ = "0.1.0"
