@@ -281,6 +281,19 @@ class TreeEngine:
         p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
         return float(total)
 
+    def apply_branches_to_tree(self, tree) -> None:
+        """Write the engine's (possibly optimized) branch lengths back onto
+        the tree's half-edges, keyed by pmatrix index."""
+        blen = np.asarray(self.branches, dtype=np.float64)
+        seen = set()
+        for node in tree.nodes():
+            halves = [node] if node.is_tip() else list(node.ring())
+            for h in halves:
+                if h.back is not None and id(h) not in seen:
+                    seen.add(id(h))
+                    seen.add(id(h.back))
+                    h.length = h.back.length = float(blen[h.pmatrix_index])
+
     def evaluate_topologies(self, candidates) -> np.ndarray:
         """logL for each (operations, branches, pmatrix_indices, root)
         candidate tuple, all in one dispatch (see _fused_multi_topology).
