@@ -50,6 +50,8 @@ def save(path: str, partition: Partition, tree: Optional[UTree] = None,
         tips_set=p._tips_set,
         asc_bias=np.int64(p.asc_bias.value),
         site_repeats=np.bool_(p.repeats is not None),
+        rate_scalers=np.bool_(p.rate_scalers),
+        sites_padded=np.int64(p.sites_padded),
     )
     if tree is not None:
         payload["newick"] = np.bytes_(export_newick(tree.vroot))
@@ -85,7 +87,11 @@ def load(path: str) -> Tuple[Partition, Optional[UTree], dict]:
                      prob_matrices, rate_cats, scale_buffers,
                      dtype=jnp.dtype(z["dtype"].item().decode()),
                      asc_bias=C.AscBias(int(z["asc_bias"])),
-                     site_repeats=bool(z["site_repeats"]))
+                     site_repeats=bool(z["site_repeats"]),
+                     rate_scalers=bool(z["rate_scalers"])
+                     if "rate_scalers" in z else False,
+                     sites_alignment=int(z["sites_padded"])
+                     if "sites_padded" in z else 1)
     part.frequencies[:] = z["frequencies"]
     part.subst_params[:] = z["subst_params"]
     part.rates = z["rates"].copy()

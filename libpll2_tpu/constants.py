@@ -40,6 +40,13 @@ class AscBias(enum.Enum):
     STAMATAKIS = 3
 
 
+# integer aliases used by the jitted kernels (static args must be ints)
+AB_NONE = AscBias.NONE.value
+AB_LEWIS = AscBias.LEWIS.value
+AB_FELSENSTEIN = AscBias.FELSENSTEIN.value
+AB_STAMATAKIS = AscBias.STAMATAKIS.value
+
+
 # --- site repeats (pll.c:441-449, pll.h:128) ---------------------------------
 REPEATS_MIN_SITES = 16
 

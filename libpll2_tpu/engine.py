@@ -38,7 +38,7 @@ from .trees import create_operations, traverse
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
-                                   'scale_factor'))
+                                   'scale_factor', 'asc_type', 'n_real'))
 def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                          prop_invar, rates, rate_weights, freqs,
                          params_idx_rates, branches,
@@ -47,7 +47,8 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                          rate_scalers: bool = False,
                          valid=None, levels: bool = False,
                          use_pallas: bool = False,
-                         pallas_interpret: bool = False):
+                         pallas_interpret: bool = False,
+                         asc_type: int = 0, n_real: int = -1):
     """branches[e] is ordered by pmatrix index e. With `levels`, op_arrays
     are [L, W] level-grouped and each level runs as one batched launch; with
     `use_pallas` they are per-level [8, W] index tables driving the fused
@@ -79,13 +80,14 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
             jnp.take(pmatrix, mat, axis=0),
             freqs, prop_invar, rate_weights, params_idx_rates,
             pattern_weights, invariant, scale_threshold,
-            rate_scalers=rate_scalers, has_pscaler=True, has_cscaler=True)
+            rate_scalers=rate_scalers, has_pscaler=True, has_cscaler=True,
+            asc_type=asc_type, n_real=n_real)
     return total, per, clv, scaler, pmatrix
 
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
-                                   'scale_factor'))
+                                   'scale_factor', 'asc_type', 'n_real'))
 def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        prop_invar, rates, rate_weights, freqs,
                        params_idx_rates, branches,
@@ -94,7 +96,8 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        rate_scalers: bool = False,
                        valid=None, levels: bool = False,
                        use_pallas: bool = False,
-                       pallas_interpret: bool = False):
+                       pallas_interpret: bool = False,
+                       asc_type: int = 0, n_real: int = -1):
     """One full 'training' step: evaluate the tree, then Newton-update the
     root branch length from d1/d2 (the reference's examples/newton loop body,
     reference: /root/reference/examples/newton/newton.c:66-96, fused)."""
@@ -104,7 +107,7 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
         op_arrays, root_idx, pattern_weights, invariant,
         scale_threshold, scale_factor, rate_scalers=rate_scalers,
         valid=valid, levels=levels, use_pallas=use_pallas,
-        pallas_interpret=pallas_interpret)
+        pallas_interpret=pallas_interpret, asc_type=asc_type, n_real=n_real)
     p_clv, p_sc, c_clv, c_sc, mat = root_idx
     sumtable = ops_derivatives.update_sumtable(
         jnp.take(clv, p_clv, axis=0), jnp.take(clv, c_clv, axis=0),
@@ -112,9 +115,17 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
         inv_eigenvecs, eigenvecs, freqs, params_idx_rates, scale_threshold,
         rate_scalers=rate_scalers, has_pscaler=True, has_cscaler=True)
     blen = jnp.take(branches, mat)
+    # Lewis/Felsenstein asc corrections need the synthetic columns'
+    # absolute scalers (per-site mode only; asc excludes rate scalers)
+    asc_scalers = None
+    if asc_type in (1, 2):
+        asc_scalers = (jnp.take(scaler, p_sc, axis=0)
+                       + jnp.take(scaler, c_sc, axis=0))
     d1, d2 = ops_derivatives.likelihood_derivatives(
         sumtable, eigenvals, prop_invar, freqs, rates, rate_weights,
-        params_idx_rates, pattern_weights, invariant, blen)
+        params_idx_rates, pattern_weights, invariant, blen,
+        asc_scalers=asc_scalers, scale_threshold=scale_threshold,
+        asc_type=asc_type, n_real=n_real)
     new_len = ops_derivatives.newton_step(blen, d1, d2,
                                           C.OPT_MIN_BRANCH_LEN,
                                           C.OPT_MAX_BRANCH_LEN)
@@ -153,13 +164,14 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
 
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold',
-                                   'scale_factor'))
+                                   'scale_factor', 'asc_type', 'n_real'))
 def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                           prop_invar, rates, rate_weights, freqs,
                           params_idx_rates, branches_k, ops_k, root_idx_k,
                           pattern_weights, invariant,
                           scale_threshold, scale_factor,
-                          rate_scalers: bool = False):
+                          rate_scalers: bool = False,
+                          asc_type: int = 0, n_real: int = -1):
     """logL of K candidate topologies in ONE dispatch.
 
     branches_k [K, E], ops_k: Operations with [K, n] arrays, root_idx_k
@@ -176,7 +188,8 @@ def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
             clv, scaler, eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
             rates, rate_weights, freqs, params_idx_rates, branches,
             ops, root_idx, pattern_weights, invariant,
-            scale_threshold, scale_factor, rate_scalers=rate_scalers)
+            scale_threshold, scale_factor, rate_scalers=rate_scalers,
+            asc_type=asc_type, n_real=n_real)
         return carry, total
 
     _, totals = jax.lax.scan(body, None, (branches_k, ops_k, root_idx_k))
@@ -202,6 +215,13 @@ class TreeEngine:
         'interpret' (CPU debugging), or False."""
         self.partition = partition
         p = partition
+        if p.repeats is not None:
+            raise C.PllError(
+                C.ERROR_PARAM_INVALID,
+                "TreeEngine does not support site-repeats partitions (class-"
+                "column CLV layout); use the Partition step-by-step API")
+        self.asc_type = p.asc_bias.value
+        self.n_real = p.sites if p.asc_extra else -1
         if tree is not None:
             trav = traverse(tree.vroot)
             operations, branches, pmatrix_indices = create_operations(trav)
@@ -268,7 +288,40 @@ class TreeEngine:
         return (self._site(jnp.asarray(p.pattern_weights)),
                 self._site(jnp.asarray(p.invariant)))
 
+    def set_topology(self, tree) -> None:
+        """Rebind to a new topology of the same size without rebuilding the
+        engine (search loops): refreshes op tables, branches and root
+        indices only."""
+        p = self.partition
+        trav = traverse(tree.vroot)
+        operations, branches, pmatrix_indices = create_operations(trav)
+        if self.use_pallas:
+            ops = ops_pallas.pack_pallas_levels(
+                operations, p.tips, scratch_clv=p.nodes,
+                zero_scaler_row=p.scale_buffers + 1,
+                trash_scaler_row=p.scale_buffers)
+        elif self.levels:
+            from .partition import pack_level_operations
+            ops, valid = pack_level_operations(operations, p.tips,
+                                               scratch_clv=p.nodes)
+            self.valid = self._rep(valid)
+        else:
+            ops = pack_operations(operations, scratch_clv=p.nodes)
+        self.ops = jax.tree.map(self._rep, ops)
+        blen = np.zeros(p.prob_matrices)
+        blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
+        self.branches = self._rep(jnp.asarray(blen, p.dtype))
+        root = tree.vroot
+        self.root_idx = self._rep(jnp.asarray(
+            [root.clv_index, root.scaler_index,
+             root.back.clv_index, root.back.scaler_index,
+             root.pmatrix_index], dtype=np.int32))
+
     def loglikelihood(self, branches=None) -> float:
+        """Full-traversal logL. `branches`, if given, must be in
+        PMATRIX-INDEX order (the engine's storage order) — traversal-ordered
+        lists from create_operations must be permuted through their
+        pmatrix_indices first, as the constructor does."""
         p = self.partition
         if branches is not None:
             self.branches = self._rep(jnp.asarray(branches, p.dtype))
@@ -277,7 +330,8 @@ class TreeEngine:
             self.branches, self.ops, self.root_idx, *self._site_args(),
             p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
             valid=self.valid, levels=self.levels, use_pallas=self.use_pallas,
-            pallas_interpret=self.pallas_interpret)
+            pallas_interpret=self.pallas_interpret,
+            asc_type=self.asc_type, n_real=self.n_real)
         p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
         return float(total)
 
@@ -321,7 +375,8 @@ class TreeEngine:
             jnp.asarray(np.stack(blens), p.dtype), ops_k,
             jnp.asarray(np.asarray(roots, dtype=np.int32)),
             *self._site_args(), p.scale_threshold, p.scale_factor,
-            rate_scalers=p.rate_scalers)
+            rate_scalers=p.rate_scalers,
+            asc_type=self.asc_type, n_real=self.n_real)
         return np.asarray(totals)[:k]
 
     def loglikelihood_loop(self, k: int) -> float:
@@ -346,7 +401,8 @@ class TreeEngine:
             self.branches, self.ops, self.root_idx, *self._site_args(),
             p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
             valid=self.valid, levels=self.levels, use_pallas=self.use_pallas,
-            pallas_interpret=self.pallas_interpret)
+            pallas_interpret=self.pallas_interpret,
+            asc_type=self.asc_type, n_real=self.n_real)
         self.branches = branches
         p.clv, p.scale_buffer = clv, scaler
         return float(total), float(d1), float(d2)

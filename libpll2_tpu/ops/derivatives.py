@@ -29,7 +29,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..constants import SCALE_RATE_MAXDIFF
+from ..constants import (AB_FELSENSTEIN, AB_LEWIS, AB_NONE,
+                         AB_STAMATAKIS, SCALE_RATE_MAXDIFF)
 
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'has_pscaler', 'has_cscaler'))
@@ -69,9 +70,6 @@ def update_sumtable(clv_parent: jnp.ndarray,   # [R, s, S]
             SCALE_RATE_MAXDIFF + 1, dtype=dtype)
         sumtable = sumtable * jnp.take(cap, rel)[:, None, :]
     return sumtable
-
-
-AB_NONE, AB_LEWIS, AB_FELSENSTEIN, AB_STAMATAKIS = 0, 1, 2, 3
 
 
 @partial(jax.jit, static_argnames=('asc_type', 'n_real'))

@@ -27,9 +27,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..constants import SCALE_RATE_MAXDIFF
-
-AB_NONE, AB_LEWIS, AB_FELSENSTEIN, AB_STAMATAKIS = 0, 1, 2, 3
+from ..constants import (AB_FELSENSTEIN, AB_LEWIS, AB_NONE,
+                         AB_STAMATAKIS, SCALE_RATE_MAXDIFF)
 
 
 def _cap_table(threshold, dtype):

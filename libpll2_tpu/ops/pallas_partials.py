@@ -45,7 +45,7 @@ def _site_tile(sites: int) -> int:
     return sites
 
 
-def _kernel(idx_ref,            # [8, W] int32 (SMEM, prefetched)
+def _kernel(idx_ref,            # [9, W] int32 (SMEM, prefetched)
             left_ref,           # [1, RS, T]
             right_ref,          # [1, RS, T]
             pl_ref,             # [1, R, s, s]
@@ -78,7 +78,8 @@ def _kernel(idx_ref,            # [8, W] int32 (SMEM, prefetched)
         x_rows.append(x)
 
     x = jnp.concatenate(x_rows, axis=0)              # [RS, T]
-    scale = all_small
+    has_scaler = idx_ref[8, pl.program_id(0)] > 0
+    scale = all_small & has_scaler
     x = jnp.where(scale[None, :], x * factor, x)
     out_ref[0] = x
     scout_ref[0, 0] = (sc1_ref[0, 0] + sc2_ref[0, 0]
@@ -90,7 +91,7 @@ def _kernel(idx_ref,            # [8, W] int32 (SMEM, prefetched)
 def level_update_pallas(clv2d: jnp.ndarray,      # [N+1, R*s, S]
                         scaler: jnp.ndarray,     # [K+2, S] int32
                         pmatrix: jnp.ndarray,    # [E, R, s, s]
-                        idx: jnp.ndarray,        # [8, W] int32
+                        idx: jnp.ndarray,        # [9, W] int32
                         rates: int, states: int,
                         threshold: float, factor: float,
                         interpret: bool = False):
@@ -166,7 +167,7 @@ def update_partials_pallas(clv: jnp.ndarray,       # [N+1, R, s, S]
     return clv2d.reshape(clv.shape), scaler
 
 
-def _inplace_kernel(idx_ref,           # [8, W] int32 (SMEM, prefetched)
+def _inplace_kernel(idx_ref,           # [9, W] int32 (SMEM, prefetched)
                     clv_hbm,           # [N+1, RS, S] in ANY/HBM (aliased)
                     pl_ref,            # [1, R, s, s] VMEM (auto)
                     pr_ref,
@@ -233,7 +234,9 @@ def _inplace_kernel(idx_ref,           # [8, W] int32 (SMEM, prefetched)
         all_small = small if all_small is None else (all_small & small)
         x_rows.append(x)
     x = jnp.concatenate(x_rows, axis=0)
-    x = jnp.where(all_small[None, :], x * factor, x)
+    has_scaler = idx_ref[8, i] > 0
+    scale_mask = all_small & has_scaler
+    x = jnp.where(scale_mask[None, :], x * factor, x)
 
     # wait for the write that used this obuf slot two steps ago
     @pl.when(step >= 2)
@@ -252,7 +255,7 @@ def _inplace_kernel(idx_ref,           # [8, W] int32 (SMEM, prefetched)
         out_hbm.at[idx_ref[0, i], :, pl.ds(j * tile, tile)],
         sems.at[2, slot]).start()
     scout_ref[0, 0] = (sc1_ref[0, 0] + sc2_ref[0, 0]
-                       + all_small.astype(jnp.int32))
+                       + scale_mask.astype(jnp.int32))
 
     # drain outstanding writes at the very end
     @pl.when(step == n_i * n_j - 1)
@@ -368,7 +371,7 @@ def pack_pallas_levels(operations, n_tips: int, scratch_clv: int,
         w = 1
         while w < len(lv):
             w *= 2
-        t = np.zeros((8, w), dtype=np.int32)
+        t = np.zeros((9, w), dtype=np.int32)
         # padded slots: recompute a harmless op into the scratch rows
         t[0, :] = scratch_clv
         t[5, :] = zero_scaler_row
@@ -387,6 +390,7 @@ def pack_pallas_levels(operations, n_tips: int, scratch_clv: int,
                 else zero_scaler_row,
                 op.parent_scaler_index if op.parent_scaler_index >= 0
                 else trash_scaler_row,
+                1 if op.parent_scaler_index >= 0 else 0,
             ]
         tables.append(jnp.asarray(t))
     return tuple(tables)

@@ -63,12 +63,18 @@ class TreeSearch:
         # tree size, so every evaluation reuses one compiled program
         engine_kwargs.setdefault("level_schedule", False)
         self.engine_kwargs = engine_kwargs
+        self._engine = None
 
     def evaluate(self) -> float:
-        eng = TreeEngine(self.partition, self.tree,
-                         params_index=self.params_index,
-                         **self.engine_kwargs)
-        return eng.loglikelihood()
+        # one engine for the whole search: only the op/branch/root arrays
+        # refresh per topology, never the compiled program or model state
+        if self._engine is None:
+            self._engine = TreeEngine(self.partition, self.tree,
+                                      params_index=self.params_index,
+                                      **self.engine_kwargs)
+        else:
+            self._engine.set_topology(self.tree)
+        return self._engine.loglikelihood()
 
     def nni_round(self) -> Tuple[float, int]:
         """Try both NNI alternatives on every internal edge; keep
@@ -96,10 +102,8 @@ class TreeSearch:
         from .trees.utree import traverse
         from .trees import create_operations
 
-        eng = TreeEngine(self.partition, self.tree,
-                         params_index=self.params_index,
-                         **self.engine_kwargs)
-        best = eng.loglikelihood()
+        best = self.evaluate()
+        eng = self._engine
         accepted = 0
         while True:
             candidates, applied = [], []

@@ -53,8 +53,7 @@ def export_svg(root: UNode, attrib: Optional[SvgAttrib] = None) -> str:
     # draw as rooted at `root`, subtrees = back + ring members
     subtrees = [root.back] + [h.back for h in list(root.ring())[1:]]
     n_tips = sum(_tip_count(s) for s in subtrees)
-    depth = max(s.length + (_max_depth(s) if not s.is_tip() else 0.0)
-                for s in subtrees)
+    depth = max(_max_depth(s) for s in subtrees)
     depth = depth or 1.0
 
     draw_w = a.width - a.margin_left - a.margin_right

@@ -68,7 +68,9 @@ def simulate_alignment(tree,
             sub = states_in[mask]
             u = rng.random(sub.size)
             cdf = np.cumsum(P, axis=1)
-            new[mask] = (u[:, None] > cdf[sub]).sum(axis=1)
+            # clip: fp rounding can leave cdf[-1] slightly below 1.0
+            new[mask] = np.minimum((u[:, None] > cdf[sub]).sum(axis=1),
+                                   states - 1)
         return new
 
     def rec(entry, states_here):

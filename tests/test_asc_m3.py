@@ -109,6 +109,58 @@ def test_asc_bias_derivatives(setup, asc, ref_attr, needs_weights):
             err_msg=f"asc={asc.name} t={blen}")
 
 
+@pytest.mark.parametrize("asc,ref_attr,needs_weights", CASES[1:],
+                         ids=[c[0].name for c in CASES[1:]])
+def test_asc_bias_through_fused_engine(asc, ref_attr, needs_weights):
+    """The fused TreeEngine must apply the same corrections as the
+    step-by-step Partition path (logL and Newton derivatives)."""
+    from libpll2_tpu import TreeEngine
+    from libpll2_tpu.trees import random_utree
+
+    headers, seqs = random_alignment(20, 150, seed=5)
+    tree = random_utree(headers, seed=5)
+    by = dict(zip(headers, seqs))
+    rates = compute_gamma_cats(0.75, 4)
+
+    def build():
+        part = Partition(tree.tip_count, tree.inner_count, 4, 150, 1,
+                         tree.edge_count, 4, tree.inner_count,
+                         asc_bias=asc)
+        for tip in tree.tips():
+            part.set_tip_states(tip.clv_index, maps.map_nt, by[tip.label])
+        part.set_frequencies(0, FREQS)
+        part.set_subst_params(0, SUBST)
+        part.set_category_rates(rates)
+        if needs_weights:
+            part.set_asc_state_weights(INVAR_WEIGHTS)
+        return part
+
+    # partition path
+    part = build()
+    trav = traverse(tree.vroot)
+    ops, branches, pmat_idx = create_operations(trav)
+    pidx = [0] * 4
+    part.update_prob_matrices(pidx, pmat_idx, branches)
+    part.update_partials(ops)
+    root = tree.vroot
+    lk_ref = part.compute_edge_loglikelihood(
+        root.clv_index, root.scaler_index, root.back.clv_index,
+        root.back.scaler_index, root.pmatrix_index, pidx)
+    st = part.update_sumtable(root.clv_index, root.back.clv_index,
+                              root.scaler_index, root.back.scaler_index,
+                              pidx)
+    blen0 = branches[pmat_idx.index(root.pmatrix_index)]
+    d1_ref, d2_ref = part.compute_likelihood_derivatives(
+        st, pidx, blen0, parent_scaler_index=root.scaler_index,
+        child_scaler_index=root.back.scaler_index)
+
+    # fused engine path
+    eng = TreeEngine(build(), tree)
+    np.testing.assert_allclose(eng.loglikelihood(), lk_ref, rtol=1e-10)
+    lk_e, d1_e, d2_e = eng.newton_step()
+    np.testing.assert_allclose([d1_e, d2_e], [d1_ref, d2_ref], rtol=1e-8)
+
+
 def test_asc_incompatible_with_pinv(setup):
     _, part, _, _ = setup
     part.set_asc_bias_type(C.AscBias.NONE)
