@@ -98,7 +98,9 @@ class TreeSearch:
         device dispatch (TreeEngine.evaluate_topologies), then the best
         improving move is applied; repeats until no improvement. Orders of
         magnitude fewer dispatches than move-by-move rescoring on a
-        tunneled TPU."""
+        tunneled TPU. The candidate-batch program compiles once per
+        (padded candidate count, tree size) — a one-time cost amortized
+        over the whole search."""
         from .trees.utree import traverse
         from .trees import create_operations
 

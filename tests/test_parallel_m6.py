@@ -95,6 +95,34 @@ def test_shard_count_invariance_derivatives():
     np.testing.assert_allclose([d1s, d2s], [d1, d2], rtol=1e-10)
 
 
+def test_sharded_asc_bias_matches_unsharded():
+    """Asc corrections involve a static slice of the synthetic columns —
+    must survive GSPMD sharding unchanged."""
+    from libpll2_tpu import constants as C
+    from libpll2_tpu.trees import random_alignment as _ra, random_utree
+
+    headers, seqs = _ra(12, 156, seed=9)   # 156 + 4 asc = 160 = 8*20
+    tree = random_utree(headers, seed=9)
+    by = dict(zip(headers, seqs))
+
+    def build(align):
+        part = Partition(tree.tip_count, tree.inner_count, 4, 156, 1,
+                         tree.edge_count, 4, tree.inner_count,
+                         asc_bias=C.AscBias.LEWIS, sites_alignment=align)
+        for tip in tree.tips():
+            part.set_tip_states(tip.clv_index, maps.map_nt, by[tip.label])
+        part.set_frequencies(0, [0.3, 0.2, 0.2, 0.3])
+        part.set_subst_params(0, [1, 2, 1, 1, 2, 1])
+        part.set_category_rates(compute_gamma_cats(0.75, 4))
+        return part
+
+    expected = TreeEngine(build(1), tree).loglikelihood()
+    part = build(8)
+    shard_partition(part, make_mesh(8))
+    sharded = TreeEngine(part, tree).loglikelihood()
+    np.testing.assert_allclose(sharded, expected, rtol=1e-12)
+
+
 def test_sharded_vs_oracle():
     """Sharded fused path reproduces the reference C library end to end."""
     from libpll2_tpu.io import load_fasta
