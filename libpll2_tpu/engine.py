@@ -277,29 +277,38 @@ class TreeEngine:
         p._ensure_eigen([params_index])
 
     def _model_args(self):
+        """Device-resident model operands, cached until a Partition setter
+        bumps _model_version (avoids re-uploading unchanged model state on
+        every call in search loops)."""
         p = self.partition
-        d = p.dtype
-        return tuple(self._rep(jnp.asarray(a, d)) for a in (
-            p.eigenvals, p.inv_eigenvecs, p.eigenvecs, p.prop_invar,
-            p.rates, p.rate_weights, p.frequencies)) + (self.params_idx_rates,)
+        version = p._model_version
+        if getattr(self, "_model_cache_version", None) != version:
+            d = p.dtype
+            self._model_cache = tuple(
+                self._rep(jnp.asarray(a, d)) for a in (
+                    p.eigenvals, p.inv_eigenvecs, p.eigenvecs, p.prop_invar,
+                    p.rates, p.rate_weights, p.frequencies)
+            ) + (self.params_idx_rates,)
+            self._site_cache = (self._site(jnp.asarray(p.pattern_weights)),
+                                self._site(jnp.asarray(p.invariant)))
+            self._model_cache_version = version
+        return self._model_cache
 
     def _site_args(self):
-        p = self.partition
-        return (self._site(jnp.asarray(p.pattern_weights)),
-                self._site(jnp.asarray(p.invariant)))
+        self._model_args()
+        return self._site_cache
 
-    def set_topology(self, tree) -> None:
-        """Rebind to a new topology of the same size without rebuilding the
-        engine (search loops): refreshes op tables, branches and root
-        indices only."""
+    def _pack_topology(self, operations, branches, pmatrix_indices,
+                       root) -> None:
+        """(Re)build op tables, pmatrix-ordered branches and root indices
+        for the configured execution mode."""
         p = self.partition
-        trav = traverse(tree.vroot)
-        operations, branches, pmatrix_indices = create_operations(trav)
         if self.use_pallas:
             ops = ops_pallas.pack_pallas_levels(
                 operations, p.tips, scratch_clv=p.nodes,
                 zero_scaler_row=p.scale_buffers + 1,
                 trash_scaler_row=p.scale_buffers)
+            self.valid = None
         elif self.levels:
             from .partition import pack_level_operations
             ops, valid = pack_level_operations(operations, p.tips,
@@ -307,15 +316,25 @@ class TreeEngine:
             self.valid = self._rep(valid)
         else:
             ops = pack_operations(operations, scratch_clv=p.nodes)
+            self.valid = None
         self.ops = jax.tree.map(self._rep, ops)
+        # branch lengths stored in pmatrix-index order
         blen = np.zeros(p.prob_matrices)
         blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
         self.branches = self._rep(jnp.asarray(blen, p.dtype))
-        root = tree.vroot
         self.root_idx = self._rep(jnp.asarray(
             [root.clv_index, root.scaler_index,
              root.back.clv_index, root.back.scaler_index,
              root.pmatrix_index], dtype=np.int32))
+
+    def set_topology(self, tree) -> None:
+        """Rebind to a new topology of the same size without rebuilding the
+        engine (search loops): refreshes op tables, branches and root
+        indices only."""
+        trav = traverse(tree.vroot)
+        operations, branches, pmatrix_indices = create_operations(trav)
+        self._pack_topology(operations, branches, pmatrix_indices,
+                            tree.vroot)
 
     def loglikelihood(self, branches=None) -> float:
         """Full-traversal logL. `branches`, if given, must be in
@@ -355,6 +374,8 @@ class TreeEngine:
         a bounded set of compiled shapes."""
         p = self.partition
         k = len(candidates)
+        if k == 0:
+            return np.zeros(0)
         w = 1
         while w < k:
             w *= 2

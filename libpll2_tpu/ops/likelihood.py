@@ -83,6 +83,17 @@ def _apply_asc(site_lk, terma, site_sc, pattern_weights,
         # Stamatakis treats the synthetic columns as ordinary weighted sites;
         # n_real < 0 marks "no synthetic columns allocated"
         weighted = site_lk * pw
+        if asc_type == AB_STAMATAKIS and n_real >= 0:
+            # the reference adds the scaler-undo term UNWEIGHTED on the
+            # synthetic columns (likelihood.c:95-101: site_lk = w*log(term)
+            # + sc*log(thresh), not w*(log(term) + sc*log(thresh)))
+            idxs = jnp.arange(site_lk.shape[0])
+            asc_cols = (idxs >= n_real) & (idxs < n_real + states)
+            sc_term = site_sc.astype(dtype) * jnp.log(
+                jnp.asarray(threshold, dtype))
+            weighted = jnp.where(asc_cols,
+                                 (site_lk - sc_term) * pw + sc_term,
+                                 weighted)
         return jnp.sum(weighted), weighted
     # mask the synthetic columns out of the main sum (their weights may be
     # set even when the correction is currently switched off)

@@ -94,7 +94,8 @@ def make_loglikelihood_fn(engine: TreeEngine,
             engine.params_idx_rates, branches, engine.ops, engine.root_idx,
             *site_args, p.scale_threshold, p.scale_factor,
             rate_scalers=p.rate_scalers, valid=engine.valid,
-            levels=engine.levels)
+            levels=engine.levels, asc_type=engine.asc_type,
+            n_real=engine.n_real)
         return total
 
     return fn, _build_params(engine, optimize)

@@ -153,6 +153,10 @@ class Partition:
         self.prob_matrices = prob_matrices
         self.rate_cats = rate_cats
         self.scale_buffers = scale_buffers
+        if asc_bias != C.AscBias.NONE and rate_scalers:
+            raise C.PllError(C.ERROR_AB_NOSUPPORT,
+                             "Per-rate scalers are not supported with asc "
+                             "bias correction")
         self.rate_scalers = rate_scalers
         self.asc_bias = asc_bias
         # ascertainment-bias corrections append `states` synthetic
@@ -191,6 +195,10 @@ class Partition:
         self.eigenvecs = np.zeros((rate_matrices, s, s))
         self.inv_eigenvecs = np.zeros((rate_matrices, s, s))
         self.eigen_decomp_valid = np.zeros(rate_matrices, dtype=bool)
+
+        # bumped by every model/site-data setter; lets engines cache
+        # device-resident model arguments safely
+        self._model_version = 0
 
         pw = np.zeros(S, dtype=np.int64)
         pw[:sites] = 1
@@ -261,21 +269,26 @@ class Partition:
             f = f / f.sum()
         self.frequencies[params_index] = f
         self.eigen_decomp_valid[params_index] = False
+        self._model_version += 1
 
     def set_subst_params(self, params_index: int, params) -> None:
         self.subst_params[params_index] = np.asarray(params, dtype=np.float64)
         self.eigen_decomp_valid[params_index] = False
+        self._model_version += 1
 
     def set_category_rates(self, rates) -> None:
         self.rates = np.asarray(rates, dtype=np.float64).copy()
+        self._model_version += 1
 
     def set_category_weights(self, weights) -> None:
         self.rate_weights = np.asarray(weights, dtype=np.float64).copy()
+        self._model_version += 1
 
     def set_pattern_weights(self, weights) -> None:
         w = np.asarray(weights, dtype=np.int64)
         self.pattern_weights[:self.sites] = w
         self._invariant_valid = False
+        self._model_version += 1
 
     def set_asc_bias_type(self, asc_bias: C.AscBias) -> None:
         """Switch the correction type (pll.c:1126-1172). The partition must
@@ -305,6 +318,7 @@ class Partition:
                              "bias support")
         w = np.asarray(state_weights, dtype=np.int64)
         self.pattern_weights[self.sites:self.sites + self.states] = w
+        self._model_version += 1
 
     def update_invariant_sites_proportion(self, params_index: int,
                                           prop_invar: float) -> None:
@@ -318,6 +332,7 @@ class Partition:
         if prop_invar > 0.0 and not self._invariant_valid:
             self.update_invariant_sites()
         self.prop_invar[params_index] = prop_invar
+        self._model_version += 1
 
     def update_invariant_sites(self) -> None:
         """Bitwise-AND of observed states per column (models.c:651-752)."""
@@ -349,6 +364,7 @@ class Partition:
         self.eigenvecs[params_index] = es.evecs
         self.inv_eigenvecs[params_index] = es.inv_evecs
         self.eigen_decomp_valid[params_index] = True
+        self._model_version += 1
 
     def _ensure_eigen(self, params_indices) -> None:
         for p in set(int(i) for i in params_indices):

@@ -30,9 +30,13 @@ class GlibcRandom:
             seed = 1
         r: List[int] = [0] * _DEG
         r[0] = _int32(seed)
-        # Schrage's method for 16807 * r % 2147483647 without overflow
+        # Schrage's method for 16807 * r % 2147483647 without overflow.
+        # glibc computes hi/lo with C TRUNCATING division on a signed
+        # int32 (negative for seeds >= 2^31) — floor division diverges.
         for i in range(1, _DEG):
-            hi, lo = divmod(r[i - 1], 127773)
+            w = r[i - 1]
+            hi = -((-w) // 127773) if w < 0 else w // 127773
+            lo = w - hi * 127773
             word = 16807 * lo - 2836 * hi
             if word < 0:
                 word += 2147483647

@@ -170,6 +170,80 @@ def test_asc_incompatible_with_pinv(setup):
     part.prop_invar[0] = 0.0
 
 
+def test_stamatakis_with_scaled_synthetic_columns():
+    """Deep caterpillar forces CLV scaling on the synthetic all-state-k
+    columns; the reference adds the scaler-undo term UNWEIGHTED there
+    (likelihood.c:95-101) — must match with state weights > 1."""
+    from libpll2_tpu.trees import parse_newick
+    # long branches: the synthetic invariant columns decay only ~P[k,k]
+    # per level, so they need t large enough to underflow 2^-256
+    # scaling needs ALL rate categories below threshold, so use a large
+    # alpha (rates ~1) — with default Gamma the slowest category never
+    # underflows on invariant columns
+    n = 150
+    text = f"t{n-1}:3.0"
+    for i in range(n - 2, 1, -1):
+        text = f"(t{i}:3.0,{text}):3.0"
+    tree = parse_newick(f"(t0:3.0,t1:3.0,{text});")
+    headers, seqs = (
+        [f"t{i}" for i in range(n)],
+        random_alignment(n, 80, seed=17)[1])
+    by = dict(zip(headers, seqs))
+    rates = compute_gamma_cats(50.0, 4)
+
+    ref = oracle.OraclePartition(n, n - 2, 4, 80, 1, tree.edge_count, 4,
+                                 n - 2, attributes=oracle.ATTRIB_AB_FLAG)
+    part = Partition(n, n - 2, 4, 80, 1, tree.edge_count, 4, n - 2,
+                     asc_bias=C.AscBias.STAMATAKIS)
+    for tip in tree.tips():
+        ref.set_tip_states(tip.clv_index, "nt", by[tip.label])
+        part.set_tip_states(tip.clv_index, maps.map_nt, by[tip.label])
+    for impl in (ref, part):
+        impl.set_frequencies(0, FREQS)
+        impl.set_subst_params(0, SUBST)
+        impl.set_category_rates(rates)
+    ref.set_asc_bias_type(oracle.ATTRIB_AB_STAMATAKIS)
+    ref.set_asc_state_weights(INVAR_WEIGHTS)
+    part.set_asc_state_weights(INVAR_WEIGHTS)
+
+    trav = traverse(tree.vroot)
+    ops, branches, pmat_idx = create_operations(trav)
+    pidx = [0] * 4
+    ref.update_prob_matrices(pidx, pmat_idx, branches)
+    part.update_prob_matrices(pidx, pmat_idx, branches)
+    ref.update_partials([(o.parent_clv_index, o.parent_scaler_index,
+                          o.child1_clv_index, o.child1_matrix_index,
+                          o.child1_scaler_index, o.child2_clv_index,
+                          o.child2_matrix_index, o.child2_scaler_index)
+                         for o in ops])
+    part.update_partials(ops)
+    # scaling must actually hit the synthetic columns
+    root = tree.vroot
+    sc = part.get_scaler(root.scaler_index)
+    assert np.asarray(part.scale_buffer[root.scaler_index])[80:84].sum() > 0
+    args = (root.clv_index, root.scaler_index, root.back.clv_index,
+            root.back.scaler_index, root.pmatrix_index, pidx)
+    np.testing.assert_allclose(part.compute_edge_loglikelihood(*args),
+                               ref.edge_loglikelihood(*args), rtol=1e-10)
+    ref.destroy()
+
+
+def test_rng_high_bit_seeds_match_reference():
+    """Seeds >= 2^31 exercise glibc's signed truncating division."""
+    import ctypes as ct
+    from libpll2_tpu.utils.rng import GlibcRandom
+    lib = oracle.load()
+    lib.pll_random_create.restype = ct.c_void_p
+    lib.pll_random_create.argtypes = [ct.c_uint]
+    lib.pll_random_getint.restype = ct.c_int
+    lib.pll_random_getint.argtypes = [ct.c_void_p, ct.c_int]
+    for seed in (3000000000, 2 ** 32 - 1, 2 ** 31):
+        st = lib.pll_random_create(seed)
+        ours = GlibcRandom(seed)
+        assert [lib.pll_random_getint(st, 10 ** 6) for _ in range(32)] == \
+            [ours.getint(10 ** 6) for _ in range(32)], seed
+
+
 def test_asc_requires_alloc():
     part = Partition(4, 3, 4, 20, 1, 6, 4, 3)
     with pytest.raises(C.PllError):
