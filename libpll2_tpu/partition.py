@@ -252,12 +252,17 @@ class Partition:
 
     def set_tip_clv(self, tip_index: int, clv: np.ndarray,
                     padded: bool = False) -> None:
-        """Set a tip CLV directly from [sites, rate_cats, states] values
-        (partial-likelihood input, pll_set_tip_clv pll.c:1063)."""
+        """Set a tip CLV from [sites, states] values, replicated across all
+        rate categories — exactly pll_set_tip_clv (pll.c:1063): one state
+        vector per site in the input, the same for every category. Also
+        fills the synthetic asc columns when allocated."""
         arr = np.asarray(clv, dtype=np.float64)
-        arr = arr.reshape(self.sites, self.rate_cats, self.states)
+        arr = arr.reshape(self.sites, self.states)
         block = np.zeros((self.rate_cats, self.states, self.sites_padded))
-        block[:, :, :self.sites] = np.transpose(arr, (1, 2, 0))
+        block[:, :, :self.sites] = arr.T[None, :, :]
+        if self.asc_extra:
+            eye = np.eye(self.states)
+            block[:, :, self.sites:self.sites + self.states] = eye[None]
         self.clv = self.clv.at[tip_index].set(
             jnp.asarray(block, dtype=self.dtype))
         self._invariant_valid = False

@@ -132,3 +132,52 @@ def test_heterotachy_per_branch_models():
     np.testing.assert_allclose(part.compute_edge_loglikelihood(*args),
                                ref.edge_loglikelihood(*args), rtol=1e-10)
     ref.destroy()
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference unavailable")
+def test_set_tip_clv_partial_likelihood_input():
+    """Direct tip CLV input (uncertain tips / partial likelihoods),
+    pll_set_tip_clv (pll.c:1063) vs oracle."""
+    import ctypes as ct
+    from libpll2_tpu.trees import create_operations, traverse
+
+    tree = random_utree([f"t{i}" for i in range(6)], seed=19)
+    sites, cats = 40, 4
+    rng = np.random.default_rng(19)
+    rates = compute_gamma_cats(1.0, cats)
+
+    lib = oracle.load()
+    lib.pll_set_tip_clv.restype = ct.c_int
+    lib.pll_set_tip_clv.argtypes = [ct.POINTER(oracle.PllPartition),
+                                    ct.c_uint, ct.POINTER(ct.c_double),
+                                    ct.c_int]
+
+    ref = oracle.OraclePartition(6, 4, 4, sites, 1, tree.edge_count, cats, 4)
+    part = Partition(6, 4, 4, sites, 1, tree.edge_count, cats, 4)
+    for tip in tree.tips():
+        clv = rng.uniform(0.1, 1.0, size=(sites, 4))
+        r = lib.pll_set_tip_clv(ref.ptr, tip.clv_index,
+                                oracle.f64(clv.ravel()), 0)
+        assert r == 1
+        part.set_tip_clv(tip.clv_index, clv)
+    for impl in (ref, part):
+        impl.set_frequencies(0, [0.25] * 4)
+        impl.set_subst_params(0, [1, 2, 1, 1, 2, 1])
+        impl.set_category_rates(rates)
+    trav = traverse(tree.vroot)
+    ops, branches, pmat_idx = create_operations(trav)
+    pidx = [0] * cats
+    ref.update_prob_matrices(pidx, pmat_idx, branches)
+    part.update_prob_matrices(pidx, pmat_idx, branches)
+    ref.update_partials([(o.parent_clv_index, o.parent_scaler_index,
+                          o.child1_clv_index, o.child1_matrix_index,
+                          o.child1_scaler_index, o.child2_clv_index,
+                          o.child2_matrix_index, o.child2_scaler_index)
+                         for o in ops])
+    part.update_partials(ops)
+    root = tree.vroot
+    args = (root.clv_index, root.scaler_index, root.back.clv_index,
+            root.back.scaler_index, root.pmatrix_index, pidx)
+    np.testing.assert_allclose(part.compute_edge_loglikelihood(*args),
+                               ref.edge_loglikelihood(*args), rtol=1e-10)
+    ref.destroy()
