@@ -163,6 +163,39 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
     return acc, clv, scaler
 
 
+@partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
+                                   'pallas_interpret', 'scale_threshold',
+                                   'scale_factor', 'asc_type', 'n_real'))
+def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
+                       prop_invar, rates, rate_weights, freqs,
+                       params_idx_rates, branches, op_arrays, root_idx,
+                       pattern_weights, invariant,
+                       scale_threshold, scale_factor,
+                       rate_scalers: bool = False,
+                       valid=None, levels: bool = False,
+                       use_pallas: bool = False,
+                       pallas_interpret: bool = False,
+                       asc_type: int = 0, n_real: int = -1):
+    """k chained Newton iterations on the root branch in ONE dispatch
+    (the reference's examples/newton loop, device-resident)."""
+    def body(_, carry):
+        clv, scaler, branches, total, d1, d2 = carry
+        total, d1, d2, branches, clv, scaler = _fused_newton_step(
+            clv, scaler, eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
+            rates, rate_weights, freqs, params_idx_rates, branches,
+            op_arrays, root_idx, pattern_weights, invariant,
+            scale_threshold, scale_factor, rate_scalers=rate_scalers,
+            valid=valid, levels=levels, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret, asc_type=asc_type,
+            n_real=n_real)
+        return clv, scaler, branches, total, d1, d2
+
+    zero = jnp.zeros((), clv.dtype)
+    clv, scaler, branches, total, d1, d2 = jax.lax.fori_loop(
+        0, k, body, (clv, scaler, branches, zero, zero, zero))
+    return total, d1, d2, branches, clv, scaler
+
+
 @partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real'))
 def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
@@ -399,6 +432,22 @@ class TreeEngine:
             rate_scalers=p.rate_scalers,
             asc_type=self.asc_type, n_real=self.n_real)
         return np.asarray(totals)[:k]
+
+    def newton_loop(self, k: int):
+        """k chained Newton iterations on the root branch in one dispatch;
+        returns (last logL, d1, d2). Trip count is traced (one compile)."""
+        p = self.partition
+        total, d1, d2, branches, clv, scaler = _fused_newton_loop(
+            jnp.asarray(k), p.clv, p.scale_buffer, *self._model_args(),
+            self.branches, self.ops, self.root_idx, *self._site_args(),
+            p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
+            valid=self.valid, levels=self.levels,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
+            asc_type=self.asc_type, n_real=self.n_real)
+        self.branches = branches
+        p.clv, p.scale_buffer = clv, scaler
+        return float(total), float(d1), float(d2)
 
     def loglikelihood_loop(self, k: int) -> float:
         """Sum of k chained full-traversal logL evaluations, one dispatch.

@@ -168,3 +168,18 @@ def test_sharded_vs_oracle():
     shard_partition(part, mesh)
     lk = TreeEngine(part, tree).loglikelihood()
     np.testing.assert_allclose(lk, lk_ref, rtol=1e-10)
+
+
+def test_newton_loop_matches_stepwise_newton():
+    """k chained Newton iterations in one dispatch == k separate steps."""
+    part_a, tree = build_partition()
+    eng_a = TreeEngine(part_a, tree)
+    for _ in range(5):
+        last_a = eng_a.newton_step()
+
+    part_b, _ = build_partition()
+    eng_b = TreeEngine(part_b, tree)
+    last_b = eng_b.newton_loop(5)
+    np.testing.assert_allclose(last_b, last_a, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(eng_b.branches),
+                               np.asarray(eng_a.branches), rtol=1e-12)
