@@ -90,15 +90,20 @@ def bench_unrooted():
 def bench_newton():
     log("[2] Newton branch optimization (32 taxa x 2048 sites)")
     part, tree, *_ = build(32, 2048, seed=9)
-    eng = TreeEngine(part, tree, pallas=False)
-    eng.newton_step()
-    t0 = time.perf_counter()
-    n = 10
-    for _ in range(n):
-        eng.newton_step()
-    dt = (time.perf_counter() - t0) / n
+    eng = TreeEngine(part, tree)
+    eng.newton_loop(1)
+
+    def run(k):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            eng.newton_loop(k)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = max((run(15) - run(5)) / 10, 1e-9)
     record("newton_steps_per_sec", 1 / dt, "steps/s",
-           "full eval + sumtable + d1/d2 + update (per-dispatch)")
+           "full eval + sumtable + d1/d2 + update, device-side")
 
 
 def bench_protein():
