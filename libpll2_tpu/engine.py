@@ -253,8 +253,6 @@ class TreeEngine:
                 C.ERROR_PARAM_INVALID,
                 "TreeEngine does not support site-repeats partitions (class-"
                 "column CLV layout); use the Partition step-by-step API")
-        self.asc_type = p.asc_bias.value
-        self.n_real = p.sites if p.asc_extra else -1
         if tree is not None:
             trav = traverse(tree.vroot)
             operations, branches, pmatrix_indices = create_operations(trav)
@@ -309,6 +307,14 @@ class TreeEngine:
             jnp.asarray([params_index] * R, np.int32))
         p._ensure_eigen([params_index])
 
+    @property
+    def asc_type(self) -> int:
+        return self.partition.asc_bias.value
+
+    @property
+    def n_real(self) -> int:
+        return self.partition.sites if self.partition.asc_extra else -1
+
     def _model_args(self):
         """Device-resident model operands, cached until a Partition setter
         bumps _model_version (avoids re-uploading unchanged model state on
@@ -316,6 +322,10 @@ class TreeEngine:
         p = self.partition
         version = p._model_version
         if getattr(self, "_model_cache_version", None) != version:
+            # model setters invalidate the eigendecomposition; recompute
+            # before uploading (the step-by-step path does this inside
+            # update_prob_matrices)
+            p._ensure_eigen([self.params_index])
             d = p.dtype
             self._model_cache = tuple(
                 self._rep(jnp.asarray(a, d)) for a in (
@@ -420,9 +430,15 @@ class TreeEngine:
             b = np.zeros(p.prob_matrices)
             b[np.asarray(pmatrix_indices)] = np.asarray(branches)
             blens.append(b)
-            roots.append([root.clv_index, root.scaler_index,
-                          root.back.clv_index, root.back.scaler_index,
-                          root.pmatrix_index])
+            # root may be a live UNode or a pre-snapshotted 5-tuple of
+            # indices — candidates built from trial moves MUST snapshot
+            # before rolling the move back (the node's pointers change)
+            if isinstance(root, (tuple, list)):
+                roots.append(list(root))
+            else:
+                roots.append([root.clv_index, root.scaler_index,
+                              root.back.clv_index, root.back.scaler_index,
+                              root.pmatrix_index])
         ops_k = jax.tree.map(lambda *xs: jnp.stack(xs), *packed)
         totals = _fused_multi_topology(
             p.clv, p.scale_buffer, *self._model_args(),

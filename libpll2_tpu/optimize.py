@@ -105,11 +105,14 @@ def maximize_loglikelihood(engine: TreeEngine,
                            optimize: Iterable[str] = ("branches",),
                            steps: int = 200,
                            learning_rate: float = 0.02,
-                           tol: float = 1e-6):
+                           tol: float = 1e-6,
+                           patience: int = 25):
     """Adam ascent on logL over the selected parameter groups.
 
-    Returns (final logL, params, history). Applies the optimized values
-    back to the engine/partition.
+    Stops early only after `patience` consecutive steps without a
+    tol-improvement of the best logL (Adam is non-monotone, so a single
+    flat step must not terminate). Returns (final logL, params, history);
+    the best-seen parameters are applied back to the engine/partition.
     """
     import optax
 
@@ -127,17 +130,24 @@ def maximize_loglikelihood(engine: TreeEngine,
 
     history = []
     best = -np.inf
+    best_params = params
+    stale = 0
     for i in range(steps):
         params, state, lk = step(params, state)
         lk = float(lk)
         history.append(lk)
-        if lk - best < tol and i > 10:
-            break
-        best = max(best, lk)
+        if lk > best + tol:
+            best = lk
+            best_params = params
+            stale = 0
+        else:
+            stale += 1
+            if stale >= patience:
+                break
 
-    final = float(-loss(params))
-    _apply(engine, params)
-    return final, params, history
+    final = float(-loss(best_params))
+    _apply(engine, best_params)
+    return final, best_params, history
 
 
 def _apply(engine: TreeEngine, params: Dict[str, jnp.ndarray]) -> None:

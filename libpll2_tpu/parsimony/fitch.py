@@ -32,18 +32,26 @@ BITS = 32
 
 def _informative(tip_codes: np.ndarray,
                  pattern_weights: np.ndarray) -> Tuple[np.ndarray, int]:
-    """(informative mask [S], const_cost) — fast_parsimony.c:128-194,369."""
-    sites = tip_codes.shape[1]
-    informative = np.zeros(sites, dtype=bool)
-    const_cost = 0
-    for s in range(sites):
-        _, counts = np.unique(tip_codes[:, s], return_counts=True)
-        repeated = int((counts > 1).sum())
-        singletons = int((counts == 1).sum())
-        if repeated > 1:
-            informative[s] = True
-        else:
-            const_cost += singletons * int(pattern_weights[s])
+    """(informative mask [S], const_cost) — fast_parsimony.c:128-194,369.
+
+    Vectorized: one np.unique over (site, code) pairs classifies every
+    column at once (the per-column loop was the construction bottleneck
+    for long alignments)."""
+    tips, sites = tip_codes.shape
+    site_ids = np.repeat(np.arange(sites, dtype=np.uint64), tips)
+    # (site, code) composite keys; codes fit in < 2^32 after ranking
+    _, code_rank = np.unique(tip_codes, return_inverse=True)
+    keys = site_ids * np.uint64(len(_)) + \
+        code_rank.reshape(tips, sites).T.reshape(-1).astype(np.uint64)
+    uniq_keys, counts = np.unique(keys, return_counts=True)
+    per_site = (uniq_keys // np.uint64(len(_))).astype(np.int64)
+    repeated = np.zeros(sites, dtype=np.int64)
+    singles = np.zeros(sites, dtype=np.int64)
+    np.add.at(repeated, per_site, (counts > 1).astype(np.int64))
+    np.add.at(singles, per_site, (counts == 1).astype(np.int64))
+    informative = repeated > 1
+    const_cost = int((singles[~informative]
+                      * np.asarray(pattern_weights)[~informative]).sum())
     return informative, const_cost
 
 

@@ -234,7 +234,9 @@ class Partition:
 
         block = np.zeros((self.rate_cats, self.states, self.sites_padded))
         if self.repeats is not None:
-            # tip CLV columns are class columns (pll_update_repeats_tips)
+            # tip CLV columns are class columns (pll_update_repeats_tips);
+            # tip classes changed, so any cached schedule is stale
+            self._repeat_key = None
             self.repeats.set_tip(tip_index, masks)
             ids = int(self.repeats.ids[tip_index])
             rep = self.repeats.id_site[tip_index, :ids]
@@ -255,7 +257,11 @@ class Partition:
         """Set a tip CLV from [sites, states] values, replicated across all
         rate categories — exactly pll_set_tip_clv (pll.c:1063): one state
         vector per site in the input, the same for every category. Also
-        fills the synthetic asc columns when allocated."""
+        fills the synthetic asc columns when allocated.
+
+        `padded` is accepted for reference API compatibility; this layout
+        has states_padded == states, so padded and unpadded inputs are
+        identical."""
         arr = np.asarray(clv, dtype=np.float64)
         arr = arr.reshape(self.sites, self.states)
         block = np.zeros((self.rate_cats, self.states, self.sites_padded))
@@ -409,7 +415,14 @@ class Partition:
                              "Operations")
         if self.repeats is not None:
             from .repeats import schedule_buckets
-            if update_repeats or self._repeat_schedule is None:
+            # rebuild the class schedule only when the topology (operation
+            # list) or tip data changed — identical ops yield identical
+            # classes, so repeated evaluations skip the O(ops*sites) dedup
+            key = tuple((o.parent_clv_index, o.child1_clv_index,
+                         o.child2_clv_index) for o in operations)
+            if (self._repeat_schedule is None
+                    or getattr(self, "_repeat_key", None) != key):
+                self._repeat_key = key
                 sched = schedule_buckets(self.repeats, operations,
                                          self.sites)
                 self._repeat_schedule = tuple(

@@ -115,7 +115,13 @@ class TreeSearch:
                     moves.nni(edge, mt, rb)
                     trav = traverse(self.tree.vroot)
                     ops, br, pidx = create_operations(trav)
-                    candidates.append((ops, br, pidx, self.tree.vroot))
+                    vr = self.tree.vroot
+                    # snapshot the root edge indices BEFORE rollback — the
+                    # move may rewire the vroot's back pointer
+                    root_info = (vr.clv_index, vr.scaler_index,
+                                 vr.back.clv_index, vr.back.scaler_index,
+                                 vr.pmatrix_index)
+                    candidates.append((ops, br, pidx, root_info))
                     moves.rollback_move(rb)
                     applied.append((edge, mt))
             if not candidates:

@@ -39,16 +39,29 @@ def test_compression_matches_reference_order_and_weights():
     comp, weights, site_map = compress_site_patterns(seqs, maps.map_nt,
                                                      return_map=True)
     ref_seqs, ref_weights = reference_compress(list(seqs), "nt")
-    assert len(weights) == len(ref_weights)
     assert list(weights) == list(ref_weights)
-    # same pattern order up to state-code equivalence
-    ours = np.array([maps.decode_states(s, maps.map_nt) for s in comp])
-    refs = np.array([maps.decode_states(s, maps.map_nt) for s in ref_seqs])
-    np.testing.assert_array_equal(ours, refs)
+    # exact character-level equality with the reference output
+    assert comp == ref_seqs
     # back-map reconstructs the original columns
+    ours = np.array([maps.decode_states(s, maps.map_nt) for s in comp])
     np.testing.assert_array_equal(
         ours[:, site_map],
         np.array([maps.decode_states(s, maps.map_nt) for s in seqs]))
+
+
+def test_compression_matches_reference_amino_acid():
+    """AA masks exceed a byte: the reference remaps to sequential codes in
+    ASCII scan order (compress.c:99-135) — order and decode chars must
+    still match exactly."""
+    rng = np.random.default_rng(11)
+    chars = np.array(list("arNDCQEghilkmfpstwyvX-"))
+    seqs = ["".join(chars[rng.integers(0, len(chars), 300)])
+            for _ in range(5)]
+    comp, weights, _ = compress_site_patterns(seqs, maps.map_aa,
+                                              return_map=True)
+    ref_seqs, ref_weights = reference_compress(list(seqs), "aa")
+    assert list(weights) == list(ref_weights)
+    assert comp == ref_seqs
 
 
 def test_compressed_logl_equals_uncompressed():
