@@ -150,6 +150,66 @@ def maximize_loglikelihood(engine: TreeEngine,
     return final, best_params, history
 
 
+def newton_optimize_branches(partition, tree, params_indices,
+                             passes: int = 2, iterations: int = 8,
+                             tol: float = 1e-6) -> float:
+    """Classic per-edge Newton branch-length optimization — the loop the
+    reference's consumers build from pll_update_sumtable /
+    pll_compute_likelihood_derivatives (examples/newton, RAxML-NG's
+    smoothings). For each edge: full traversal rooted at the edge, one
+    sumtable (branch-independent), then a few Newton iterations on that
+    length. O(edges * traversal) per pass — quadratic in tree size, with
+    quadratic per-edge convergence; `maximize_loglikelihood` is the
+    scalable first-order alternative. Returns the final logL.
+    """
+    from .ops.derivatives import newton_step as _guarded
+    from .trees.utree import traverse as _traverse
+    from .trees import create_operations as _create_ops
+
+    def edges():
+        seen = set()
+        for node in tree.nodes():
+            halves = [node] if node.is_tip() else list(node.ring())
+            for h in halves:
+                if h.back is not None and id(h) not in seen \
+                        and id(h.back) not in seen:
+                    seen.add(id(h))
+                    yield h if not h.is_tip() else h.back
+
+    logl = None
+    for _ in range(passes):
+        for h in edges():
+            trav = _traverse(h)
+            ops, branches, pmat_idx = _create_ops(trav)
+            partition.update_prob_matrices(params_indices, pmat_idx,
+                                           branches)
+            partition.update_partials(ops)
+            st = partition.update_sumtable(
+                h.clv_index, h.back.clv_index,
+                h.scaler_index, h.back.scaler_index, params_indices)
+            blen = h.length
+            for _ in range(iterations):
+                d1, d2 = partition.compute_likelihood_derivatives(
+                    st, params_indices, blen,
+                    parent_scaler_index=h.scaler_index,
+                    child_scaler_index=h.back.scaler_index)
+                new = float(_guarded(jnp.asarray(blen), jnp.asarray(d1),
+                                     jnp.asarray(d2),
+                                     C.OPT_MIN_BRANCH_LEN,
+                                     C.OPT_MAX_BRANCH_LEN))
+                if abs(new - blen) < tol:
+                    blen = new
+                    break
+                blen = new
+            h.length = h.back.length = blen
+            partition.update_prob_matrices(params_indices,
+                                           [h.pmatrix_index], [blen])
+            logl = partition.compute_edge_loglikelihood(
+                h.clv_index, h.scaler_index, h.back.clv_index,
+                h.back.scaler_index, h.pmatrix_index, params_indices)
+    return logl
+
+
 def _apply(engine: TreeEngine, params: Dict[str, jnp.ndarray]) -> None:
     p = engine.partition
     if "log_branches" in params:

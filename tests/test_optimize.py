@@ -115,3 +115,28 @@ def test_optimize_model_recovers_parameters(data):
     f = np.asarray(eng.partition.frequencies[0])
     # recovered frequencies correlate with the generating ones
     assert np.corrcoef(f, TRUE_FREQS)[0, 1] > 0.9
+
+
+def test_newton_all_branches_matches_gradient_optimum(data):
+    """Per-edge Newton smoothing (classic consumer loop) reaches at least
+    the gradient optimizer's logL on perturbed branch lengths."""
+    from libpll2_tpu.optimize import newton_optimize_branches
+
+    tree, by_label = data
+    # perturb all branch lengths
+    seen = set()
+    for node in tree.nodes():
+        for h in ([node] if node.is_tip() else list(node.ring())):
+            if h.back is not None and id(h) not in seen:
+                seen.add(id(h)), seen.add(id(h.back))
+                h.length = h.back.length = h.length * 0.3 + 0.02
+
+    eng = _engine(tree, by_label, TRUE_FREQS, TRUE_SUBST)
+    lk0 = eng.loglikelihood()
+    lk_grad, _, _ = maximize_loglikelihood(eng, ("branches",), steps=300,
+                                           learning_rate=0.05)
+
+    part = eng.partition   # reuse (state fully recomputed per traversal)
+    lk_newton = newton_optimize_branches(part, tree, [0] * 4, passes=3)
+    assert lk_newton > lk0 + 1.0
+    assert lk_newton >= lk_grad - 0.5
