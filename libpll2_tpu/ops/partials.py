@@ -158,13 +158,26 @@ def update_partials_repeats(clv: jnp.ndarray,      # [N, R, s, S]
     thresh = jnp.asarray(scale_threshold, dtype)
     factor = jnp.asarray(scale_factor, dtype)
 
+    # TPUs have no hardware gather on the lane (site) axis; a one-hot
+    # matmul rides the MXU instead and is exact (0/1 matrix). On CPU the
+    # direct gather wins.
+    use_onehot = jax.default_backend() == "tpu"
+    n_cols = clv.shape[-1]
+
+    def _gather_cols(row, idx):
+        if not use_onehot:
+            return jnp.take(row, idx, axis=2)
+        onehot = (idx[None, :] == jnp.arange(n_cols)[:, None]).astype(dtype)
+        return jnp.einsum('rjs,sw->rjw', row, onehot,
+                          preferred_element_type=dtype)
+
     def body(carry, xs):
         clv, scaler = carry
         op, gl, gr = xs
         (parent, psc, c1, m1, s1, c2, m2, s2) = op
 
-        left = jnp.take(jnp.take(clv, c1, axis=0), gl, axis=2)   # [R, s, W]
-        right = jnp.take(jnp.take(clv, c2, axis=0), gr, axis=2)
+        left = _gather_cols(jnp.take(clv, c1, axis=0), gl)       # [R, s, W]
+        right = _gather_cols(jnp.take(clv, c2, axis=0), gr)
         pl = jnp.take(pmatrix, m1, axis=0)
         pr = jnp.take(pmatrix, m2, axis=0)
         x = _one_partial(pl, left, pr, right, dtype)             # [R, s, W]
