@@ -135,7 +135,7 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
-                                   'scale_factor'))
+                                   'scale_factor', 'asc_type', 'n_real'))
 def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                               eigenvecs, prop_invar, rates, rate_weights,
                               freqs, params_idx_rates, branches, op_arrays,
@@ -144,7 +144,8 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                               rate_scalers: bool = False,
                               valid=None, levels: bool = False,
                               use_pallas: bool = False,
-                              pallas_interpret: bool = False):
+                              pallas_interpret: bool = False,
+                              asc_type: int = 0, n_real: int = -1):
     """k chained full-traversal evaluations in ONE dispatch (the CLV state
     threads through the loop, so XLA cannot hoist the work). Benchmarking
     helper: amortizes host->device dispatch latency."""
@@ -156,7 +157,8 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
             op_arrays, root_idx, pattern_weights, invariant,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
             valid=valid, levels=levels, use_pallas=use_pallas,
-            pallas_interpret=pallas_interpret)
+            pallas_interpret=pallas_interpret, asc_type=asc_type,
+            n_real=n_real)
         return clv, scaler, acc + total
     clv, scaler, acc = jax.lax.fori_loop(
         0, k, body, (clv, scaler, jnp.zeros((), clv.dtype)))
@@ -475,7 +477,8 @@ class TreeEngine:
             p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
             valid=self.valid, levels=self.levels,
             use_pallas=self.use_pallas,
-            pallas_interpret=self.pallas_interpret)
+            pallas_interpret=self.pallas_interpret,
+            asc_type=self.asc_type, n_real=self.n_real)
         return float(acc)
 
     def newton_step(self):
