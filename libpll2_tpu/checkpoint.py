@@ -53,6 +53,13 @@ def save(path: str, partition: Partition, tree: Optional[UTree] = None,
         rate_scalers=np.bool_(p.rate_scalers),
         sites_padded=np.int64(p.sites_padded),
     )
+    # tips set via set_tip_clv hold raw probabilities that tip_states
+    # cannot reconstruct — persist those CLV rows explicitly
+    clv_tips = np.flatnonzero(getattr(p, "_tips_clv_set",
+                                      np.zeros(p.tips, dtype=bool)))
+    if clv_tips.size:
+        payload["tip_clv_indices"] = clv_tips.astype(np.int64)
+        payload["tip_clv_rows"] = np.asarray(p.clv)[clv_tips]
     if tree is not None:
         payload["newick"] = np.bytes_(export_newick(tree.vroot))
     if include_clvs:
@@ -104,6 +111,14 @@ def load(path: str) -> Tuple[Partition, Optional[UTree], dict]:
     tip_states = z["tip_states"]
     for t in np.flatnonzero(z["tips_set"]):
         part._set_tip_masks(int(t), tip_states[t, :sites])
+    if "tip_clv_indices" in z:
+        idx = z["tip_clv_indices"].astype(np.int64)
+        part.clv = part.clv.at[jnp.asarray(idx)].set(
+            jnp.asarray(z["tip_clv_rows"], part.dtype))
+        part._tips_clv_set[idx] = True
+        if part.repeats is not None:
+            for t in idx:
+                part.repeats.reset_node(int(t))
 
     if "clv" in z:
         part.clv = jnp.asarray(z["clv"], part.dtype)

@@ -68,7 +68,7 @@ def encode_msa(sequences: Sequence[str], charmap: np.ndarray) -> np.ndarray:
         if len(seq) != length:
             raise C.PllError(C.ERROR_FASTA_NONALIGNED,
                              "sequences are not aligned")
-        row = cm[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
+        row = cm[np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)]
         if np.any(row == 0):
             bad = seq[int(np.argmax(row == 0))]
             raise C.PllError(C.ERROR_TIPDATA_ILLEGALSTATE,

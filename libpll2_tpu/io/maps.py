@@ -99,7 +99,9 @@ def validate_sequence(sequence: str, char_class: np.ndarray) -> str:
 
 def decode_states(sequence: str, charmap: np.ndarray) -> np.ndarray:
     """Map a sequence string to uint64 state bitmasks; 0 marks illegal chars."""
-    codes = np.frombuffer(sequence.encode('ascii'), dtype=np.uint8)
+    # latin-1 maps every code point 0-255 to one byte, so illegal bytes
+    # reach the charmap==0 PllError path instead of UnicodeEncodeError
+    codes = np.frombuffer(sequence.encode('latin-1'), dtype=np.uint8)
     return charmap[codes]
 
 

@@ -210,6 +210,9 @@ class Partition:
         # per-tip state bitmasks, for invariant-site detection
         self.tip_states = np.zeros((tips, S), dtype=np.uint64)
         self._tips_set = np.zeros(tips, dtype=bool)
+        # tips whose CLV came from set_tip_clv (raw probabilities, not
+        # reconstructible from tip_states) — checkpointing persists these
+        self._tips_clv_set = np.zeros(tips, dtype=bool)
 
     # ------------------------------------------------------------------ tips
     def set_tip_states(self, tip_index: int, charmap: np.ndarray,
@@ -230,6 +233,7 @@ class Partition:
         """Install decoded state bitmasks as a tip CLV (and repeat classes)."""
         self.tip_states[tip_index, :self.sites] = masks
         self._tips_set[tip_index] = True
+        self._tips_clv_set[tip_index] = False
         self._invariant_valid = False
 
         block = np.zeros((self.rate_cats, self.states, self.sites_padded))
@@ -269,8 +273,19 @@ class Partition:
         if self.asc_extra:
             eye = np.eye(self.states)
             block[:, :, self.sites:self.sites + self.states] = eye[None]
+        if self.repeats is not None:
+            # arbitrary probabilities have no state code to class by: reset
+            # this tip to the identity mapping (repeats disabled for it) and
+            # invalidate any cached schedule built from the old classes
+            self.repeats.reset_node(tip_index)
+            self._repeat_key = None
+            self._repeat_schedule = None
         self.clv = self.clv.at[tip_index].set(
             jnp.asarray(block, dtype=self.dtype))
+        # probabilities are not state bitmasks: this tip can no longer
+        # participate in bitwise invariant-site detection
+        self._tips_set[tip_index] = False
+        self._tips_clv_set[tip_index] = True
         self._invariant_valid = False
 
     # ----------------------------------------------------------------- model
@@ -415,12 +430,19 @@ class Partition:
                              "Operations")
         if self.repeats is not None:
             from .repeats import schedule_buckets
-            # rebuild the class schedule only when the topology (operation
-            # list) or tip data changed — identical ops yield identical
-            # classes, so repeated evaluations skip the O(ops*sites) dedup
-            key = tuple((o.parent_clv_index, o.child1_clv_index,
-                         o.child2_clv_index) for o in operations)
-            if (self._repeat_schedule is None
+            # rebuild the class schedule only when the operation list or tip
+            # data changed — the cached packed Operations embed ALL op
+            # fields (matrix + scaler indices too), so the key must as well
+            key = tuple((o.parent_clv_index, o.parent_scaler_index,
+                         o.child1_clv_index, o.child1_matrix_index,
+                         o.child1_scaler_index, o.child2_clv_index,
+                         o.child2_matrix_index, o.child2_scaler_index)
+                        for o in operations)
+            if not update_repeats and self._repeat_schedule is not None:
+                # reference PLL_ATTRIB semantics: reuse the existing class
+                # schedule (pll_update_partials_rep update_repeats=0)
+                pass
+            elif (self._repeat_schedule is None
                     or getattr(self, "_repeat_key", None) != key):
                 self._repeat_key = key
                 sched = schedule_buckets(self.repeats, operations,

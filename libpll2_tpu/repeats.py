@@ -69,6 +69,15 @@ class RepeatsTable:
         self.id_site = ident.copy()
         self.ids = np.zeros(self.nodes, dtype=np.int32)
 
+    def reset_node(self, node: int) -> None:
+        """Restore the identity mapping (repeats disabled) for one node —
+        used when a tip CLV is overwritten with raw probabilities that have
+        no state code to class by."""
+        ident = np.arange(self.sites, dtype=np.int32)
+        self.site_id[node, :] = ident
+        self.id_site[node, :] = ident
+        self.ids[node] = 0
+
     def classes(self, node: int) -> int:
         """Effective class count (sites when repeats are off)."""
         n = int(self.ids[node])
