@@ -189,6 +189,24 @@ def bench_reference():
     return rate
 
 
+def run_validation():
+    """Numerical parity gate (bench_validate.py) in a subprocess so its
+    fp64 config cannot leak into this process. Returns 'passed/cases' or
+    None. Every benchmark line doubles as a correctness certificate."""
+    if os.environ.get("BENCH_VALIDATE", "1") != "1":
+        return None
+    try:
+        r = subprocess.run([sys.executable,
+                            str(REPO / "bench_validate.py")],
+                           capture_output=True, text=True, timeout=540)
+        log(r.stderr[-2000:])
+        payload = json.loads((REPO / "VALIDATE.json").read_text())
+        return f"{payload['passed']}/{payload['cases']}"
+    except Exception as e:
+        log("validation gate failed to run:", repr(e))
+        return "error"
+
+
 def main():
     tpu_rate, evals_per_sec = bench_tpu()
     try:
@@ -196,12 +214,14 @@ def main():
     except Exception as e:       # baseline failure must not kill the bench
         log("reference baseline failed:", repr(e))
         ref_rate = None
+    validated = run_validation()
     vs = (tpu_rate / ref_rate) if ref_rate else None
     print(json.dumps({
         "metric": "clv_site_updates_per_sec",
         "value": round(tpu_rate, 1),
         "unit": "site-updates/s",
         "vs_baseline": round(vs, 3) if vs else None,
+        "validated": validated,
     }), flush=True)
 
 

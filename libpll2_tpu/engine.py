@@ -31,6 +31,7 @@ from .ops import derivatives as ops_derivatives
 from .ops import likelihood as ops_likelihood
 from .ops import partials as ops_partials
 from .ops import pallas_partials as ops_pallas
+from .ops import pallas_fused as ops_fused
 from .ops import pmatrix as ops_pmatrix
 from .partition import Operation, Partition, pack_operations
 from .trees import create_operations, traverse
@@ -38,7 +39,8 @@ from .trees import create_operations, traverse
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
-                                   'scale_factor', 'asc_type', 'n_real'))
+                                   'scale_factor', 'asc_type', 'n_real',
+                                   'fused_slots'))
 def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                          prop_invar, rates, rate_weights, freqs,
                          params_idx_rates, branches,
@@ -48,15 +50,44 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                          valid=None, levels: bool = False,
                          use_pallas: bool = False,
                          pallas_interpret: bool = False,
-                         asc_type: int = 0, n_real: int = -1):
+                         asc_type: int = 0, n_real: int = -1,
+                         fused_slots: int = 0):
     """branches[e] is ordered by pmatrix index e. With `levels`, op_arrays
     are [L, W] level-grouped and each level runs as one batched launch; with
     `use_pallas` they are per-level [8, W] index tables driving the fused
-    Pallas kernel (ops/pallas_partials.py)."""
+    Pallas kernel (ops/pallas_partials.py). With `fused_slots` > 0,
+    op_arrays is (table, tip_codes) for the single-pass whole-traversal
+    kernel (ops/pallas_fused.py): inner CLVs never touch HBM — only the
+    root edge's rows are scattered back into `clv`/`scaler`."""
     with jax.named_scope("pll.pmatrix"):
         pmatrix = ops_pmatrix.update_prob_matrices(
             eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
             params_idx_rates, branches)
+    if fused_slots > 0:
+        table, tip_codes = op_arrays
+        p_clv, p_sc_i, c_clv, c_sc_i, mat = root_idx
+        with jax.named_scope("pll.fused_traversal"):
+            clv_p, clv_c, sc_p, sc_c = ops_fused.fused_traversal(
+                tip_codes, pmatrix, table,
+                rates=clv.shape[1], states=clv.shape[2],
+                n_slots=fused_slots, threshold=scale_threshold,
+                factor=scale_factor, interpret=pallas_interpret)
+        with jax.named_scope("pll.edge_logl"):
+            total, per = ops_likelihood.edge_loglikelihood(
+                clv_p, clv_c, sc_p, sc_c, jnp.take(pmatrix, mat, axis=0),
+                freqs, prop_invar, rate_weights, params_idx_rates,
+                pattern_weights, invariant, scale_threshold,
+                rate_scalers=rate_scalers, has_pscaler=True,
+                has_cscaler=True, asc_type=asc_type, n_real=n_real)
+        # keep the API contract for downstream consumers (sumtable,
+        # derivatives): the root edge's rows are refreshed; inner rows
+        # stay stale by design (they never left VMEM)
+        clv = clv.at[p_clv].set(clv_p.astype(clv.dtype))
+        clv = clv.at[c_clv].set(clv_c.astype(clv.dtype))
+        trash = scaler.shape[0] - 2
+        scaler = scaler.at[jnp.where(p_sc_i >= 0, p_sc_i, trash)].set(sc_p)
+        scaler = scaler.at[jnp.where(c_sc_i >= 0, c_sc_i, trash)].set(sc_c)
+        return total, per, clv, scaler, pmatrix
     with jax.named_scope("pll.partials"):
         if use_pallas:
             clv, scaler = ops_pallas.update_partials_pallas(
@@ -87,7 +118,8 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
-                                   'scale_factor', 'asc_type', 'n_real'))
+                                   'scale_factor', 'asc_type', 'n_real',
+                                   'fused_slots'))
 def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        prop_invar, rates, rate_weights, freqs,
                        params_idx_rates, branches,
@@ -97,7 +129,8 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        valid=None, levels: bool = False,
                        use_pallas: bool = False,
                        pallas_interpret: bool = False,
-                       asc_type: int = 0, n_real: int = -1):
+                       asc_type: int = 0, n_real: int = -1,
+                       fused_slots: int = 0):
     """One full 'training' step: evaluate the tree, then Newton-update the
     root branch length from d1/d2 (the reference's examples/newton loop body,
     reference: /root/reference/examples/newton/newton.c:66-96, fused)."""
@@ -107,7 +140,8 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
         op_arrays, root_idx, pattern_weights, invariant,
         scale_threshold, scale_factor, rate_scalers=rate_scalers,
         valid=valid, levels=levels, use_pallas=use_pallas,
-        pallas_interpret=pallas_interpret, asc_type=asc_type, n_real=n_real)
+        pallas_interpret=pallas_interpret, asc_type=asc_type, n_real=n_real,
+        fused_slots=fused_slots)
     p_clv, p_sc, c_clv, c_sc, mat = root_idx
     sumtable = ops_derivatives.update_sumtable(
         jnp.take(clv, p_clv, axis=0), jnp.take(clv, c_clv, axis=0),
@@ -135,7 +169,8 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
-                                   'scale_factor', 'asc_type', 'n_real'))
+                                   'scale_factor', 'asc_type', 'n_real',
+                                   'fused_slots'))
 def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                               eigenvecs, prop_invar, rates, rate_weights,
                               freqs, params_idx_rates, branches, op_arrays,
@@ -145,20 +180,28 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                               valid=None, levels: bool = False,
                               use_pallas: bool = False,
                               pallas_interpret: bool = False,
-                              asc_type: int = 0, n_real: int = -1):
+                              asc_type: int = 0, n_real: int = -1,
+                              fused_slots: int = 0):
     """k chained full-traversal evaluations in ONE dispatch (the CLV state
     threads through the loop, so XLA cannot hoist the work). Benchmarking
     helper: amortizes host->device dispatch latency."""
     def body(_, carry):
         clv, scaler, acc = carry
+        ops_i = op_arrays
+        if fused_slots > 0:
+            # thread the carry into the (otherwise loop-invariant) kernel
+            # inputs so XLA cannot hoist the traversal out of the loop
+            table, codes = op_arrays
+            dep = jnp.isnan(acc).astype(jnp.int32)       # always 0, traced
+            ops_i = (table + dep, codes)
         total, _, clv, scaler, _ = _fused_loglikelihood(
             clv, scaler, eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
             rates, rate_weights, freqs, params_idx_rates, branches,
-            op_arrays, root_idx, pattern_weights, invariant,
+            ops_i, root_idx, pattern_weights, invariant,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
             valid=valid, levels=levels, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret, asc_type=asc_type,
-            n_real=n_real)
+            n_real=n_real, fused_slots=fused_slots)
         return clv, scaler, acc + total
     clv, scaler, acc = jax.lax.fori_loop(
         0, k, body, (clv, scaler, jnp.zeros((), clv.dtype)))
@@ -167,7 +210,8 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
-                                   'scale_factor', 'asc_type', 'n_real'))
+                                   'scale_factor', 'asc_type', 'n_real',
+                                   'fused_slots'))
 def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        prop_invar, rates, rate_weights, freqs,
                        params_idx_rates, branches, op_arrays, root_idx,
@@ -177,7 +221,8 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        valid=None, levels: bool = False,
                        use_pallas: bool = False,
                        pallas_interpret: bool = False,
-                       asc_type: int = 0, n_real: int = -1):
+                       asc_type: int = 0, n_real: int = -1,
+                       fused_slots: int = 0):
     """k chained Newton iterations on the root branch in ONE dispatch
     (the reference's examples/newton loop, device-resident)."""
     def body(_, carry):
@@ -189,7 +234,7 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
             valid=valid, levels=levels, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret, asc_type=asc_type,
-            n_real=n_real)
+            n_real=n_real, fused_slots=fused_slots)
         return clv, scaler, branches, total, d1, d2
 
     zero = jnp.zeros((), clv.dtype)
@@ -199,24 +244,47 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
 
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold',
-                                   'scale_factor', 'asc_type', 'n_real'))
+                                   'scale_factor', 'asc_type', 'n_real',
+                                   'fused_slots', 'pallas_interpret'))
 def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                           prop_invar, rates, rate_weights, freqs,
                           params_idx_rates, branches_k, ops_k, root_idx_k,
                           pattern_weights, invariant,
                           scale_threshold, scale_factor,
                           rate_scalers: bool = False,
-                          asc_type: int = 0, n_real: int = -1):
+                          asc_type: int = 0, n_real: int = -1,
+                          fused_slots: int = 0,
+                          pallas_interpret: bool = False):
     """logL of K candidate topologies in ONE dispatch.
 
-    branches_k [K, E], ops_k: Operations with [K, n] arrays, root_idx_k
-    [K, 5]. Each candidate runs a full traversal from the same initial
-    CLVs (scan path: the op count is topology-invariant, so every
+    branches_k [K, E], ops_k: Operations with [K, n] arrays (scan path) or
+    (tables [K, n_ops+1, 8], tip_codes) for the single-pass traversal
+    kernel, root_idx_k [K, 5]. Each candidate runs a full traversal from
+    the same initial CLVs (the op count is topology-invariant, so every
     candidate reuses the same compiled body); only the scalar logL is
     kept, so memory stays at one CLV buffer. This is the TPU replacement
     for the reference consumers' move -> rescore -> rollback loop: tens of
     SPR/NNI candidates amortize one dispatch.
     """
+    if fused_slots > 0:
+        tables_k, tip_codes = ops_k
+
+        def body(carry, xs):
+            branches, table, root_idx = xs
+            total, _, _, _, _ = _fused_loglikelihood(
+                clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
+                prop_invar, rates, rate_weights, freqs, params_idx_rates,
+                branches, (table, tip_codes), root_idx, pattern_weights,
+                invariant, scale_threshold, scale_factor,
+                rate_scalers=rate_scalers, asc_type=asc_type,
+                n_real=n_real, fused_slots=fused_slots,
+                pallas_interpret=pallas_interpret)
+            return carry, total
+
+        _, totals = jax.lax.scan(body, None,
+                                 (branches_k, tables_k, root_idx_k))
+        return totals
+
     def body(carry, xs):
         branches, ops, root_idx = xs
         total, _, _, _, _ = _fused_loglikelihood(
@@ -245,9 +313,16 @@ class TreeEngine:
                  root=None, params_index: int = 0,
                  level_schedule: bool = True,
                  pallas="auto"):
-        """pallas: 'auto' (fused Pallas CLV kernel on TPU when eligible:
-        fp32, per-site scalers, no repeats, 128-aligned sites), True,
-        'interpret' (CPU debugging), or False."""
+        """pallas selects the CLV execution path:
+          'auto'  — single-pass whole-traversal kernel (ops/pallas_fused)
+                    on TPU when eligible (fp32, per-site scalers, no
+                    repeats, 128-aligned sites, all tips from state
+                    codes); falls back to the per-level kernel, then XLA;
+          True    — same preference, compiled on any backend;
+          'interpret' — same, kernels in interpret mode (CPU debugging);
+          'levels-kernel' / 'levels-interpret' — force the per-level
+                    Pallas kernel (ops/pallas_partials);
+          False   — pure XLA (scan or level schedule)."""
         self.partition = partition
         p = partition
         if p.repeats is not None:
@@ -276,38 +351,31 @@ class TreeEngine:
         eligible = (p.dtype == jnp.float32 and not p.rate_scalers
                     and p.repeats is None and p.sites_padded % 128 == 0
                     and getattr(p, "mesh", None) is None)
-        self.pallas_interpret = pallas == "interpret"
-        self.use_pallas = bool(pallas) and eligible and (
-            jax.default_backend() == "tpu" if pallas == "auto" else True)
+        on_target = (jax.default_backend() == "tpu" if pallas == "auto"
+                     else True)
+        self.pallas_interpret = pallas in ("interpret", "levels-interpret")
+        want_fused = pallas in ("auto", True, "interpret")
+        want_levelk = want_fused or pallas in ("levels-kernel",
+                                               "levels-interpret")
+        self._fused_wanted = (want_fused and eligible and on_target
+                              and pallas not in ("levels-kernel",
+                                                 "levels-interpret")
+                              and bool(np.all(p._tips_set))
+                              and not bool(np.any(p._tips_clv_set)))
+        self._levelk_wanted = want_levelk and eligible and on_target
         self.levels = level_schedule
-        if self.use_pallas:
-            ops = ops_pallas.pack_pallas_levels(
-                operations, p.tips, scratch_clv=p.nodes,
-                zero_scaler_row=p.scale_buffers + 1,
-                trash_scaler_row=p.scale_buffers)
-            self.valid = None
-        elif level_schedule:
-            from .partition import pack_level_operations
-            ops, valid = pack_level_operations(operations, p.tips,
-                                               scratch_clv=p.nodes)
-            self.valid = self._rep(valid)
-        else:
-            ops = pack_operations(operations, scratch_clv=p.nodes)
-            self.valid = None
-        self.ops = jax.tree.map(self._rep, ops)
-        # branch lengths stored in pmatrix-index order
-        blen = np.zeros(p.prob_matrices)
-        blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
-        self.branches = self._rep(jnp.asarray(blen, p.dtype))
-        self.root_idx = self._rep(jnp.asarray(
-            [root.clv_index, root.scaler_index,
-             root.back.clv_index, root.back.scaler_index,
-             root.pmatrix_index], dtype=np.int32))
         self.params_index = params_index
         R = p.rate_cats
         self.params_idx_rates = self._rep(
             jnp.asarray([params_index] * R, np.int32))
+        self._tip_codes_version = None
+        self._pack_topology(operations, branches, pmatrix_indices, root)
         p._ensure_eigen([params_index])
+
+    @property
+    def use_pallas(self) -> bool:
+        """True when any Pallas CLV path (fused or per-level) is active."""
+        return self.use_fused or self.use_levelkernel
 
     @property
     def asc_type(self) -> int:
@@ -343,25 +411,50 @@ class TreeEngine:
         self._model_args()
         return self._site_cache
 
+    def _tip_codes(self):
+        """Device tip-bitmask matrix for the fused kernel, cached until a
+        tip setter bumps the partition's tip version."""
+        p = self.partition
+        v = getattr(p, "_tip_version", 0)
+        if self._tip_codes_version != v:
+            self._tip_codes_cache = self._site(
+                jnp.asarray(ops_fused.tip_code_matrix(p)))
+            self._tip_codes_version = v
+        return self._tip_codes_cache
+
     def _pack_topology(self, operations, branches, pmatrix_indices,
                        root) -> None:
         """(Re)build op tables, pmatrix-ordered branches and root indices
         for the configured execution mode."""
         p = self.partition
-        if self.use_pallas:
+        self.use_fused = False
+        self.fused_slots = 0
+        self.use_levelkernel = False
+        if self._fused_wanted:
+            table, n_slots = ops_fused.pack_fused_schedule(
+                operations, p.tips,
+                (root.clv_index, root.back.clv_index))
+            if table is not None:
+                self.use_fused = True
+                self.fused_slots = n_slots
+                self.valid = None
+                ops = (jnp.asarray(table), self._tip_codes())
+        if not self.use_fused and self._levelk_wanted:
+            self.use_levelkernel = True
             ops = ops_pallas.pack_pallas_levels(
                 operations, p.tips, scratch_clv=p.nodes,
                 zero_scaler_row=p.scale_buffers + 1,
                 trash_scaler_row=p.scale_buffers)
             self.valid = None
-        elif self.levels:
-            from .partition import pack_level_operations
-            ops, valid = pack_level_operations(operations, p.tips,
-                                               scratch_clv=p.nodes)
-            self.valid = self._rep(valid)
-        else:
-            ops = pack_operations(operations, scratch_clv=p.nodes)
-            self.valid = None
+        elif not self.use_fused:
+            if self.levels:
+                from .partition import pack_level_operations
+                ops, valid = pack_level_operations(operations, p.tips,
+                                                   scratch_clv=p.nodes)
+                self.valid = self._rep(valid)
+            else:
+                ops = pack_operations(operations, scratch_clv=p.nodes)
+                self.valid = None
         self.ops = jax.tree.map(self._rep, ops)
         # branch lengths stored in pmatrix-index order
         blen = np.zeros(p.prob_matrices)
@@ -393,9 +486,11 @@ class TreeEngine:
             p.clv, p.scale_buffer, *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
             p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
-            valid=self.valid, levels=self.levels, use_pallas=self.use_pallas,
+            valid=self.valid, levels=self.levels,
+            use_pallas=self.use_levelkernel,
             pallas_interpret=self.pallas_interpret,
-            asc_type=self.asc_type, n_real=self.n_real)
+            asc_type=self.asc_type, n_real=self.n_real,
+            fused_slots=self.fused_slots)
         p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
         return float(total)
 
@@ -425,30 +520,53 @@ class TreeEngine:
         while w < k:
             w *= 2
         packed, blens, roots = [], [], []
+        fused_tables = [] if self.use_fused else None
+        fused_slots = 0
         for ci in range(w):
             operations, branches, pmatrix_indices, root = \
                 candidates[min(ci, k - 1)]
-            packed.append(pack_operations(operations, scratch_clv=p.nodes))
-            b = np.zeros(p.prob_matrices)
-            b[np.asarray(pmatrix_indices)] = np.asarray(branches)
-            blens.append(b)
             # root may be a live UNode or a pre-snapshotted 5-tuple of
             # indices — candidates built from trial moves MUST snapshot
             # before rolling the move back (the node's pointers change)
             if isinstance(root, (tuple, list)):
-                roots.append(list(root))
+                ri = list(root)
             else:
-                roots.append([root.clv_index, root.scaler_index,
-                              root.back.clv_index, root.back.scaler_index,
-                              root.pmatrix_index])
-        ops_k = jax.tree.map(lambda *xs: jnp.stack(xs), *packed)
+                ri = [root.clv_index, root.scaler_index,
+                      root.back.clv_index, root.back.scaler_index,
+                      root.pmatrix_index]
+            roots.append(ri)
+            if fused_tables is not None:
+                table, n_slots = ops_fused.pack_fused_schedule(
+                    operations, p.tips, (ri[0], ri[2]))
+                if table is None:
+                    fused_tables = None    # fall back to the scan path
+                else:
+                    fused_tables.append(table)
+                    fused_slots = max(fused_slots, n_slots)
+            b = np.zeros(p.prob_matrices)
+            b[np.asarray(pmatrix_indices)] = np.asarray(branches)
+            blens.append(b)
+        if fused_tables is not None:
+            # round the shared slot count up so minor per-candidate
+            # variation does not trigger fresh kernel compiles
+            fused_slots = max(-(-fused_slots // 4) * 4, self.fused_slots)
+            ops_k = (jnp.asarray(np.stack(fused_tables)), self._tip_codes())
+        else:
+            for ci in range(w):
+                operations = candidates[min(ci, k - 1)][0]
+                packed.append(pack_operations(operations,
+                                              scratch_clv=p.nodes))
+            ops_k = jax.tree.map(lambda *xs: jnp.stack(xs), *packed)
+            fused_slots = 0
         totals = _fused_multi_topology(
             p.clv, p.scale_buffer, *self._model_args(),
             jnp.asarray(np.stack(blens), p.dtype), ops_k,
             jnp.asarray(np.asarray(roots, dtype=np.int32)),
             *self._site_args(), p.scale_threshold, p.scale_factor,
             rate_scalers=p.rate_scalers,
-            asc_type=self.asc_type, n_real=self.n_real)
+            asc_type=self.asc_type, n_real=self.n_real,
+            fused_slots=fused_slots,
+            pallas_interpret=self.pallas_interpret)
         return np.asarray(totals)[:k]
 
     def newton_loop(self, k: int):
@@ -460,9 +578,10 @@ class TreeEngine:
             self.branches, self.ops, self.root_idx, *self._site_args(),
             p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
             valid=self.valid, levels=self.levels,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_levelkernel,
             pallas_interpret=self.pallas_interpret,
-            asc_type=self.asc_type, n_real=self.n_real)
+            asc_type=self.asc_type, n_real=self.n_real,
+            fused_slots=self.fused_slots)
         self.branches = branches
         p.clv, p.scale_buffer = clv, scaler
         return float(total), float(d1), float(d2)
@@ -476,9 +595,10 @@ class TreeEngine:
             self.branches, self.ops, self.root_idx, *self._site_args(),
             p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
             valid=self.valid, levels=self.levels,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_levelkernel,
             pallas_interpret=self.pallas_interpret,
-            asc_type=self.asc_type, n_real=self.n_real)
+            asc_type=self.asc_type, n_real=self.n_real,
+            fused_slots=self.fused_slots)
         return float(acc)
 
     def newton_step(self):
@@ -489,9 +609,11 @@ class TreeEngine:
             p.clv, p.scale_buffer, *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
             p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
-            valid=self.valid, levels=self.levels, use_pallas=self.use_pallas,
+            valid=self.valid, levels=self.levels,
+            use_pallas=self.use_levelkernel,
             pallas_interpret=self.pallas_interpret,
-            asc_type=self.asc_type, n_real=self.n_real)
+            asc_type=self.asc_type, n_real=self.n_real,
+            fused_slots=self.fused_slots)
         self.branches = branches
         p.clv, p.scale_buffer = clv, scaler
         return float(total), float(d1), float(d2)

@@ -1,0 +1,287 @@
+"""Fused full-traversal Pallas kernel: the whole postorder in ONE kernel.
+
+The per-level kernel (ops/pallas_partials.py) still round-trips every CLV
+through HBM: each of the ~N pruning ops reads two [R*s, S] child rows and
+writes one parent row — ~6 MB of HBM traffic per op at the flagship size,
+which bounds the traversal at ~10% of the chip (VERDICT r1 roofline). This
+kernel removes nearly all of that traffic:
+
+  * grid = (sites/TILE,): one grid step owns a site tile END TO END;
+  * tips are read as packed int32 state BITMASKS (4 B/site instead of
+    R*s*4 B/site — 16x less for DNA, 80x for AA) and bit-decoded into
+    indicator CLVs on the fly (the reference's tip-inner specialization,
+    /root/reference/src/core_partials.c:366-478, re-imagined for TPU);
+  * inner CLVs never touch HBM: a host-side linear-scan register
+    allocator (pack_fused_schedule) maps nodes to a small set of VMEM
+    slots (max-live is O(tree depth) for postorder, typically < 20), and
+    the in-kernel fori_loop over the operation table reads/writes slots;
+  * only the root edge's two CLVs + scalers are written out — the edge
+    log-likelihood, sumtable and derivatives stay in XLA.
+
+HBM traffic per traversal falls from ops*3*R*s*4 B/site to tips*4 B/site
+(+ the two root rows), making the kernel VPU/MXU-bound. The state
+contraction is an unrolled FMA over states for small alphabets and an MXU
+`jnp.dot` per rate for >= 16 states.
+
+Numerical semantics are IDENTICAL to the XLA scan path (and the
+reference): per-site underflow scaling with threshold/factor, scalers
+propagated as integer counts (kept in f32 rows in VMEM, exact to 2^24),
+tips contribute scaler 0. Only eligible when every inner op has a scaler
+buffer (the standard full-traversal layout) and every tip was set from
+state codes.
+
+fp32 only (the TPU fast path; fp64 validation stays on the XLA path).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+VMEM_BUDGET = 10 * 1024 * 1024     # conservative per-core VMEM budget
+
+
+def pack_fused_schedule(operations, n_tips: int, root_pair):
+    """Linear-scan register allocation of the postorder onto VMEM slots.
+
+    Returns (table [n_ops+1, 8] int32, n_slots). Table rows per op:
+      [parent_slot, l_is_tip, l_idx, m1, r_is_tip, r_idx, m2, has_scaler]
+    where l_idx/r_idx is a tip row (is_tip=1) or a slot id (is_tip=0).
+    The extra last row holds the root edge:
+      [p_is_tip, p_idx, c_is_tip, c_idx, 0, 0, 0, 0].
+
+    Returns None when the list is not a plain full/partial postorder the
+    kernel supports (an op consumes a CLV that was never produced, or an
+    inner op lacks a scaler buffer).
+    """
+    root_p, root_c = root_pair
+    last_use = {}
+    for k, op in enumerate(operations):
+        for c in (op.child1_clv_index, op.child2_clv_index):
+            if c >= n_tips:
+                last_use[c] = k
+    n_ops = len(operations)
+    for rn in (root_p, root_c):
+        if rn >= n_tips:
+            last_use[rn] = n_ops          # alive until the end
+
+    free: list = []
+    slot_of: dict = {}
+    n_slots = 0
+    table = np.zeros((n_ops + 1, 8), dtype=np.int32)
+    for k, op in enumerate(operations):
+        if op.parent_scaler_index < 0:
+            return None, 0                 # kernel assumes scaler per op
+        row = [0] * 8
+        for pos, (c, m) in enumerate(
+                ((op.child1_clv_index, op.child1_matrix_index),
+                 (op.child2_clv_index, op.child2_matrix_index))):
+            if c < n_tips:
+                row[1 + 3 * pos] = 1
+                row[2 + 3 * pos] = c
+            else:
+                if c not in slot_of:
+                    return None, 0         # consumed before produced
+                row[1 + 3 * pos] = 0
+                row[2 + 3 * pos] = slot_of[c]
+            row[3 + 3 * pos] = m
+        # free dying children BEFORE allocating the parent: the kernel
+        # fully reads both children into registers before writing, so the
+        # parent may safely reuse a dead child's slot
+        for c in (op.child1_clv_index, op.child2_clv_index):
+            if c >= n_tips and last_use.get(c) == k:
+                free.append(slot_of.pop(c))
+        if free:
+            ps = free.pop()
+        else:
+            ps = n_slots
+            n_slots += 1
+        slot_of[op.parent_clv_index] = ps
+        row[0] = ps
+        row[7] = 1
+        table[k] = row
+
+    def root_entry(c):
+        if c < n_tips:
+            return 1, c
+        if c not in slot_of:
+            return None
+        return 0, slot_of[c]
+
+    pe, ce = root_entry(root_p), root_entry(root_c)
+    if pe is None or ce is None:
+        return None, 0
+    table[n_ops] = [pe[0], pe[1], ce[0], ce[1], 0, 0, 0, 0]
+    return table, max(n_slots, 1)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def fused_tile(sites: int, n_tips: int, n_slots: int, rates: int,
+               states: int) -> int:
+    """Largest lane-aligned site tile that keeps all buffers in VMEM."""
+    import os
+    stride = _round_up(rates * states, 8)
+    # bytes per site column: tips block (x2 pipeline), slots, scalers, outs
+    per_col = (n_tips * 4 * 2 + n_slots * stride * 4 + n_slots * 8 * 4
+               + (2 * stride + 2) * 4 * 2)
+    t = (VMEM_BUDGET // per_col) // LANE * LANE
+    forced = int(os.environ.get("PLL_PALLAS_TILE", "0"))
+    if forced and sites % forced == 0:
+        return forced
+    t = max(LANE, min(t, 4096))
+    while t > LANE and sites % t:
+        t -= LANE
+    return t if sites % t == 0 else sites
+
+
+def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
+                  tips_ref,            # [n_tips, T] int32
+                  pm_ref,              # [E, R, s, s] f32 (VMEM resident)
+                  outp_ref,            # [stride, T]
+                  outc_ref,            # [stride, T]
+                  scp_ref,             # [1, 1, T] int32
+                  scc_ref,             # [1, 1, T] int32
+                  clvbuf,              # VMEM [n_slots*stride, T] f32
+                  scalbuf,             # VMEM [n_slots*8, T] f32
+                  *, rates: int, states: int, stride: int,
+                  threshold: float, factor: float, n_ops: int,
+                  use_dot: bool):
+    rs = rates * states
+    tile = tips_ref.shape[-1]
+    f32 = jnp.float32
+
+    def decode_tip(row):
+        code = tips_ref[pl.ds(row, 1), :]                     # [1, T] int32
+        ind = jnp.concatenate(
+            [((code >> j) & 1).astype(f32) for j in range(states)], axis=0)
+        full = jnp.concatenate([ind] * rates, axis=0)         # [rs, T]
+        if stride > rs:
+            full = jnp.concatenate(
+                [full, jnp.zeros((stride - rs, tile), f32)], axis=0)
+        return full
+
+    def load_child(is_tip, idx):
+        return jax.lax.cond(
+            is_tip == 1,
+            lambda: (decode_tip(idx), jnp.zeros((8, tile), f32)),
+            lambda: (clvbuf[pl.ds(idx * stride, stride), :],
+                     scalbuf[pl.ds(idx * 8, 8), :]))
+
+    def matvecs(pm, child):
+        """[stride, T] terms: per rate, P[r] @ child[r]."""
+        rows = []
+        for r in range(rates):
+            crow = child[r * states:(r + 1) * states]          # [s, T]
+            p_r = pm[0, r]                                     # [s, s]
+            if use_dot:
+                rows.append(jnp.dot(p_r, crow,
+                                    preferred_element_type=f32))
+            else:
+                acc = jnp.zeros((states, tile), f32)
+                for j in range(states):
+                    acc = acc + p_r[:, j][:, None] * crow[j][None, :]
+                rows.append(acc)
+        return jnp.concatenate(rows, axis=0)                   # [rs, T]
+
+    def body(i, _):
+        pslot = tbl_ref[i, 0]
+        left, lsc = load_child(tbl_ref[i, 1], tbl_ref[i, 2])
+        right, rsc = load_child(tbl_ref[i, 4], tbl_ref[i, 5])
+        pml = pm_ref[pl.ds(tbl_ref[i, 3], 1)]                  # [1, R, s, s]
+        pmr = pm_ref[pl.ds(tbl_ref[i, 6], 1)]
+        x = matvecs(pml, left[:rs]) * matvecs(pmr, right[:rs])  # [rs, T]
+        small = jnp.all(x < threshold, axis=0)                  # [T]
+        scale = small & (tbl_ref[i, 7] > 0)
+        x = jnp.where(scale[None, :], x * factor, x)
+        if stride > rs:
+            x = jnp.concatenate(
+                [x, jnp.zeros((stride - rs, tile), f32)], axis=0)
+        newsc = lsc + rsc + scale.astype(f32)[None, :]          # [8, T]
+        clvbuf[pl.ds(pslot * stride, stride), :] = x
+        scalbuf[pl.ds(pslot * 8, 8), :] = newsc
+        return 0
+
+    jax.lax.fori_loop(0, n_ops, body, 0)
+
+    outp, psc = load_child(tbl_ref[n_ops, 0], tbl_ref[n_ops, 1])
+    outc, csc = load_child(tbl_ref[n_ops, 2], tbl_ref[n_ops, 3])
+    outp_ref[...] = outp
+    outc_ref[...] = outc
+    scp_ref[0, 0] = psc[0].astype(jnp.int32)
+    scc_ref[0, 0] = csc[0].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=('rates', 'states', 'n_slots',
+                                   'threshold', 'factor', 'interpret'))
+def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
+                    pmatrix: jnp.ndarray,     # [E, R, s, s] f32
+                    table: jnp.ndarray,       # [n_ops+1, 8] int32
+                    rates: int, states: int, n_slots: int,
+                    threshold: float, factor: float,
+                    interpret: bool = False):
+    """One full postorder; returns (clv_p, clv_c, scaler_p, scaler_c) for
+    the root edge: CLVs [R, s, S] f32 and scalers [S] int32."""
+    n_tips, sites = tip_codes.shape
+    stride = _round_up(rates * states, 8)
+    tile = fused_tile(sites, n_tips, n_slots, rates, states)
+    n_ops = table.shape[0] - 1
+    e, r, s = pmatrix.shape[0], rates, states
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(sites // tile,),
+        in_specs=[
+            pl.BlockSpec((n_tips, tile), lambda j, tbl: (0, j)),
+            pl.BlockSpec((e, r, s, s), lambda j, tbl: (0, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((stride, tile), lambda j, tbl: (0, j)),
+            pl.BlockSpec((stride, tile), lambda j, tbl: (0, j)),
+            pl.BlockSpec((1, 1, tile), lambda j, tbl: (0, 0, j)),
+            pl.BlockSpec((1, 1, tile), lambda j, tbl: (0, 0, j)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_slots * stride, tile), jnp.float32),
+            pltpu.VMEM((n_slots * 8, tile), jnp.float32),
+        ],
+    )
+    kernel = partial(_fused_kernel, rates=rates, states=states,
+                     stride=stride, threshold=threshold, factor=factor,
+                     n_ops=n_ops, use_dot=states >= 16)
+    outp, outc, scp, scc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((stride, sites), jnp.float32),
+            jax.ShapeDtypeStruct((stride, sites), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, sites), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1, sites), jnp.int32),
+        ],
+        interpret=interpret,
+    )(table, tip_codes, pmatrix.astype(jnp.float32))
+    rs = rates * states
+    clv_p = outp[:rs].reshape(rates, states, sites)
+    clv_c = outc[:rs].reshape(rates, states, sites)
+    return clv_p, clv_c, scp[0, 0], scc[0, 0]
+
+
+def tip_code_matrix(partition) -> np.ndarray:
+    """int32 state-bitmask matrix [tips, sites_padded] for the kernel:
+    real sites carry the decoded charmap masks, synthetic asc columns the
+    single-state masks, padded columns 0 (-> zero CLVs, weight 0)."""
+    p = partition
+    codes = np.zeros((p.tips, p.sites_padded), dtype=np.int32)
+    codes[:, :p.sites] = p.tip_states[:, :p.sites].astype(np.int64) \
+        .astype(np.int32)
+    if p.asc_extra:
+        for k in range(p.states):
+            codes[:, p.sites + k] = 1 << k
+    return codes

@@ -150,6 +150,49 @@ def maximize_loglikelihood(engine: TreeEngine,
     return final, best_params, history
 
 
+def newton_smooth_all(engine: TreeEngine, tree, passes: int = 2,
+                      iterations: int = 8) -> float:
+    """All-branches Newton smoothing in ONE device dispatch.
+
+    The device-resident analog of `newton_optimize_branches` (the
+    reference's tree-wide smoothing loop, examples/newton applied per
+    edge): per pass, a postorder refresh then a pre-order walk that
+    optimizes every edge with `iterations` Newton updates, reorienting
+    CLVs via auxiliary "up" rows (ops/branch_sweep.py). The tree's branch
+    lengths and the engine's stored branches are updated in place; returns
+    the final log-likelihood."""
+    import jax
+
+    from .ops import branch_sweep
+    from .partition import pack_operations
+    from .trees import create_operations as _create_ops
+    from .trees.utree import traverse as _traverse
+
+    p = engine.partition
+    trav = _traverse(tree.vroot)
+    operations, branches, pmatrix_indices = _create_ops(trav)
+    steps, n_aux = branch_sweep.build_smoothing_schedule(
+        tree, p.nodes, p.scale_buffers, p.prob_matrices)
+    ops = pack_operations(operations, scratch_clv=p.nodes)
+    blen = np.zeros(p.prob_matrices)
+    blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
+    (ev, inv_evecs, evecs, prop_invar, rates, rate_weights, freqs,
+     params_idx_rates) = engine._model_args()
+    pw, invariant = engine._site_args()
+    new_branches, pmatrix, clv, scaler = branch_sweep.newton_sweep(
+        p.clv, p.scale_buffer, p.pmatrix,
+        jnp.asarray(blen, p.dtype),
+        ev, inv_evecs, evecs, prop_invar, rates, rate_weights, freqs,
+        params_idx_rates, ops, jnp.asarray(steps), pw, invariant,
+        p.scale_threshold, p.scale_factor,
+        passes=passes, iterations=iterations, n_aux=n_aux,
+        asc_type=engine.asc_type, n_real=engine.n_real)
+    p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
+    engine.branches = new_branches
+    engine.apply_branches_to_tree(tree)
+    return engine.loglikelihood()
+
+
 def newton_optimize_branches(partition, tree, params_indices,
                              passes: int = 2, iterations: int = 8,
                              tol: float = 1e-6) -> float:

@@ -213,6 +213,8 @@ class Partition:
         # tips whose CLV came from set_tip_clv (raw probabilities, not
         # reconstructible from tip_states) — checkpointing persists these
         self._tips_clv_set = np.zeros(tips, dtype=bool)
+        # bumped by tip setters; engines cache tip-code matrices on it
+        self._tip_version = 0
 
     # ------------------------------------------------------------------ tips
     def set_tip_states(self, tip_index: int, charmap: np.ndarray,
@@ -234,6 +236,7 @@ class Partition:
         self.tip_states[tip_index, :self.sites] = masks
         self._tips_set[tip_index] = True
         self._tips_clv_set[tip_index] = False
+        self._tip_version += 1
         self._invariant_valid = False
 
         block = np.zeros((self.rate_cats, self.states, self.sites_padded))
@@ -286,6 +289,7 @@ class Partition:
         # participate in bitwise invariant-site detection
         self._tips_set[tip_index] = False
         self._tips_clv_set[tip_index] = True
+        self._tip_version += 1
         self._invariant_valid = False
 
     # ----------------------------------------------------------------- model

@@ -1,5 +1,8 @@
 """Pallas CLV kernel validation (interpret mode on CPU): exact equality
-with the XLA level path in fp32, including underflow-scaling cases."""
+with the XLA level path in fp32, including underflow-scaling cases.
+
+Two kernels are covered: the per-level kernel ('levels-interpret') and the
+single-pass whole-traversal kernel ('interpret', ops/pallas_fused.py)."""
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -11,6 +14,8 @@ from libpll2_tpu.utils import simulate_alignment
 
 FREQS = [0.3, 0.2, 0.2, 0.3]
 SUBST = [1, 2, 1, 1, 2, 1]
+
+KERNELS = ["levels-interpret", "interpret"]
 
 
 def _build(tree, headers, seqs, sites, states=4, rate_cats=4):
@@ -29,19 +34,22 @@ def _build(tree, headers, seqs, sites, states=4, rate_cats=4):
     return part
 
 
-def test_pallas_matches_xla_random_tree():
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_pallas_matches_xla_random_tree(kernel):
     tree = random_utree([f"t{i}" for i in range(12)], seed=5)
     headers, seqs = simulate_alignment(tree, 256, FREQS, SUBST,
                                        alpha=0.9, seed=5)
     e_xla = TreeEngine(_build(tree, headers, seqs, 256), tree, pallas=False)
     e_pl = TreeEngine(_build(tree, headers, seqs, 256), tree,
-                      pallas="interpret")
+                      pallas=kernel)
     assert e_pl.use_pallas
+    assert e_pl.use_fused == (kernel == "interpret")
     np.testing.assert_array_equal(e_pl.loglikelihood(),
                                   e_xla.loglikelihood())
 
 
-def test_pallas_matches_xla_with_scaling():
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_pallas_matches_xla_with_scaling(kernel):
     """Caterpillar topology forces fp32 underflow scaling (2^-64 window)."""
     n = 80
     text = f"t{n-1}:0.1"
@@ -53,7 +61,7 @@ def test_pallas_matches_xla_with_scaling():
     p_xla = _build(tree, headers, seqs, 128)
     p_pl = _build(tree, headers, seqs, 128)
     e_xla = TreeEngine(p_xla, tree, pallas=False)
-    e_pl = TreeEngine(p_pl, tree, pallas="interpret")
+    e_pl = TreeEngine(p_pl, tree, pallas=kernel)
     lk_x = e_xla.loglikelihood()
     lk_p = e_pl.loglikelihood()
     # scaling must actually trigger for this test to mean anything
@@ -61,13 +69,23 @@ def test_pallas_matches_xla_with_scaling():
         p_xla.scale_buffer[:p_xla.scale_buffers]).sum())
     assert n_scaled > 0
     np.testing.assert_array_equal(lk_p, lk_x)
-    # scaler contents identical row by row
-    np.testing.assert_array_equal(
-        np.asarray(p_pl.scale_buffer[:p_pl.scale_buffers]),
-        np.asarray(p_xla.scale_buffer[:p_xla.scale_buffers]))
+    if kernel == "levels-interpret":
+        # per-level kernel materializes every scaler row
+        np.testing.assert_array_equal(
+            np.asarray(p_pl.scale_buffer[:p_pl.scale_buffers]),
+            np.asarray(p_xla.scale_buffer[:p_xla.scale_buffers]))
+    else:
+        # fused kernel materializes only the root edge rows
+        root = tree.vroot
+        for idx in (root.scaler_index, root.back.scaler_index):
+            if idx >= 0:
+                np.testing.assert_array_equal(
+                    np.asarray(p_pl.scale_buffer[idx]),
+                    np.asarray(p_xla.scale_buffer[idx]))
 
 
-def test_pallas_matches_xla_20_states():
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_pallas_matches_xla_20_states(kernel):
     from libpll2_tpu.models import load_aa_model
     tree = random_utree([f"t{i}" for i in range(8)], seed=3)
     headers, seqs = simulate_alignment(tree, 256, [1 / 20] * 20,
@@ -85,17 +103,106 @@ def test_pallas_matches_xla_20_states():
         return part
 
     e_xla = TreeEngine(build(), tree, pallas=False)
-    e_pl = TreeEngine(build(), tree, pallas="interpret")
+    e_pl = TreeEngine(build(), tree, pallas=kernel)
     assert e_pl.use_pallas
     np.testing.assert_array_equal(e_pl.loglikelihood(),
                                   e_xla.loglikelihood())
 
 
-def test_pallas_newton_matches_xla():
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_pallas_newton_matches_xla(kernel):
     tree = random_utree([f"t{i}" for i in range(10)], seed=9)
     headers, seqs = simulate_alignment(tree, 128, FREQS, SUBST,
                                        alpha=0.9, seed=9)
     e_xla = TreeEngine(_build(tree, headers, seqs, 128), tree, pallas=False)
     e_pl = TreeEngine(_build(tree, headers, seqs, 128), tree,
-                      pallas="interpret")
+                      pallas=kernel)
     np.testing.assert_array_equal(e_pl.newton_step(), e_xla.newton_step())
+
+
+def test_fused_evaluate_topologies_matches_scan():
+    """The batched multi-topology scorer must agree between the fused
+    kernel path and the XLA scan path for NNI-style candidates."""
+    from libpll2_tpu.trees import create_operations, traverse
+    from libpll2_tpu.trees import moves
+    from libpll2_tpu import constants as C
+
+    tree = random_utree([f"t{i}" for i in range(10)], seed=2)
+    headers, seqs = simulate_alignment(tree, 128, FREQS, SUBST,
+                                       alpha=0.9, seed=2)
+    e_f = TreeEngine(_build(tree, headers, seqs, 128), tree,
+                     pallas="interpret")
+    e_x = TreeEngine(_build(tree, headers, seqs, 128), tree, pallas=False)
+    assert e_f.use_fused
+
+    candidates = []
+    inner = [n for n in tree.nodes() if not n.is_tip()]
+    for node in inner[:3]:
+        for h in node.ring():
+            if h.back is not None and not h.back.is_tip():
+                rb = moves.Rollback()
+                moves.nni(h, C.UTREE_MOVE_NNI_LEFT, rb)
+                trav = traverse(tree.vroot)
+                ops, br, pidx = create_operations(trav)
+                vr = tree.vroot
+                ri = (vr.clv_index, vr.scaler_index, vr.back.clv_index,
+                      vr.back.scaler_index, vr.pmatrix_index)
+                candidates.append((ops, br, pidx, ri))
+                moves.rollback_move(rb)
+                break
+    assert len(candidates) >= 2
+    sf = e_f.evaluate_topologies(candidates)
+    sx = e_x.evaluate_topologies(candidates)
+    # the scan path and the fused kernel are different execution plans;
+    # fp32 rounding may differ by ~1 ulp in the site accumulation
+    np.testing.assert_allclose(sf, sx, rtol=1e-6)
+
+
+def test_fused_newton_loop_matches_xla():
+    tree = random_utree([f"t{i}" for i in range(10)], seed=11)
+    headers, seqs = simulate_alignment(tree, 128, FREQS, SUBST,
+                                       alpha=0.9, seed=11)
+    e_xla = TreeEngine(_build(tree, headers, seqs, 128), tree, pallas=False)
+    e_f = TreeEngine(_build(tree, headers, seqs, 128), tree,
+                     pallas="interpret")
+    assert e_f.use_fused
+    lk_f, d1_f, d2_f = e_f.newton_loop(4)
+    lk_x, d1_x, d2_x = e_xla.newton_loop(4)
+    np.testing.assert_allclose(lk_f, lk_x, rtol=1e-6)
+    # at convergence d1 ~ 0; compare with absolute fp32 tolerance
+    np.testing.assert_allclose(d1_f, d1_x, atol=1e-4)
+    np.testing.assert_allclose(d2_f, d2_x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(e_f.branches),
+                               np.asarray(e_xla.branches), rtol=1e-5)
+
+
+def test_fused_loglikelihood_loop_matches_single():
+    tree = random_utree([f"t{i}" for i in range(8)], seed=13)
+    headers, seqs = simulate_alignment(tree, 128, FREQS, SUBST,
+                                       alpha=0.9, seed=13)
+    e_f = TreeEngine(_build(tree, headers, seqs, 128), tree,
+                     pallas="interpret")
+    assert e_f.use_fused
+    single = e_f.loglikelihood()
+    acc = e_f.loglikelihood_loop(3)
+    np.testing.assert_allclose(acc, 3 * single, rtol=1e-6)
+
+
+def test_fused_falls_back_when_tip_clv_set():
+    """Raw-probability tips are not representable as bitmask codes: the
+    engine must silently fall back to a non-fused path."""
+    tree = random_utree([f"t{i}" for i in range(8)], seed=7)
+    headers, seqs = simulate_alignment(tree, 128, FREQS, SUBST,
+                                       alpha=0.9, seed=7)
+    part = _build(tree, headers, seqs, 128)
+    tip = next(iter(tree.tips()))
+    rng = np.random.default_rng(0)
+    part.set_tip_clv(tip.clv_index, rng.uniform(0.1, 1.0, size=(128, 4)))
+    part2 = _build(tree, headers, seqs, 128)
+    part2.set_tip_clv(tip.clv_index, rng.uniform(0.1, 1.0, size=(128, 4)))
+    e = TreeEngine(part, tree, pallas="interpret")
+    assert not e.use_fused
+    e_ref = TreeEngine(part2, tree, pallas=False)
+    # different random CLVs -> only check both evaluate finitely
+    assert np.isfinite(e.loglikelihood())
+    assert np.isfinite(e_ref.loglikelihood())
