@@ -54,15 +54,19 @@ def save(path: str, partition: Partition, tree: Optional[UTree] = None,
         sites_padded=np.int64(p.sites_padded),
     )
     # tips set via set_tip_clv hold raw probabilities that tip_states
-    # cannot reconstruct — persist those CLV rows explicitly
+    # cannot reconstruct — persist those as [sites, states] (the exact
+    # set_tip_clv input; rate-replicated on load)
     clv_tips = np.flatnonzero(getattr(p, "_tips_clv_set",
                                       np.zeros(p.tips, dtype=bool)))
     if clv_tips.size:
         payload["tip_clv_indices"] = clv_tips.astype(np.int64)
-        payload["tip_clv_rows"] = np.asarray(p.clv)[clv_tips]
+        payload["tip_clv_probs"] = np.stack(
+            [p.get_clv(int(t))[:, 0, :] for t in clv_tips])
     if tree is not None:
         payload["newick"] = np.bytes_(export_newick(tree.vroot))
-    if include_clvs:
+    if include_clvs and p.repeats is None:
+        # repeats partitions: pooled buffers are schedule-dependent and
+        # recomputable from tips in one traversal — not checkpointed
         payload["clv"] = np.asarray(p.clv)
         payload["scale_buffer"] = np.asarray(p.scale_buffer)
     for k, v in extra.items():
@@ -113,12 +117,8 @@ def load(path: str) -> Tuple[Partition, Optional[UTree], dict]:
         part._set_tip_masks(int(t), tip_states[t, :sites])
     if "tip_clv_indices" in z:
         idx = z["tip_clv_indices"].astype(np.int64)
-        part.clv = part.clv.at[jnp.asarray(idx)].set(
-            jnp.asarray(z["tip_clv_rows"], part.dtype))
-        part._tips_clv_set[idx] = True
-        if part.repeats is not None:
-            for t in idx:
-                part.repeats.reset_node(int(t))
+        for t, probs in zip(idx, z["tip_clv_probs"]):
+            part.set_tip_clv(int(t), probs)
 
     if "clv" in z:
         part.clv = jnp.asarray(z["clv"], part.dtype)

@@ -51,8 +51,12 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                          use_pallas: bool = False,
                          pallas_interpret: bool = False,
                          asc_type: int = 0, n_real: int = -1,
-                         fused_slots: int = 0):
-    """branches[e] is ordered by pmatrix index e. With `levels`, op_arrays
+                         fused_slots: int = 0, edge_params=None):
+    """branches[e] is ordered by pmatrix index e. `edge_params` (an
+    optional [E, R] int table) switches P-matrix computation to the
+    per-branch heterotachy variant — every edge may use its own rate
+    matrix (reference: examples/heterotachy) while the CLV and
+    likelihood stages are unchanged. With `levels`, op_arrays
     are [L, W] level-grouped and each level runs as one batched launch; with
     `use_pallas` they are per-level [8, W] index tables driving the fused
     Pallas kernel (ops/pallas_partials.py). With `fused_slots` > 0,
@@ -60,9 +64,14 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
     kernel (ops/pallas_fused.py): inner CLVs never touch HBM — only the
     root edge's rows are scattered back into `clv`/`scaler`."""
     with jax.named_scope("pll.pmatrix"):
-        pmatrix = ops_pmatrix.update_prob_matrices(
-            eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
-            params_idx_rates, branches)
+        if edge_params is not None:
+            pmatrix = ops_pmatrix.update_prob_matrices_per_edge(
+                eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+                edge_params, branches)
+        else:
+            pmatrix = ops_pmatrix.update_prob_matrices(
+                eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+                params_idx_rates, branches)
     if fused_slots > 0:
         table, tip_codes = op_arrays
         p_clv, p_sc_i, c_clv, c_sc_i, mat = root_idx
@@ -130,7 +139,7 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        use_pallas: bool = False,
                        pallas_interpret: bool = False,
                        asc_type: int = 0, n_real: int = -1,
-                       fused_slots: int = 0):
+                       fused_slots: int = 0, edge_params=None):
     """One full 'training' step: evaluate the tree, then Newton-update the
     root branch length from d1/d2 (the reference's examples/newton loop body,
     reference: /root/reference/examples/newton/newton.c:66-96, fused)."""
@@ -141,7 +150,7 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
         scale_threshold, scale_factor, rate_scalers=rate_scalers,
         valid=valid, levels=levels, use_pallas=use_pallas,
         pallas_interpret=pallas_interpret, asc_type=asc_type, n_real=n_real,
-        fused_slots=fused_slots)
+        fused_slots=fused_slots, edge_params=edge_params)
     p_clv, p_sc, c_clv, c_sc, mat = root_idx
     sumtable = ops_derivatives.update_sumtable(
         jnp.take(clv, p_clv, axis=0), jnp.take(clv, c_clv, axis=0),
@@ -181,7 +190,7 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                               use_pallas: bool = False,
                               pallas_interpret: bool = False,
                               asc_type: int = 0, n_real: int = -1,
-                              fused_slots: int = 0):
+                              fused_slots: int = 0, edge_params=None):
     """k chained full-traversal evaluations in ONE dispatch (the CLV state
     threads through the loop, so XLA cannot hoist the work). Benchmarking
     helper: amortizes host->device dispatch latency."""
@@ -201,7 +210,8 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
             valid=valid, levels=levels, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret, asc_type=asc_type,
-            n_real=n_real, fused_slots=fused_slots)
+            n_real=n_real, fused_slots=fused_slots,
+            edge_params=edge_params)
         return clv, scaler, acc + total
     clv, scaler, acc = jax.lax.fori_loop(
         0, k, body, (clv, scaler, jnp.zeros((), clv.dtype)))
@@ -222,7 +232,7 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        use_pallas: bool = False,
                        pallas_interpret: bool = False,
                        asc_type: int = 0, n_real: int = -1,
-                       fused_slots: int = 0):
+                       fused_slots: int = 0, edge_params=None):
     """k chained Newton iterations on the root branch in ONE dispatch
     (the reference's examples/newton loop, device-resident)."""
     def body(_, carry):
@@ -234,13 +244,127 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
             valid=valid, levels=levels, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret, asc_type=asc_type,
-            n_real=n_real, fused_slots=fused_slots)
+            n_real=n_real, fused_slots=fused_slots,
+            edge_params=edge_params)
         return clv, scaler, branches, total, d1, d2
 
     zero = jnp.zeros((), clv.dtype)
     clv, scaler, branches, total, d1, d2 = jax.lax.fori_loop(
         0, k, body, (clv, scaler, branches, zero, zero, zero))
     return total, d1, d2, branches, clv, scaler
+
+
+@partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold',
+                                   'scale_factor', 'asc_type', 'n_real'))
+def _repeats_loglikelihood(clv_flat, sc_flat, eigenvals, inv_eigenvecs,
+                           eigenvecs, prop_invar, rates, rate_weights,
+                           freqs, params_idx_rates, branches,
+                           buckets, root_cols, mat,
+                           pattern_weights, invariant,
+                           scale_threshold, scale_factor,
+                           rate_scalers: bool = False,
+                           asc_type: int = 0, n_real: int = -1):
+    """Fused full-tree evaluation over POOLED site-repeats storage: one
+    dispatch runs pmatrices -> all capacity buckets -> root-edge logL.
+    root_cols = (p_cols, p_sc_cols, c_cols, c_sc_cols) absolute per-site
+    column indices into the pools (host-computed from the layout +
+    site_id maps)."""
+    with jax.named_scope("pll.pmatrix"):
+        pmatrix = ops_pmatrix.update_prob_matrices(
+            eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+            params_idx_rates, branches)
+    with jax.named_scope("pll.partials.repeats"):
+        clv_flat, sc_flat = ops_partials.update_partials_repeats_pool(
+            clv_flat, sc_flat, pmatrix, buckets,
+            scale_threshold, scale_factor, rate_scalers=rate_scalers)
+    p_cols, p_sc_cols, c_cols, c_sc_cols = root_cols
+    with jax.named_scope("pll.edge_logl"):
+        total, per = ops_likelihood.edge_loglikelihood(
+            jnp.take(clv_flat, p_cols, axis=2),
+            jnp.take(clv_flat, c_cols, axis=2),
+            jnp.take(sc_flat, p_sc_cols, axis=-1),
+            jnp.take(sc_flat, c_sc_cols, axis=-1),
+            jnp.take(pmatrix, mat, axis=0),
+            freqs, prop_invar, rate_weights, params_idx_rates,
+            pattern_weights, invariant, scale_threshold,
+            rate_scalers=rate_scalers, has_pscaler=True, has_cscaler=True,
+            asc_type=asc_type, n_real=n_real)
+    return total, per, clv_flat, sc_flat, pmatrix
+
+
+@partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold',
+                                   'scale_factor', 'asc_type', 'n_real'))
+def _repeats_loglikelihood_loop(k, clv_flat, sc_flat, eigenvals,
+                                inv_eigenvecs, eigenvecs, prop_invar,
+                                rates, rate_weights, freqs,
+                                params_idx_rates, branches,
+                                buckets, root_cols, mat,
+                                pattern_weights, invariant,
+                                scale_threshold, scale_factor,
+                                rate_scalers: bool = False,
+                                asc_type: int = 0, n_real: int = -1):
+    """k chained repeats evaluations in one dispatch (bench helper; the
+    pooled buffers thread through the carry so the work cannot hoist)."""
+    def body(_, carry):
+        clv_flat, sc_flat, acc = carry
+        total, _, clv_flat, sc_flat, _ = _repeats_loglikelihood(
+            clv_flat, sc_flat, eigenvals, inv_eigenvecs, eigenvecs,
+            prop_invar, rates, rate_weights, freqs, params_idx_rates,
+            branches, buckets, root_cols, mat, pattern_weights, invariant,
+            scale_threshold, scale_factor, rate_scalers=rate_scalers,
+            asc_type=asc_type, n_real=n_real)
+        return clv_flat, sc_flat, acc + total
+    clv_flat, sc_flat, acc = jax.lax.fori_loop(
+        0, k, body, (clv_flat, sc_flat, jnp.zeros((), clv_flat.dtype)))
+    return acc, clv_flat, sc_flat
+
+
+@partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold',
+                                   'scale_factor', 'asc_type', 'n_real'))
+def _repeats_newton_loop(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs,
+                         eigenvecs, prop_invar, rates, rate_weights,
+                         freqs, params_idx_rates, branches,
+                         buckets, root_cols, mat,
+                         pattern_weights, invariant,
+                         scale_threshold, scale_factor,
+                         rate_scalers: bool = False,
+                         asc_type: int = 0, n_real: int = -1):
+    """k chained Newton iterations on the root branch over pooled
+    repeats storage, one dispatch."""
+    p_cols, p_sc_cols, c_cols, c_sc_cols = root_cols
+
+    def body(_, carry):
+        clv_flat, sc_flat, branches, total, d1, d2 = carry
+        total, _, clv_flat, sc_flat, pmatrix = _repeats_loglikelihood(
+            clv_flat, sc_flat, eigenvals, inv_eigenvecs, eigenvecs,
+            prop_invar, rates, rate_weights, freqs, params_idx_rates,
+            branches, buckets, root_cols, mat, pattern_weights, invariant,
+            scale_threshold, scale_factor, rate_scalers=rate_scalers,
+            asc_type=asc_type, n_real=n_real)
+        sumtable = ops_derivatives.update_sumtable(
+            jnp.take(clv_flat, p_cols, axis=2),
+            jnp.take(clv_flat, c_cols, axis=2),
+            jnp.take(sc_flat, p_sc_cols, axis=-1),
+            jnp.take(sc_flat, c_sc_cols, axis=-1),
+            inv_eigenvecs, eigenvecs, freqs, params_idx_rates,
+            scale_threshold, rate_scalers=rate_scalers,
+            has_pscaler=True, has_cscaler=True)
+        blen = jnp.take(branches, mat)
+        d1, d2 = ops_derivatives.likelihood_derivatives(
+            sumtable, eigenvals, prop_invar, freqs, rates, rate_weights,
+            params_idx_rates, pattern_weights, invariant, blen,
+            scale_threshold=scale_threshold,
+            asc_type=asc_type, n_real=n_real)
+        new_len = ops_derivatives.newton_step(blen, d1, d2,
+                                              C.OPT_MIN_BRANCH_LEN,
+                                              C.OPT_MAX_BRANCH_LEN)
+        branches = branches.at[mat].set(new_len)
+        return clv_flat, sc_flat, branches, total, d1, d2
+
+    zero = jnp.zeros((), clv_flat.dtype)
+    clv_flat, sc_flat, branches, total, d1, d2 = jax.lax.fori_loop(
+        0, k, body, (clv_flat, sc_flat, branches, zero, zero, zero))
+    return total, d1, d2, branches, clv_flat, sc_flat
 
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold',
@@ -312,7 +436,7 @@ class TreeEngine:
                  pmatrix_indices: Optional[Sequence[int]] = None,
                  root=None, params_index: int = 0,
                  level_schedule: bool = True,
-                 pallas="auto"):
+                 pallas="auto", edge_params=None):
         """pallas selects the CLV execution path:
           'auto'  — single-pass whole-traversal kernel (ops/pallas_fused)
                     on TPU when eligible (fp32, per-site scalers, no
@@ -325,11 +449,7 @@ class TreeEngine:
           False   — pure XLA (scan or level schedule)."""
         self.partition = partition
         p = partition
-        if p.repeats is not None:
-            raise C.PllError(
-                C.ERROR_PARAM_INVALID,
-                "TreeEngine does not support site-repeats partitions (class-"
-                "column CLV layout); use the Partition step-by-step API")
+        self.repeats_mode = p.repeats is not None
         if tree is not None:
             trav = traverse(tree.vroot)
             operations, branches, pmatrix_indices = create_operations(trav)
@@ -358,14 +478,39 @@ class TreeEngine:
         want_levelk = want_fused or pallas in ("levels-kernel",
                                                "levels-interpret")
         self._fused_wanted = (want_fused and eligible and on_target
+                              and not self.repeats_mode
                               and pallas not in ("levels-kernel",
                                                  "levels-interpret")
                               and bool(np.all(p._tips_set))
                               and not bool(np.any(p._tips_clv_set)))
-        self._levelk_wanted = want_levelk and eligible and on_target
+        self._levelk_wanted = (want_levelk and eligible and on_target
+                               and not self.repeats_mode)
         self.levels = level_schedule
         self.params_index = params_index
         R = p.rate_cats
+        # per-branch heterotachy: edge_params[e] is the rate-matrix index
+        # used by pmatrix slot e (all rate categories); the root edge's
+        # model drives the frequency/eigen mixing in the likelihood and
+        # derivative stages, exactly as a reference client rooting the
+        # evaluation on that branch would
+        if edge_params is not None:
+            ep = np.asarray(edge_params, dtype=np.int32)
+            if ep.shape != (p.prob_matrices,):
+                raise C.PllError(
+                    C.ERROR_PARAM_INVALID,
+                    f"edge_params must have shape ({p.prob_matrices},)")
+            if self.repeats_mode:
+                raise C.PllError(
+                    C.ERROR_PARAM_INVALID,
+                    "per-branch edge_params is not supported together "
+                    "with site repeats; use the step-by-step API")
+            self.edge_params = self._rep(jnp.asarray(
+                np.repeat(ep[:, None], R, axis=1)))
+            self._edge_params_host = ep
+            p._ensure_eigen(np.unique(ep))
+        else:
+            self.edge_params = None
+            self._edge_params_host = None
         self.params_idx_rates = self._rep(
             jnp.asarray([params_index] * R, np.int32))
         self._tip_codes_version = None
@@ -396,6 +541,8 @@ class TreeEngine:
             # before uploading (the step-by-step path does this inside
             # update_prob_matrices)
             p._ensure_eigen([self.params_index])
+            if self._edge_params_host is not None:
+                p._ensure_eigen(np.unique(self._edge_params_host))
             d = p.dtype
             self._model_cache = tuple(
                 self._rep(jnp.asarray(a, d)) for a in (
@@ -422,6 +569,70 @@ class TreeEngine:
             self._tip_codes_version = v
         return self._tip_codes_cache
 
+    def _pack_repeats(self, operations, root_indices):
+        """Build the pooled-storage schedule for one topology: installs
+        the flat layout on the partition and returns (buckets, root_cols,
+        mat). Bucket shapes are canonicalized — every lane width from 128
+        up to `sites` is present and op counts are padded to powers of two
+        (dummy ops write the scratch tail) — so topology moves hit a
+        bounded set of compiled programs."""
+        from .repeats import schedule_buckets_flat
+        p = self.partition
+        layout, buckets = schedule_buckets_flat(
+            p.repeats, operations, p.sites, p.scale_buffers)
+        p._install_flat(layout)
+        # the partition's own step-by-step schedule cache is now stale
+        p._repeat_key = None
+        p._repeat_schedule = None
+
+        widths = []
+        w = 128
+        while w < p.sites:
+            widths.append(w)
+            w *= 2
+        widths.append(p.sites)
+        by_w = {wd: [] for wd in widths}
+        for wd, f, gl, gr in buckets:
+            by_w[wd].append((f, gl, gr))
+        tail_off = layout.total - p.sites
+        packed = []
+        for wd in widths:
+            rows = by_w[wd]
+            n_real = sum(f.shape[0] for f, _, _ in rows)
+            n = 1
+            while n < max(n_real, 1):
+                n *= 2
+            f = np.zeros((n, 8), dtype=np.int32)
+            gl = np.zeros((n, wd), dtype=np.int32)
+            gr = np.zeros((n, wd), dtype=np.int32)
+            # dummy rows: recompute into the scratch tail / trash region
+            f[:] = [tail_off, layout.sc_trash, 0, 0, layout.sc_zero,
+                    0, 0, layout.sc_zero]
+            k = 0
+            for fr, glr, grr in rows:
+                f[k:k + fr.shape[0]] = fr
+                gl[k:k + glr.shape[0]] = glr
+                gr[k:k + grr.shape[0]] = grr
+                k += fr.shape[0]
+            packed.append((self._rep(jnp.asarray(f)),
+                           self._rep(jnp.asarray(gl)),
+                           self._rep(jnp.asarray(gr))))
+
+        def cols(node, sc_idx):
+            sid = p.repeats.site_id[node].astype(np.int64)
+            c = (layout.off[node] + sid).astype(np.int32)
+            has = sc_idx >= 0 and layout.sc_caps[sc_idx] > 0
+            base = layout.sc_off[sc_idx] if has else layout.sc_zero
+            return c, (base + sid).astype(np.int32)
+
+        p_clv, p_sc, c_clv, c_sc, mat = root_indices
+        pc, psc = cols(p_clv, p_sc)
+        cc, csc = cols(c_clv, c_sc)
+        root_cols = tuple(self._rep(jnp.asarray(a))
+                          for a in (pc, psc, cc, csc))
+        return tuple(packed), root_cols, self._rep(
+            jnp.asarray(mat, np.int32))
+
     def _pack_topology(self, operations, branches, pmatrix_indices,
                        root) -> None:
         """(Re)build op tables, pmatrix-ordered branches and root indices
@@ -430,6 +641,20 @@ class TreeEngine:
         self.use_fused = False
         self.fused_slots = 0
         self.use_levelkernel = False
+        if self.repeats_mode:
+            ri = (root.clv_index, root.scaler_index,
+                  root.back.clv_index, root.back.scaler_index,
+                  root.pmatrix_index)
+            self._repeats_pack_args = (operations, ri)
+            self.ops, self._root_cols, self._root_mat = \
+                self._pack_repeats(operations, ri)
+            self.valid = None
+            blen = np.zeros(p.prob_matrices)
+            blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
+            self.branches = self._rep(jnp.asarray(blen, p.dtype))
+            self.root_idx = self._rep(jnp.asarray(list(ri),
+                                                  dtype=np.int32))
+            return
         if self._fused_wanted:
             table, n_slots = ops_fused.pack_fused_schedule(
                 operations, p.tips,
@@ -464,6 +689,12 @@ class TreeEngine:
             [root.clv_index, root.scaler_index,
              root.back.clv_index, root.back.scaler_index,
              root.pmatrix_index], dtype=np.int32))
+        if self._edge_params_host is not None:
+            # the root edge's model drives freqs/eigen mixing downstream
+            rm = int(self._edge_params_host[root.pmatrix_index])
+            self.params_idx_rates = self._rep(jnp.asarray(
+                [rm] * self.partition.rate_cats, np.int32))
+            self.partition._model_version += 1   # refresh cached operands
 
     def set_topology(self, tree) -> None:
         """Rebind to a new topology of the same size without rebuilding the
@@ -482,6 +713,15 @@ class TreeEngine:
         p = self.partition
         if branches is not None:
             self.branches = self._rep(jnp.asarray(branches, p.dtype))
+        if self.repeats_mode:
+            total, per, clv_flat, sc_flat, pmatrix = _repeats_loglikelihood(
+                p.clv_flat, p.sc_flat, *self._model_args(),
+                self.branches, self.ops, self._root_cols, self._root_mat,
+                *self._site_args(), p.scale_threshold, p.scale_factor,
+                rate_scalers=p.rate_scalers,
+                asc_type=self.asc_type, n_real=self.n_real)
+            p.clv_flat, p.sc_flat, p.pmatrix = clv_flat, sc_flat, pmatrix
+            return float(total)
         total, per, clv, scaler, pmatrix = _fused_loglikelihood(
             p.clv, p.scale_buffer, *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
@@ -490,7 +730,7 @@ class TreeEngine:
             use_pallas=self.use_levelkernel,
             pallas_interpret=self.pallas_interpret,
             asc_type=self.asc_type, n_real=self.n_real,
-            fused_slots=self.fused_slots)
+            fused_slots=self.fused_slots, edge_params=self.edge_params)
         p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
         return float(total)
 
@@ -516,6 +756,31 @@ class TreeEngine:
         k = len(candidates)
         if k == 0:
             return np.zeros(0)
+        if self.repeats_mode:
+            # class schedules are topology-dependent data of varying
+            # shapes: score candidates one dispatch each, then restore
+            # the engine's own schedule
+            out = np.zeros(k)
+            for i, (operations, branches, pmatrix_indices, root) in \
+                    enumerate(candidates):
+                ri = list(root) if isinstance(root, (tuple, list)) else [
+                    root.clv_index, root.scaler_index,
+                    root.back.clv_index, root.back.scaler_index,
+                    root.pmatrix_index]
+                buckets, root_cols, mat = self._pack_repeats(
+                    operations, tuple(ri))
+                blen = np.zeros(p.prob_matrices)
+                blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
+                total, _, _, _, _ = _repeats_loglikelihood(
+                    p.clv_flat, p.sc_flat, *self._model_args(),
+                    jnp.asarray(blen, p.dtype), buckets, root_cols, mat,
+                    *self._site_args(), p.scale_threshold, p.scale_factor,
+                    rate_scalers=p.rate_scalers,
+                    asc_type=self.asc_type, n_real=self.n_real)
+                out[i] = float(total)
+            self.ops, self._root_cols, self._root_mat = \
+                self._pack_repeats(*self._repeats_pack_args)
+            return out
         w = 1
         while w < k:
             w *= 2
@@ -573,6 +838,18 @@ class TreeEngine:
         """k chained Newton iterations on the root branch in one dispatch;
         returns (last logL, d1, d2). Trip count is traced (one compile)."""
         p = self.partition
+        if self.repeats_mode:
+            total, d1, d2, branches, clv_flat, sc_flat = \
+                _repeats_newton_loop(
+                    jnp.asarray(k), p.clv_flat, p.sc_flat,
+                    *self._model_args(), self.branches, self.ops,
+                    self._root_cols, self._root_mat, *self._site_args(),
+                    p.scale_threshold, p.scale_factor,
+                    rate_scalers=p.rate_scalers,
+                    asc_type=self.asc_type, n_real=self.n_real)
+            self.branches = branches
+            p.clv_flat, p.sc_flat = clv_flat, sc_flat
+            return float(total), float(d1), float(d2)
         total, d1, d2, branches, clv, scaler = _fused_newton_loop(
             jnp.asarray(k), p.clv, p.scale_buffer, *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
@@ -581,7 +858,7 @@ class TreeEngine:
             use_pallas=self.use_levelkernel,
             pallas_interpret=self.pallas_interpret,
             asc_type=self.asc_type, n_real=self.n_real,
-            fused_slots=self.fused_slots)
+            fused_slots=self.fused_slots, edge_params=self.edge_params)
         self.branches = branches
         p.clv, p.scale_buffer = clv, scaler
         return float(total), float(d1), float(d2)
@@ -590,6 +867,16 @@ class TreeEngine:
         """Sum of k chained full-traversal logL evaluations, one dispatch.
         The trip count is traced: one compilation serves every k."""
         p = self.partition
+        if self.repeats_mode:
+            acc, clv_flat, sc_flat = _repeats_loglikelihood_loop(
+                jnp.asarray(k), p.clv_flat, p.sc_flat,
+                *self._model_args(), self.branches, self.ops,
+                self._root_cols, self._root_mat, *self._site_args(),
+                p.scale_threshold, p.scale_factor,
+                rate_scalers=p.rate_scalers,
+                asc_type=self.asc_type, n_real=self.n_real)
+            p.clv_flat, p.sc_flat = clv_flat, sc_flat
+            return float(acc)
         acc, _, _ = _fused_loglikelihood_loop(
             jnp.asarray(k), p.clv, p.scale_buffer, *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
@@ -598,13 +885,15 @@ class TreeEngine:
             use_pallas=self.use_levelkernel,
             pallas_interpret=self.pallas_interpret,
             asc_type=self.asc_type, n_real=self.n_real,
-            fused_slots=self.fused_slots)
+            fused_slots=self.fused_slots, edge_params=self.edge_params)
         return float(acc)
 
     def newton_step(self):
         """Evaluate + one Newton update of the root branch; returns
         (logL, d1, d2)."""
         p = self.partition
+        if self.repeats_mode:
+            return self.newton_loop(1)
         total, d1, d2, branches, clv, scaler = _fused_newton_step(
             p.clv, p.scale_buffer, *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
@@ -613,7 +902,7 @@ class TreeEngine:
             use_pallas=self.use_levelkernel,
             pallas_interpret=self.pallas_interpret,
             asc_type=self.asc_type, n_real=self.n_real,
-            fused_slots=self.fused_slots)
+            fused_slots=self.fused_slots, edge_params=self.edge_params)
         self.branches = branches
         p.clv, p.scale_buffer = clv, scaler
         return float(total), float(d1), float(d2)

@@ -118,112 +118,115 @@ def update_partials(clv: jnp.ndarray,        # [N, R, s, S]
 
 
 @partial(jax.jit, static_argnames=('rate_scalers',))
-def update_partials_repeats_fused(clv: jnp.ndarray,
-                                  scaler: jnp.ndarray,
-                                  pmatrix: jnp.ndarray,
-                                  buckets,   # tuple of (Operations, gl, gr)
-                                  scale_threshold: float,
-                                  scale_factor: float,
-                                  rate_scalers: bool = False):
-    """All capacity buckets in ONE compiled program (one dispatch)."""
-    for ops, gl, gr in buckets:
-        clv, scaler = update_partials_repeats(
-            clv, scaler, pmatrix, ops, gl, gr, scale_threshold,
-            scale_factor, rate_scalers=rate_scalers)
-    return clv, scaler
+def update_partials_repeats_pool(clv_flat: jnp.ndarray,   # [R, s, T]
+                                 sc_flat: jnp.ndarray,    # [T2] / [R, T2]
+                                 pmatrix: jnp.ndarray,    # [E, R, s, s]
+                                 buckets,  # tuple of (fields, gl, gr)
+                                 scale_threshold: float,
+                                 scale_factor: float,
+                                 rate_scalers: bool = False):
+    """All capacity buckets over the POOLED class-column storage in one
+    compiled program (see repeats.FlatLayout): node n's class columns
+    live at clv_flat[:, :, off[n]:off[n]+cap[n]]. Each bucket of width W
+    computes only W columns per op; child columns are read as a W-wide
+    window at the child's offset and permuted by the gather maps — cost
+    scales with CLASS counts, not with the alignment width."""
+    for fields, gl, gr in buckets:
+        clv_flat, sc_flat = _repeats_pool_bucket(
+            clv_flat, sc_flat, pmatrix, fields, gl, gr,
+            scale_threshold, scale_factor, rate_scalers=rate_scalers)
+    return clv_flat, sc_flat
 
 
 @partial(jax.jit, static_argnames=('rate_scalers',))
-def update_partials_repeats(clv: jnp.ndarray,      # [N, R, s, S]
-                            scaler: jnp.ndarray,   # [K+1, S] or [K+1, R, S]
-                            pmatrix: jnp.ndarray,  # [E, R, s, s]
-                            ops: Operations,       # one capacity bucket
-                            gather_left: jnp.ndarray,   # [n, W] int32
-                            gather_right: jnp.ndarray,  # [n, W] int32
-                            scale_threshold: float,
-                            scale_factor: float,
-                            rate_scalers: bool = False):
-    """Site-repeats pruning over one capacity bucket of width W <= S.
-
-    Computes only W class columns per operation: parent class c is fed by
-    the child class columns gather_left[c] / gather_right[c] (the
-    reference's compressed-CLV indexing, core_partials.c:843-849, turned
-    into a gather). Columns >= W of the parent rows keep stale values and
-    are never read — every consumer gathers through site_id < ids <= W.
-    Child scalers propagate through the same indirection
-    (pll_fill_parent_scaler_repeats, repeats.c:392-440).
-    """
-    dtype = clv.dtype
-    trash = scaler.shape[0] - 2       # last row is the guaranteed-zero row
+def _repeats_pool_bucket(clv_flat, sc_flat, pmatrix,
+                         fields,           # [n, 8] int32
+                         gather_left,      # [n, W] int32 (child-local)
+                         gather_right,     # [n, W] int32
+                         scale_threshold: float,
+                         scale_factor: float,
+                         rate_scalers: bool = False):
+    dtype = clv_flat.dtype
+    R, s = clv_flat.shape[0], clv_flat.shape[1]
+    W = gather_left.shape[1]
     thresh = jnp.asarray(scale_threshold, dtype)
     factor = jnp.asarray(scale_factor, dtype)
-
-    # TPUs have no hardware gather on the lane (site) axis; a one-hot
-    # matmul rides the MXU instead and is exact (0/1 matrix). On CPU the
-    # direct gather wins.
     use_onehot = jax.default_backend() == "tpu"
-    n_cols = clv.shape[-1]
 
-    def _gather_cols(row, idx):
+    def permute(win, idx):
+        """win [R, s, W] child window, idx [W] child-local class ids."""
         if not use_onehot:
-            return jnp.take(row, idx, axis=2)
-        onehot = (idx[None, :] == jnp.arange(n_cols)[:, None]).astype(dtype)
-        return jnp.einsum('rjs,sw->rjw', row, onehot,
+            return jnp.take(win, idx, axis=2)
+        onehot = (idx[None, :] == jnp.arange(W)[:, None]).astype(dtype)
+        return jnp.einsum('rjc,cw->rjw', win, onehot,
                           preferred_element_type=dtype)
 
-    def body(carry, xs):
-        clv, scaler = carry
-        op, gl, gr = xs
-        (parent, psc, c1, m1, s1, c2, m2, s2) = op
+    def permute_sc(win, idx):
+        """win [W] (or [R, W]) scaler window."""
+        if not use_onehot:
+            return jnp.take(win, idx, axis=-1)
+        onehot = (idx[None, :] == jnp.arange(W)[:, None]).astype(dtype)
+        out = jnp.einsum('...c,cw->...w', win.astype(dtype), onehot,
+                         preferred_element_type=dtype)
+        return out.astype(win.dtype)
 
-        left = _gather_cols(jnp.take(clv, c1, axis=0), gl)       # [R, s, W]
-        right = _gather_cols(jnp.take(clv, c2, axis=0), gr)
+    def sc_window(buf, off):
+        if buf.ndim == 1:
+            return jax.lax.dynamic_slice(buf, (off,), (W,))
+        return jax.lax.dynamic_slice(
+            buf, (jnp.zeros((), off.dtype), off), (buf.shape[0], W))
+
+    def body(carry, xs):
+        clv_flat, sc_flat = carry
+        f, gl, gr = xs
+        zero = jnp.zeros((), f.dtype)
+        p_off, psc_off, c1_off, m1, s1_off, c2_off, m2, s2_off = \
+            [f[i] for i in range(8)]
+        lwin = jax.lax.dynamic_slice(clv_flat, (zero, zero, c1_off),
+                                     (R, s, W))
+        rwin = jax.lax.dynamic_slice(clv_flat, (zero, zero, c2_off),
+                                     (R, s, W))
+        left = permute(lwin, gl)
+        right = permute(rwin, gr)
         pl = jnp.take(pmatrix, m1, axis=0)
         pr = jnp.take(pmatrix, m2, axis=0)
-        x = _one_partial(pl, left, pr, right, dtype)             # [R, s, W]
+        x = _one_partial(pl, left, pr, right, dtype)          # [R, s, W]
 
-        has_scaler = psc >= 0
-        sc1 = jnp.take(_read_scaler(scaler, s1), gl, axis=-1)
-        sc2 = jnp.take(_read_scaler(scaler, s2), gr, axis=-1)
-        child_sc = sc1 + sc2                                     # [W]/[R, W]
+        sc1 = permute_sc(sc_window(sc_flat, s1_off), gl)
+        sc2 = permute_sc(sc_window(sc_flat, s2_off), gr)
+        child_sc = sc1 + sc2
         if rate_scalers:
-            mask = jnp.all(x < thresh, axis=1)                   # [R, W]
+            mask = jnp.all(x < thresh, axis=1)                # [R, W]
             scaled = jnp.where(mask[:, None, :], x * factor, x)
         else:
-            mask = jnp.all(x < thresh, axis=(0, 1))              # [W]
+            mask = jnp.all(x < thresh, axis=(0, 1))           # [W]
             scaled = jnp.where(mask[None, None, :], x * factor, x)
-        new_sc = child_sc + mask.astype(scaler.dtype)
+        new_sc = child_sc + mask.astype(sc_flat.dtype)
 
-        x = jnp.where(has_scaler, scaled, x)
-        # write the first W class columns of the parent row in place
-        row = jax.lax.dynamic_slice_in_dim(clv, parent, 1, axis=0)[0]
-        row = jax.lax.dynamic_update_slice_in_dim(row, x, 0, axis=2)
-        clv = jax.lax.dynamic_update_index_in_dim(clv, row, parent, axis=0)
-        write_row = jnp.where(has_scaler, psc, trash)
-        srow = jnp.take(scaler, write_row, axis=0)
-        srow = jax.lax.dynamic_update_slice_in_dim(srow, new_sc, 0, axis=-1)
-        scaler = jax.lax.dynamic_update_index_in_dim(scaler, srow,
-                                                     write_row, axis=0)
-        return (clv, scaler), None
+        clv_flat = jax.lax.dynamic_update_slice(clv_flat, scaled,
+                                                (zero, zero, p_off))
+        if sc_flat.ndim == 1:
+            sc_flat = jax.lax.dynamic_update_slice(sc_flat, new_sc,
+                                                   (psc_off,))
+        else:
+            sc_flat = jax.lax.dynamic_update_slice(sc_flat, new_sc,
+                                                   (zero, psc_off))
+        return (clv_flat, sc_flat), None
 
-    op_stack = jnp.stack([ops.parent_clv, ops.parent_scaler,
-                          ops.child1_clv, ops.child1_matrix,
-                          ops.child1_scaler, ops.child2_clv,
-                          ops.child2_matrix, ops.child2_scaler], axis=1)
-    (clv, scaler), _ = jax.lax.scan(body, (clv, scaler),
-                                    (op_stack, gather_left, gather_right))
-    return clv, scaler
+    (clv_flat, sc_flat), _ = jax.lax.scan(
+        body, (clv_flat, sc_flat), (fields, gather_left, gather_right))
+    return clv_flat, sc_flat
 
 
 @jax.jit
-def gather_site_view(clv_node: jnp.ndarray,     # [R, s, S] class columns
-                     scaler_row: jnp.ndarray,   # [S] or [R, S]
-                     site_id: jnp.ndarray):     # [S] int32
-    """Expand class columns back to per-site order for the likelihood /
-    sumtable kernels (the reference's repeats likelihood indexing,
-    core_likelihood.c:211-349)."""
-    return (jnp.take(clv_node, site_id, axis=2),
-            jnp.take(scaler_row, site_id, axis=-1))
+def gather_flat_view(clv_flat: jnp.ndarray,     # [R, s, T]
+                     sc_flat: jnp.ndarray,      # [T2] or [R, T2]
+                     clv_cols: jnp.ndarray,     # [S] absolute columns
+                     sc_cols: jnp.ndarray):     # [S] absolute columns
+    """Per-site expansion from the pooled storage for the likelihood /
+    sumtable kernels (core_likelihood.c:211-349 repeats indexing)."""
+    return (jnp.take(clv_flat, clv_cols, axis=2),
+            jnp.take(sc_flat, sc_cols, axis=-1))
 
 
 @partial(jax.jit, static_argnames=('rate_scalers',))

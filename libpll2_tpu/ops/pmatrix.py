@@ -50,3 +50,39 @@ def update_prob_matrices(eigenvals: jnp.ndarray,    # [M, s]
     ident = jnp.broadcast_to(jnp.eye(states, dtype=dtype), pmat.shape)
     zero_len = (t <= 0.0)[:, None, None, None]
     return jnp.where(zero_len, ident, pmat)
+
+
+def update_prob_matrices_per_edge(eigenvals: jnp.ndarray,   # [M, s]
+                                  inv_evecs: jnp.ndarray,   # [M, s, s]
+                                  evecs: jnp.ndarray,       # [M, s, s]
+                                  prop_invar: jnp.ndarray,  # [M]
+                                  rates: jnp.ndarray,       # [R]
+                                  params_idx: jnp.ndarray,  # [E, R] int
+                                  branch_lengths: jnp.ndarray,  # [E]
+                                  ) -> jnp.ndarray:
+    """Per-branch heterotachy variant: every edge may use a different
+    rate matrix (reference: examples/heterotachy — achieved there by
+    calling pll_update_prob_matrices once per branch class). params_idx
+    is a full [edges, rate_cats] table; returns P [E, R, s, s]."""
+    dtype = evecs.dtype
+    states = evecs.shape[-1]
+
+    lam = eigenvals[params_idx]        # [E, R, s]
+    a = inv_evecs[params_idx]          # [E, R, s, s]
+    b = evecs[params_idx]              # [E, R, s, s]
+    pinv = prop_invar[params_idx]      # [E, R]
+    pinv = jnp.where(pinv > MISC_EPSILON, pinv, 0.0)
+
+    t = branch_lengths.astype(dtype)   # [E]
+    expo = lam * (rates[None, :] / (1.0 - pinv))[:, :, None] \
+        * t[:, None, None]
+    expd = jnp.expm1(expo)             # [E, R, s]
+
+    left = a * expd[:, :, None, :]                         # [E,R,j,m]
+    pmat = jnp.einsum('erjm,ermk->erjk', left, b,
+                      preferred_element_type=dtype)
+    pmat = pmat + jnp.eye(states, dtype=dtype)
+
+    ident = jnp.broadcast_to(jnp.eye(states, dtype=dtype), pmat.shape)
+    zero_len = (t <= 0.0)[:, None, None, None]
+    return jnp.where(zero_len, ident, pmat)

@@ -176,13 +176,28 @@ class Partition:
                 self.repeats = RepeatsTable(self.nodes, sites)
 
         S, R, s = self.sites_padded, rate_cats, states
-        # +1 scratch CLV row for padded operations; scalers get +2 rows:
-        # row K absorbs writes of scaler-less/padded ops (trash), row K+1 is
-        # guaranteed zero and serves every SCALE_BUFFER_NONE read
-        self.clv = jnp.zeros((self.nodes + 1, R, s, S), dtype=self.dtype)
-        scaler_shape = (scale_buffers + 2, R, S) if rate_scalers \
-            else (scale_buffers + 2, S)
-        self.scale_buffer = jnp.zeros(scaler_shape, dtype=jnp.int32)
+        if self.repeats is None:
+            # +1 scratch CLV row for padded operations; scalers get +2
+            # rows: row K absorbs writes of scaler-less/padded ops
+            # (trash), row K+1 is guaranteed zero and serves every
+            # SCALE_BUFFER_NONE read
+            self.clv = jnp.zeros((self.nodes + 1, R, s, S),
+                                 dtype=self.dtype)
+            scaler_shape = (scale_buffers + 2, R, S) if rate_scalers \
+                else (scale_buffers + 2, S)
+            self.scale_buffer = jnp.zeros(scaler_shape, dtype=jnp.int32)
+        else:
+            # pooled class-column storage (repeats.FlatLayout): node n
+            # owns cap[n] columns of one flat [R, s, total] buffer — the
+            # reference's per-node CLV reallocation (repeats.c:256-296)
+            # made shape-static. Allocated lazily once class counts are
+            # known (tips set / first update_partials).
+            self.clv = None
+            self.scale_buffer = None
+            self.clv_flat = None
+            self.sc_flat = None
+            self._flat = None
+            self._tip_cols = {}          # tip -> np [s, n_cols] columns
         self.pmatrix = jnp.zeros((prob_matrices, R, s, s), dtype=self.dtype)
 
         # model parameters (host mirrors; tiny)
@@ -239,19 +254,22 @@ class Partition:
         self._tip_version += 1
         self._invariant_valid = False
 
-        block = np.zeros((self.rate_cats, self.states, self.sites_padded))
         if self.repeats is not None:
             # tip CLV columns are class columns (pll_update_repeats_tips);
-            # tip classes changed, so any cached schedule is stale
+            # tip classes changed, so any cached schedule and the pooled
+            # layout are stale
             self._repeat_key = None
+            self._repeat_schedule = None
+            self._flat = None
             self.repeats.set_tip(tip_index, masks)
             ids = int(self.repeats.ids[tip_index])
             rep = self.repeats.id_site[tip_index, :ids]
             ind = state_maps.bits_to_clv(masks[rep], self.states)
-            block[:, :, :ids] = ind.T[None, :, :]
-        else:
-            ind = state_maps.bits_to_clv(masks, self.states)     # [sites, s]
-            block[:, :, :self.sites] = ind.T[None, :, :]
+            self._tip_cols[tip_index] = np.ascontiguousarray(ind.T)
+            return
+        block = np.zeros((self.rate_cats, self.states, self.sites_padded))
+        ind = state_maps.bits_to_clv(masks, self.states)     # [sites, s]
+        block[:, :, :self.sites] = ind.T[None, :, :]
         if self.asc_extra:
             # synthetic invariant columns: column k observes state k everywhere
             eye = np.eye(self.states)
@@ -271,11 +289,6 @@ class Partition:
         identical."""
         arr = np.asarray(clv, dtype=np.float64)
         arr = arr.reshape(self.sites, self.states)
-        block = np.zeros((self.rate_cats, self.states, self.sites_padded))
-        block[:, :, :self.sites] = arr.T[None, :, :]
-        if self.asc_extra:
-            eye = np.eye(self.states)
-            block[:, :, self.sites:self.sites + self.states] = eye[None]
         if self.repeats is not None:
             # arbitrary probabilities have no state code to class by: reset
             # this tip to the identity mapping (repeats disabled for it) and
@@ -283,8 +296,17 @@ class Partition:
             self.repeats.reset_node(tip_index)
             self._repeat_key = None
             self._repeat_schedule = None
-        self.clv = self.clv.at[tip_index].set(
-            jnp.asarray(block, dtype=self.dtype))
+            self._flat = None
+            self._tip_cols[tip_index] = np.ascontiguousarray(arr.T)
+        else:
+            block = np.zeros((self.rate_cats, self.states,
+                              self.sites_padded))
+            block[:, :, :self.sites] = arr.T[None, :, :]
+            if self.asc_extra:
+                eye = np.eye(self.states)
+                block[:, :, self.sites:self.sites + self.states] = eye[None]
+            self.clv = self.clv.at[tip_index].set(
+                jnp.asarray(block, dtype=self.dtype))
         # probabilities are not state bitmasks: this tip can no longer
         # participate in bitwise invariant-site detection
         self._tips_set[tip_index] = False
@@ -433,10 +455,10 @@ class Partition:
                              "Operation list (class columns), not packed "
                              "Operations")
         if self.repeats is not None:
-            from .repeats import schedule_buckets
+            from .repeats import schedule_buckets_flat
             # rebuild the class schedule only when the operation list or tip
-            # data changed — the cached packed Operations embed ALL op
-            # fields (matrix + scaler indices too), so the key must as well
+            # data changed — the cached schedule embeds ALL op fields
+            # (matrix + scaler indices too), so the key must as well
             key = tuple((o.parent_clv_index, o.parent_scaler_index,
                          o.child1_clv_index, o.child1_matrix_index,
                          o.child1_scaler_index, o.child2_clv_index,
@@ -449,15 +471,16 @@ class Partition:
             elif (self._repeat_schedule is None
                     or getattr(self, "_repeat_key", None) != key):
                 self._repeat_key = key
-                sched = schedule_buckets(self.repeats, operations,
-                                         self.sites)
+                layout, buckets = schedule_buckets_flat(
+                    self.repeats, operations, self.sites,
+                    self.scale_buffers)
+                self._install_flat(layout)
                 self._repeat_schedule = tuple(
-                    (pack_operations(ops, scratch_clv=self.nodes),
-                     jnp.asarray(gl), jnp.asarray(gr))
-                    for _, ops, gl, gr in sched)
-            self.clv, self.scale_buffer = \
-                ops_partials.update_partials_repeats_fused(
-                    self.clv, self.scale_buffer, self.pmatrix,
+                    (jnp.asarray(f), jnp.asarray(gl), jnp.asarray(gr))
+                    for _, f, gl, gr in buckets)
+            self.clv_flat, self.sc_flat = \
+                ops_partials.update_partials_repeats_pool(
+                    self.clv_flat, self.sc_flat, self.pmatrix,
                     self._repeat_schedule,
                     self.scale_threshold, self.scale_factor,
                     rate_scalers=self.rate_scalers)
@@ -469,6 +492,27 @@ class Partition:
             self.scale_threshold, self.scale_factor,
             rate_scalers=self.rate_scalers)
 
+    # -------------------------------------------------------- flat storage
+    def _install_flat(self, layout) -> None:
+        """(Re)allocate the pooled class-column buffers for `layout` and
+        seed the tip regions from the host-side tip columns."""
+        R, s = self.rate_cats, self.states
+        arr = np.zeros((R, s, layout.total))
+        for tip, cols in self._tip_cols.items():
+            o = int(layout.off[tip])
+            arr[:, :, o:o + cols.shape[1]] = cols[None]
+        self.clv_flat = jnp.asarray(arr, self.dtype)
+        shape = (R, layout.sc_total) if self.rate_scalers \
+            else (layout.sc_total,)
+        self.sc_flat = jnp.zeros(shape, jnp.int32)
+        self._flat = layout
+
+    def _ensure_flat(self) -> None:
+        if self._flat is None:
+            from .repeats import build_flat_layout
+            self._install_flat(build_flat_layout(
+                self.repeats, {}, self.sites, self.scale_buffers))
+
     # ------------------------------------------------------------ likelihood
     def _scaler_row(self, index: int):
         if index == C.SCALE_BUFFER_NONE:
@@ -478,14 +522,22 @@ class Partition:
 
     def _node_view(self, clv_index: int, scaler_index: int):
         """(clv, scaler, has_scaler) in per-site order — with repeats the
-        class columns are expanded through site_id."""
-        scaler, has = self._scaler_row(scaler_index)
-        clv_node = self.clv[clv_index]
+        pooled class columns are expanded through site_id."""
         if self.repeats is not None:
-            sid = jnp.asarray(self.repeats.site_id[clv_index])
-            clv_node, scaler = ops_partials.gather_site_view(
-                clv_node, scaler, sid)
-        return clv_node, scaler, has
+            self._ensure_flat()
+            lay = self._flat
+            sid = self.repeats.site_id[clv_index].astype(np.int64)
+            clv_cols = (lay.off[clv_index] + sid).astype(np.int32)
+            has = (scaler_index != C.SCALE_BUFFER_NONE
+                   and lay.sc_caps[scaler_index] > 0)
+            sc_base = lay.sc_off[scaler_index] if has else lay.sc_zero
+            sc_cols = (sc_base + sid).astype(np.int32)
+            clv_node, scaler = ops_partials.gather_flat_view(
+                self.clv_flat, self.sc_flat,
+                jnp.asarray(clv_cols), jnp.asarray(sc_cols))
+            return clv_node, scaler, has
+        scaler, has = self._scaler_row(scaler_index)
+        return self.clv[clv_index], scaler, has
 
     def compute_root_loglikelihood(self, clv_index: int, scaler_index: int,
                                    freqs_indices, persite: bool = False):
@@ -595,15 +647,38 @@ class Partition:
     # ------------------------------------------------------------- debugging
     def get_clv(self, index: int) -> np.ndarray:
         """CLV as [sites, rate_cats, states] (reference memory order);
-        with repeats, class columns are expanded to per-site order."""
-        block = np.asarray(self.clv[index])
+        with repeats, pooled class columns are expanded to per-site
+        order."""
         if self.repeats is not None:
+            self._ensure_flat()
+            lay = self._flat
+            o, c = int(lay.off[index]), int(lay.caps[index])
+            block = np.asarray(self.clv_flat[:, :, o:o + c])
             block = block[:, :, self.repeats.site_id[index]]
-        block = block[:, :, :self.sites]
+        else:
+            block = np.asarray(self.clv[index])[:, :, :self.sites]
         return np.transpose(block, (2, 0, 1))
+
+    def clv_bytes(self) -> int:
+        """Allocated CLV+scaler bytes — the site-repeats memory win is
+        directly observable here (reference: EPA-ng -30% footprint,
+        /root/reference/README.md:14)."""
+        if self.repeats is not None:
+            self._ensure_flat()
+            return (self.clv_flat.size * self.clv_flat.dtype.itemsize
+                    + self.sc_flat.size * self.sc_flat.dtype.itemsize)
+        return (self.clv.size * self.clv.dtype.itemsize
+                + self.scale_buffer.size * self.scale_buffer.dtype.itemsize)
 
     def get_pmatrix(self, index: int) -> np.ndarray:
         return np.asarray(self.pmatrix[index])
 
     def get_scaler(self, index: int) -> np.ndarray:
+        """Scaler contents; with repeats this is the raw class-layout
+        region of the pooled buffer (width = the writer's capacity)."""
+        if self.repeats is not None:
+            self._ensure_flat()
+            lay = self._flat
+            o, c = int(lay.sc_off[index]), int(lay.sc_caps[index])
+            return np.asarray(self.sc_flat[..., o:o + c])
         return np.asarray(self.scale_buffer[index])[..., :self.sites]

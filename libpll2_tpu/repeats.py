@@ -150,6 +150,66 @@ class RepeatsTable:
         return gl.astype(np.int32), gr.astype(np.int32), width
 
 
+@dataclass
+class FlatLayout:
+    """Pooled class-column storage map: the TPU analog of the reference's
+    per-node CLV reallocation (repeats.c:256-296 reallocate_repeats).
+
+    Instead of dense [node, rate, state, sites] buffers, a repeats
+    partition stores one flat column pool [rate, state, total]: node n owns
+    columns [off[n], off[n]+cap[n]) where cap[n] is its class count rounded
+    to a lane-aligned bucket. Scalers pool likewise, with two extra
+    full-width regions: trash (absorbs junk writes) and a guaranteed-zero
+    region (serves SCALE_BUFFER_NONE reads). Memory = sum of caps — the
+    reference's -30% footprint win, shape-static for XLA."""
+    caps: np.ndarray        # [nodes] int64 column capacity per node
+    off: np.ndarray         # [nodes] int64 column offset per node
+    total: int              # flat column count (incl. scratch tail)
+    sc_caps: np.ndarray     # [K] per-scaler capacities
+    sc_off: np.ndarray      # [K] scaler offsets
+    sc_trash: int           # offset of the trash region (width = sites)
+    sc_zero: int            # offset of the guaranteed-zero region
+    sc_total: int
+
+
+def build_flat_layout(table: RepeatsTable, scaler_of: dict,
+                      sites: int, scale_buffers: int,
+                      lane: int = 128) -> FlatLayout:
+    """Column-pool layout from the current class table.
+
+    scaler_of: {scaler_index -> list of nodes writing it} (from the
+    schedule); a scaler's capacity is its largest writer's capacity (so a
+    reused scaler slot never overruns its region). The pool ends with a
+    `sites`-wide scratch tail so fixed-width child windows may read past
+    the last node's region without going out of bounds."""
+    nodes = table.nodes
+    caps = np.zeros(nodes, dtype=np.int64)
+    off = np.zeros(nodes, dtype=np.int64)
+    cur = 0
+    for n in range(nodes):
+        caps[n] = bucket_width(table.classes(n), sites, lane)
+        off[n] = cur
+        cur += caps[n]
+    total = cur + sites                      # scratch tail for window reads
+
+    sc_caps = np.zeros(scale_buffers, dtype=np.int64)
+    sc_off = np.zeros(scale_buffers, dtype=np.int64)
+    cur = 0
+    for k in range(scale_buffers):
+        writers = scaler_of.get(k)
+        sc_caps[k] = max(caps[n] for n in writers) if writers else 0
+        sc_off[k] = cur
+        cur += sc_caps[k]
+    sc_trash = cur
+    cur += sites
+    sc_zero = cur
+    cur += sites
+    return FlatLayout(caps=caps, off=off, total=int(total),
+                      sc_caps=sc_caps, sc_off=sc_off,
+                      sc_trash=int(sc_trash), sc_zero=int(sc_zero),
+                      sc_total=int(cur))
+
+
 def bucket_width(classes: int, sites: int, lane: int = 128) -> int:
     """Round a class count up to a power-of-two multiple of the lane width
     (capped at sites) — the static kernel widths that bound recompiles."""
@@ -157,6 +217,63 @@ def bucket_width(classes: int, sites: int, lane: int = 128) -> int:
     while w < classes:
         w *= 2
     return min(w, sites)
+
+
+def schedule_buckets_flat(table: RepeatsTable,
+                          operations: Sequence[Operation],
+                          sites: int,
+                          scale_buffers: int,
+                          lane: int = 128):
+    """Flat-pool bucket schedule: updates the class table op by op, then
+    groups ops by padded kernel width W and emits offset-based index
+    arrays for the pooled storage (see FlatLayout).
+
+    Returns (layout, buckets) with buckets =
+    [(W, fields [n, 8] int32, gl [n, W], gr [n, W])] in increasing-W
+    execution order; fields columns are
+    (p_off, psc_off, c1_off, m1, s1_off, c2_off, m2, s2_off). Child
+    windows are read W wide from the child's offset: gather indices stay
+    below the child's true class count, so over-reads select nothing."""
+    per_op = []
+    scaler_of: Dict[int, List[int]] = {}
+    for op in operations:
+        table.update_op(op)
+        gl, gr, width = table.gathers_for(op)
+        per_op.append((bucket_width(width, sites, lane), op, gl, gr))
+        if op.parent_scaler_index >= 0:
+            scaler_of.setdefault(op.parent_scaler_index, []).append(
+                op.parent_clv_index)
+    layout = build_flat_layout(table, scaler_of, sites, scale_buffers,
+                               lane)
+
+    groups: Dict[int, List] = {}
+    for w, op, gl, gr in per_op:
+        groups.setdefault(w, []).append((op, gl, gr))
+
+    buckets = []
+    for w in sorted(groups):
+        rows = groups[w]
+        n = len(rows)
+        fields = np.zeros((n, 8), dtype=np.int32)
+        glm = np.zeros((n, w), dtype=np.int32)
+        grm = np.zeros((n, w), dtype=np.int32)
+        for i, (op, g1, g2) in enumerate(rows):
+            psc = op.parent_scaler_index
+            s1, s2 = op.child1_scaler_index, op.child2_scaler_index
+            fields[i] = [
+                layout.off[op.parent_clv_index],
+                layout.sc_off[psc] if psc >= 0 else layout.sc_trash,
+                layout.off[op.child1_clv_index],
+                op.child1_matrix_index,
+                layout.sc_off[s1] if s1 >= 0 else layout.sc_zero,
+                layout.off[op.child2_clv_index],
+                op.child2_matrix_index,
+                layout.sc_off[s2] if s2 >= 0 else layout.sc_zero,
+            ]
+            glm[i, :g1.size] = g1
+            grm[i, :g2.size] = g2
+        buckets.append((w, fields, glm, grm))
+    return layout, buckets
 
 
 def schedule_buckets(table: RepeatsTable,

@@ -135,6 +135,64 @@ class TreeSearch:
             best = float(scores[i])
             accepted += 1
 
+    def spr_round_batched(self, max_candidates: Optional[int] = None,
+                          seed: int = 0,
+                          batch: int = 64) -> Tuple[float, int]:
+        """Steepest-ascent SPR: every (prune, regraft) candidate of the
+        round is scored device-side through evaluate_topologies in
+        batches of `batch` (padded to powers of two, so the whole search
+        reuses a bounded set of compiled programs), then the best
+        improving move is applied; repeats until no improvement. This is
+        the TPU replacement for the reference consumers' move -> partial
+        traversal -> rescore -> rollback loop (SURVEY call stack 3.4) —
+        hundreds of candidates per dispatch instead of one.
+        """
+        from .trees.utree import traverse
+        from .trees import create_operations
+
+        best = self.evaluate()
+        eng = self._engine
+        accepted = 0
+        rng = np.random.default_rng(seed)
+        while True:
+            candidates, applied = [], []
+            for p in list(_internal_edges(self.tree)):
+                targets = [r for r in _all_edges(self.tree)
+                           if r not in (p, p.back, p.next, p.next.back,
+                                        p.next.next, p.next.next.back)
+                           and not moves.utree_find(p.back, r)
+                           and r.back is not None]
+                if max_candidates and len(targets) > max_candidates:
+                    idx = rng.permutation(len(targets))[:max_candidates]
+                    targets = [targets[i] for i in idx]
+                for r in targets:
+                    rb = moves.Rollback()
+                    try:
+                        moves.spr(p, r, rb, safe=True)
+                    except C.PllError:
+                        continue
+                    trav = traverse(self.tree.vroot)
+                    ops, br, pidx = create_operations(trav)
+                    vr = self.tree.vroot
+                    root_info = (vr.clv_index, vr.scaler_index,
+                                 vr.back.clv_index, vr.back.scaler_index,
+                                 vr.pmatrix_index)
+                    candidates.append((ops, br, pidx, root_info))
+                    applied.append((p, r))
+                    moves.rollback_move(rb)
+            if not candidates:
+                return best, accepted
+            scores = np.concatenate(
+                [eng.evaluate_topologies(candidates[i:i + batch])
+                 for i in range(0, len(candidates), batch)])
+            i = int(np.argmax(scores))
+            if scores[i] <= best + self.epsilon:
+                return best, accepted
+            p, r = applied[i]
+            moves.spr(p, r, None, safe=True)
+            best = float(scores[i])
+            accepted += 1
+
     def spr_round(self, max_candidates: Optional[int] = None,
                   seed: int = 0) -> Tuple[float, int]:
         """Try SPR regrafts of each prunable subtree onto candidate edges;

@@ -1,0 +1,143 @@
+"""Per-branch heterotachy (reference: examples/heterotachy): different
+rate matrices on different branches. Validates both API levels:
+
+  * step-by-step Partition (two update_prob_matrices calls, one per
+    branch class — the reference client pattern) against the oracle;
+  * TreeEngine(edge_params=...) fused path against the step-by-step
+    result and across execution modes.
+"""
+import numpy as np
+import pytest
+
+import oracle
+from libpll2_tpu import Partition, TreeEngine, compute_gamma_cats
+from libpll2_tpu.io import maps
+from libpll2_tpu.trees import create_operations, random_utree, traverse
+from libpll2_tpu.utils.simulate import simulate_alignment
+
+N_TAXA = 14
+N_SITES = 384   # 128-aligned for the fused-kernel eligibility check
+FREQS0 = [0.3, 0.25, 0.2, 0.25]
+SUBST0 = [1.2, 3.0, 0.8, 1.1, 2.6, 1.0]
+FREQS1 = [0.2, 0.3, 0.3, 0.2]
+SUBST1 = [0.7, 1.1, 2.4, 0.9, 1.6, 1.0]
+
+
+def _problem(seed=19):
+    tree = random_utree([f"t{i}" for i in range(N_TAXA)], seed=seed)
+    headers, seqs = simulate_alignment(tree, N_SITES, FREQS0, SUBST0,
+                                       alpha=0.8, seed=seed)
+    trav = traverse(tree.vroot)
+    ops, branches, pidx = create_operations(trav)
+    # branch classes: alternate models by pmatrix index parity
+    edge_params = np.array([i % 2 for i in range(tree.edge_count)],
+                           dtype=np.int32)
+    return tree, headers, seqs, ops, branches, pidx, edge_params
+
+
+def _fill_models(impl, oracle_mode=False):
+    rates = compute_gamma_cats(0.8, 4)
+    impl.set_frequencies(0, FREQS0)
+    impl.set_subst_params(0, SUBST0)
+    impl.set_frequencies(1, FREQS1)
+    impl.set_subst_params(1, SUBST1)
+    impl.set_category_rates(rates)
+
+
+def _eval_stepwise(impl, tree, ops, branches, pidx, edge_params,
+                   is_oracle=False):
+    """Reference client pattern: one update_prob_matrices call per branch
+    class (examples/heterotachy)."""
+    for model in (0, 1):
+        sel = [i for i, m in enumerate(pidx) if edge_params[m] == model]
+        mats = [pidx[i] for i in sel]
+        brs = [branches[i] for i in sel]
+        impl.update_prob_matrices([model] * 4, mats, brs)
+    if is_oracle:
+        impl.update_partials([(o.parent_clv_index, o.parent_scaler_index,
+                               o.child1_clv_index, o.child1_matrix_index,
+                               o.child1_scaler_index, o.child2_clv_index,
+                               o.child2_matrix_index,
+                               o.child2_scaler_index) for o in ops])
+    else:
+        impl.update_partials(ops)
+    root = tree.vroot
+    rm = int(edge_params[root.pmatrix_index])
+    args = (root.clv_index, root.scaler_index, root.back.clv_index,
+            root.back.scaler_index, root.pmatrix_index, [rm] * 4)
+    if is_oracle:
+        return impl.edge_loglikelihood(*args)
+    return impl.compute_edge_loglikelihood(*args)
+
+
+def _build(tree, headers, seqs, oracle_mode=False):
+    by = dict(zip(headers, seqs))
+    if oracle_mode:
+        impl = oracle.OraclePartition(tree.tip_count, tree.inner_count, 4,
+                                      N_SITES, 2, tree.edge_count, 4,
+                                      tree.inner_count)
+        for t in tree.tips():
+            impl.set_tip_states(t.clv_index, "nt", by[t.label])
+    else:
+        impl = Partition(tree.tip_count, tree.inner_count, 4, N_SITES, 2,
+                         tree.edge_count, 4, tree.inner_count)
+        for t in tree.tips():
+            impl.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+    _fill_models(impl)
+    return impl
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference unavailable")
+def test_heterotachy_stepwise_vs_oracle():
+    tree, headers, seqs, ops, branches, pidx, ep = _problem()
+    ref = _build(tree, headers, seqs, oracle_mode=True)
+    lk_ref = _eval_stepwise(ref, tree, ops, branches, pidx, ep,
+                            is_oracle=True)
+    ref.destroy()
+    part = _build(tree, headers, seqs)
+    lk = _eval_stepwise(part, tree, ops, branches, pidx, ep)
+    np.testing.assert_allclose(lk, lk_ref, rtol=1e-10)
+
+
+def test_engine_edge_params_matches_stepwise():
+    tree, headers, seqs, ops, branches, pidx, ep = _problem()
+    part = _build(tree, headers, seqs)
+    lk_sbs = _eval_stepwise(part, tree, ops, branches, pidx, ep)
+
+    part2 = _build(tree, headers, seqs)
+    eng = TreeEngine(part2, tree, edge_params=ep, pallas=False)
+    lk_eng = eng.loglikelihood()
+    np.testing.assert_allclose(lk_eng, lk_sbs, rtol=1e-10)
+    # and a two-model tree genuinely differs from a single-model one
+    part3 = _build(tree, headers, seqs)
+    lk_single = TreeEngine(part3, tree, pallas=False).loglikelihood()
+    assert abs(lk_eng - lk_single) > 0.1
+
+
+def test_engine_edge_params_newton_and_modes():
+    tree, headers, seqs, ops, branches, pidx, ep = _problem(seed=23)
+    import jax.numpy as jnp
+
+    def mk(dtype=None):
+        by = dict(zip(headers, seqs))
+        part = Partition(tree.tip_count, tree.inner_count, 4, N_SITES, 2,
+                         tree.edge_count, 4, tree.inner_count, dtype=dtype)
+        for t in tree.tips():
+            part.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+        _fill_models(part)
+        return part
+
+    e_scan = TreeEngine(mk(), tree, edge_params=ep, pallas=False,
+                        level_schedule=False)
+    e_lvl = TreeEngine(mk(), tree, edge_params=ep, pallas=False)
+    lk1, lk2 = e_scan.loglikelihood(), e_lvl.loglikelihood()
+    np.testing.assert_allclose(lk1, lk2, rtol=1e-12)
+    # newton loop runs and improves
+    lk0 = e_lvl.loglikelihood()
+    lkn, d1, d2 = e_lvl.newton_loop(5)
+    assert np.isfinite(lkn) and lkn >= lk0 - 1e-9
+    # fused Pallas kernel path (fp32, interpret) agrees to fp32 accuracy
+    e_pl = TreeEngine(mk(jnp.float32), tree, edge_params=ep,
+                      pallas="interpret")
+    assert e_pl.use_fused
+    np.testing.assert_allclose(e_pl.loglikelihood(), lk1, rtol=1e-5)

@@ -169,3 +169,56 @@ def test_repeats_clv_expansion_matches_plain():
     for node in (0, tree.tip_count, tree.tip_count + tree.inner_count - 1):
         np.testing.assert_allclose(part_r.get_clv(node),
                                    part_p.get_clv(node), rtol=1e-12)
+
+
+def test_repeats_tree_engine_matches_plain():
+    """TreeEngine now accepts repeats partitions: fused pooled-storage
+    evaluation must match the plain engine and the step-by-step API."""
+    from libpll2_tpu import TreeEngine
+    tree, headers, seqs = _simulated()
+    part_r = _build(tree, headers, seqs, True)
+    part_p = _build(tree, headers, seqs, False)
+    eng_r = TreeEngine(part_r, tree, pallas=False)
+    eng_p = TreeEngine(part_p, tree, pallas=False)
+    assert eng_r.repeats_mode
+    lk_r = eng_r.loglikelihood()
+    lk_p = eng_p.loglikelihood()
+    np.testing.assert_allclose(lk_r, lk_p, rtol=1e-12)
+    # newton loop agrees too
+    nr = eng_r.newton_loop(3)
+    np_ = eng_p.newton_loop(3)
+    np.testing.assert_allclose(nr, np_, rtol=1e-8)
+    # chained loop equals k * single (branches fixed)
+    acc = eng_r.loglikelihood_loop(3)
+    np.testing.assert_allclose(acc, 3 * eng_r.loglikelihood(), rtol=1e-10)
+
+
+def test_repeats_engine_topology_moves():
+    """set_topology + evaluate_topologies on a repeats engine: candidate
+    scoring matches a fresh engine evaluation of the moved topology."""
+    from libpll2_tpu import TreeEngine
+    from libpll2_tpu import constants as C2
+    from libpll2_tpu.trees import moves
+    tree, headers, seqs = _simulated(seed=12)
+    part_r = _build(tree, headers, seqs, True)
+    eng = TreeEngine(part_r, tree, pallas=False)
+    base = eng.loglikelihood()
+
+    edge = next(h for n in tree.nodes() if not n.is_tip()
+                for h in n.ring()
+                if h.back is not None and not h.back.is_tip())
+    rb = moves.Rollback()
+    moves.nni(edge, C2.UTREE_MOVE_NNI_LEFT, rb)
+    trav = traverse(tree.vroot)
+    ops, br, pidx = create_operations(trav)
+    vr = tree.vroot
+    ri = (vr.clv_index, vr.scaler_index, vr.back.clv_index,
+          vr.back.scaler_index, vr.pmatrix_index)
+    scores = eng.evaluate_topologies([(ops, br, pidx, ri)])
+    # independent check: fresh partition+engine on the moved topology
+    part2 = _build(tree, headers, seqs, True)
+    lk_moved = TreeEngine(part2, tree, pallas=False).loglikelihood()
+    np.testing.assert_allclose(scores[0], lk_moved, rtol=1e-10)
+    moves.rollback_move(rb)
+    # engine schedule restored: original topology still evaluates right
+    np.testing.assert_allclose(eng.loglikelihood(), base, rtol=1e-10)

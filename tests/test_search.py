@@ -88,3 +88,15 @@ def test_search_on_true_tree_accepts_nothing_worse():
     lk0 = search.evaluate()
     lk, accepted = search.nni_round()
     assert lk >= lk0 - 1e-9
+
+
+def test_spr_round_batched_recovers_tree():
+    """Batched steepest-ascent SPR reaches at least the sequential SPR
+    likelihood on an easy recovery problem, with far fewer dispatches."""
+    part_a, tree_a = _setup(perturb=3)
+    lk_seq, _ = TreeSearch(part_a, tree_a).spr_round()
+    part_b, tree_b = _setup(perturb=3)
+    s = TreeSearch(part_b, tree_b)
+    lk_bat, accepted = s.spr_round_batched(batch=32)
+    assert accepted >= 1
+    assert lk_bat >= lk_seq - 1e-6

@@ -117,13 +117,42 @@ def bench_protein():
 
 
 def bench_repeats():
-    log("[4] site repeats vs plain (96 taxa x 3072 sites, device-side)")
+    """Site repeats vs plain at the reference's flagship repeats size
+    (246 taxa x 4465 sites, test/testdata/246x4465.fas scale); the
+    alignment is simulated at low divergence (conserved real-data regime
+    where the reference reports 1.2-1.5x + -30% memory, README.md:12-14).
+    """
+    n_taxa, sites = (64, 1024) if QUICK else (246, 4465)
+    log(f"[4] site repeats vs plain ({n_taxa} taxa x {sites} sites)")
     from libpll2_tpu.ops import partials as ops_partials
     from libpll2_tpu.partition import pack_operations
     from libpll2_tpu.trees import create_operations, traverse
 
+    def make(repeats):
+        tree = random_utree([f"t{i}" for i in range(n_taxa)], seed=13)
+        # conserved data: short branches -> strong subtree repetition
+        seen = set()
+        for nd in tree.nodes():
+            for h in ([nd] if nd.is_tip() else list(nd.ring())):
+                if h.back is not None and id(h) not in seen:
+                    seen.add(id(h)), seen.add(id(h.back))
+                    h.length = h.back.length = h.length * 0.15 + 0.001
+        subst = np.array([1, 2, 1, 1, 2, 1.0])
+        headers, seqs = simulate_alignment(tree, sites, [0.25] * 4, subst,
+                                           alpha=0.7, seed=13)
+        part = Partition(tree.tip_count, tree.inner_count, 4, sites, 1,
+                         tree.edge_count, 4, tree.inner_count,
+                         site_repeats=repeats)
+        by = dict(zip(headers, seqs))
+        for t in tree.tips():
+            part.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+        part.set_frequencies(0, [0.25] * 4)
+        part.set_subst_params(0, subst)
+        part.set_category_rates(compute_gamma_cats(0.7, 4))
+        return part, tree
+
     def run_mode(repeats):
-        part, tree, *_ = build(96, 3072, seed=13, repeats=repeats)
+        part, tree = make(repeats)
         trav = traverse(tree.vroot)
         ops, branches, pmat_idx = create_operations(trav)
         part.update_prob_matrices([0] * 4, pmat_idx, branches)
@@ -132,18 +161,19 @@ def bench_repeats():
         thr, fac = part.scale_threshold, part.scale_factor
         if repeats:
             sched = part._repeat_schedule
-            body = lambda c: ops_partials.update_partials_repeats_fused(
+            body = lambda c: ops_partials.update_partials_repeats_pool(
                 c[0], c[1], pmat, sched, thr, fac)
+            clv0, sc0 = part.clv_flat, part.sc_flat
         else:
             packed = pack_operations(ops, scratch_clv=part.nodes)
             body = lambda c: ops_partials.update_partials(
                 c[0], c[1], pmat, packed, thr, fac)
+            clv0, sc0 = part.clv, part.scale_buffer
 
         @jax.jit
         def loop(k, clv, sc):
             return jax.lax.fori_loop(0, k, lambda i, c: body(c), (clv, sc))
 
-        clv0, sc0 = part.clv, part.scale_buffer
         jax.block_until_ready(loop(1, clv0, sc0))
 
         def run(k):
@@ -158,14 +188,17 @@ def bench_repeats():
         work = None
         if repeats:
             work = sum(part.repeats.classes(o.parent_clv_index)
-                       for o in ops) / (len(ops) * 3072)
-        return dt, work
+                       for o in ops) / (len(ops) * sites)
+        return dt, work, part.clv_bytes()
 
-    dt_plain, _ = run_mode(False)
-    dt_rep, work = run_mode(True)
+    dt_plain, _, bytes_plain = run_mode(False)
+    dt_rep, work, bytes_rep = run_mode(True)
     record("repeats_speedup", dt_plain / dt_rep, "x",
            f"class columns = {100 * work:.0f}% of plain work; "
            f"plain {dt_plain*1e3:.2f} ms vs repeats {dt_rep*1e3:.2f} ms")
+    record("repeats_memory_ratio", bytes_rep / bytes_plain, "x",
+           f"CLV+scaler bytes {bytes_rep/2**20:.0f} MiB vs "
+           f"{bytes_plain/2**20:.0f} MiB dense")
 
 
 def bench_stepwise():
