@@ -123,8 +123,10 @@ def bench_reference():
     fast_lib = REPO / ".refbuild" / "libpll_ref_fast.so"
     if not fast_lib.exists():
         fast_lib.parent.mkdir(exist_ok=True)
+        shim = fast_lib.parent / "wraptree_shim.c"
+        shim.write_text(oracle._WRAPTREE_SHIM)
         src = sorted(str(p) for p in
-                     (oracle.REFERENCE / "src").glob("*.c"))
+                     (oracle.REFERENCE / "src").glob("*.c")) + [str(shim)]
         cmd = ["gcc", "-O3", "-march=native", "-fopenmp", "-D_GNU_SOURCE",
                "-DHAVE_X86INTRIN_H", "-DHAVE_SSE3", "-DHAVE_AVX",
                "-DHAVE_AVX2", "-fPIC", "-shared", "-o", str(fast_lib),

@@ -40,7 +40,7 @@ from .trees import create_operations, traverse
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
-                                   'fused_slots'))
+                                   'fused_slots', 'fused_mesh'))
 def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                          prop_invar, rates, rate_weights, freqs,
                          params_idx_rates, branches,
@@ -51,7 +51,8 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                          use_pallas: bool = False,
                          pallas_interpret: bool = False,
                          asc_type: int = 0, n_real: int = -1,
-                         fused_slots: int = 0, edge_params=None):
+                         fused_slots: int = 0, edge_params=None,
+                         fused_mesh=None):
     """branches[e] is ordered by pmatrix index e. `edge_params` (an
     optional [E, R] int table) switches P-matrix computation to the
     per-branch heterotachy variant — every edge may use its own rate
@@ -75,12 +76,34 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
     if fused_slots > 0:
         table, tip_codes = op_arrays
         p_clv, p_sc_i, c_clv, c_sc_i, mat = root_idx
-        with jax.named_scope("pll.fused_traversal"):
-            clv_p, clv_c, sc_p, sc_c = ops_fused.fused_traversal(
-                tip_codes, pmatrix, table,
+
+        def _traverse(codes, pm, tbl):
+            return ops_fused.fused_traversal(
+                codes, pm, tbl,
                 rates=clv.shape[1], states=clv.shape[2],
                 n_slots=fused_slots, threshold=scale_threshold,
                 factor=scale_factor, interpret=pallas_interpret)
+
+        with jax.named_scope("pll.fused_traversal"):
+            if fused_mesh is not None:
+                # per-shard traversal: the kernel is elementwise over the
+                # site axis, so each device runs it on its local columns;
+                # the psum happens later in the edge logL reduction
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                sites_ax = P(None, "sites")
+                clv_p, clv_c, sc_p, sc_c = shard_map(
+                    _traverse, mesh=fused_mesh,
+                    in_specs=(sites_ax, P(), P()),
+                    out_specs=(P(None, None, "sites"),
+                               P(None, None, "sites"),
+                               P("sites"), P("sites")),
+                    check_vma=False,
+                )(tip_codes, pmatrix, table)
+            else:
+                clv_p, clv_c, sc_p, sc_c = _traverse(tip_codes, pmatrix,
+                                                     table)
         with jax.named_scope("pll.edge_logl"):
             total, per = ops_likelihood.edge_loglikelihood(
                 clv_p, clv_c, sc_p, sc_c, jnp.take(pmatrix, mat, axis=0),
@@ -128,7 +151,7 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
-                                   'fused_slots'))
+                                   'fused_slots', 'fused_mesh'))
 def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        prop_invar, rates, rate_weights, freqs,
                        params_idx_rates, branches,
@@ -139,7 +162,8 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        use_pallas: bool = False,
                        pallas_interpret: bool = False,
                        asc_type: int = 0, n_real: int = -1,
-                       fused_slots: int = 0, edge_params=None):
+                       fused_slots: int = 0, edge_params=None,
+                       fused_mesh=None):
     """One full 'training' step: evaluate the tree, then Newton-update the
     root branch length from d1/d2 (the reference's examples/newton loop body,
     reference: /root/reference/examples/newton/newton.c:66-96, fused)."""
@@ -150,7 +174,8 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
         scale_threshold, scale_factor, rate_scalers=rate_scalers,
         valid=valid, levels=levels, use_pallas=use_pallas,
         pallas_interpret=pallas_interpret, asc_type=asc_type, n_real=n_real,
-        fused_slots=fused_slots, edge_params=edge_params)
+        fused_slots=fused_slots, edge_params=edge_params,
+        fused_mesh=fused_mesh)
     p_clv, p_sc, c_clv, c_sc, mat = root_idx
     sumtable = ops_derivatives.update_sumtable(
         jnp.take(clv, p_clv, axis=0), jnp.take(clv, c_clv, axis=0),
@@ -179,7 +204,7 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
-                                   'fused_slots'))
+                                   'fused_slots', 'fused_mesh'))
 def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                               eigenvecs, prop_invar, rates, rate_weights,
                               freqs, params_idx_rates, branches, op_arrays,
@@ -190,7 +215,8 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                               use_pallas: bool = False,
                               pallas_interpret: bool = False,
                               asc_type: int = 0, n_real: int = -1,
-                              fused_slots: int = 0, edge_params=None):
+                              fused_slots: int = 0, edge_params=None,
+                              fused_mesh=None):
     """k chained full-traversal evaluations in ONE dispatch (the CLV state
     threads through the loop, so XLA cannot hoist the work). Benchmarking
     helper: amortizes host->device dispatch latency."""
@@ -211,7 +237,7 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
             valid=valid, levels=levels, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret, asc_type=asc_type,
             n_real=n_real, fused_slots=fused_slots,
-            edge_params=edge_params)
+            edge_params=edge_params, fused_mesh=fused_mesh)
         return clv, scaler, acc + total
     clv, scaler, acc = jax.lax.fori_loop(
         0, k, body, (clv, scaler, jnp.zeros((), clv.dtype)))
@@ -221,7 +247,7 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
-                                   'fused_slots'))
+                                   'fused_slots', 'fused_mesh'))
 def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        prop_invar, rates, rate_weights, freqs,
                        params_idx_rates, branches, op_arrays, root_idx,
@@ -232,7 +258,8 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        use_pallas: bool = False,
                        pallas_interpret: bool = False,
                        asc_type: int = 0, n_real: int = -1,
-                       fused_slots: int = 0, edge_params=None):
+                       fused_slots: int = 0, edge_params=None,
+                       fused_mesh=None):
     """k chained Newton iterations on the root branch in ONE dispatch
     (the reference's examples/newton loop, device-resident)."""
     def body(_, carry):
@@ -245,7 +272,7 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
             valid=valid, levels=levels, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret, asc_type=asc_type,
             n_real=n_real, fused_slots=fused_slots,
-            edge_params=edge_params)
+            edge_params=edge_params, fused_mesh=fused_mesh)
         return clv, scaler, branches, total, d1, d2
 
     zero = jnp.zeros((), clv.dtype)
@@ -468,9 +495,13 @@ class TreeEngine:
         # launches instead of ops-many scan steps (SURVEY §2.3 "task
         # parallelism over tree nodes"). Semantically identical: ops within
         # a level are independent.
+        mesh_n = mesh.devices.size if mesh is not None else 1
         eligible = (p.dtype == jnp.float32 and not p.rate_scalers
-                    and p.repeats is None and p.sites_padded % 128 == 0
-                    and getattr(p, "mesh", None) is None)
+                    and p.repeats is None
+                    and p.sites_padded % (128 * mesh_n) == 0)
+        # the per-level kernel has no shard_map path; only the fused
+        # whole-traversal kernel runs under a mesh
+        levelk_ok = eligible and mesh is None
         on_target = (jax.default_backend() == "tpu" if pallas == "auto"
                      else True)
         self.pallas_interpret = pallas in ("interpret", "levels-interpret")
@@ -483,8 +514,9 @@ class TreeEngine:
                                                  "levels-interpret")
                               and bool(np.all(p._tips_set))
                               and not bool(np.any(p._tips_clv_set)))
-        self._levelk_wanted = (want_levelk and eligible and on_target
+        self._levelk_wanted = (want_levelk and levelk_ok and on_target
                                and not self.repeats_mode)
+        self.fused_mesh = mesh
         self.levels = level_schedule
         self.params_index = params_index
         R = p.rate_cats
@@ -560,12 +592,18 @@ class TreeEngine:
 
     def _tip_codes(self):
         """Device tip-bitmask matrix for the fused kernel, cached until a
-        tip setter bumps the partition's tip version."""
+        tip setter bumps the partition's tip version. Under a mesh the
+        matrix is sharded on its SITE axis (dim 1)."""
         p = self.partition
         v = getattr(p, "_tip_version", 0)
         if self._tip_codes_version != v:
-            self._tip_codes_cache = self._site(
-                jnp.asarray(ops_fused.tip_code_matrix(p)))
+            codes = jnp.asarray(ops_fused.tip_code_matrix(p))
+            mesh = getattr(p, "mesh", None)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                codes = jax.device_put(
+                    codes, NamedSharding(mesh, P(None, "sites")))
+            self._tip_codes_cache = codes
             self._tip_codes_version = v
         return self._tip_codes_cache
 
@@ -730,7 +768,8 @@ class TreeEngine:
             use_pallas=self.use_levelkernel,
             pallas_interpret=self.pallas_interpret,
             asc_type=self.asc_type, n_real=self.n_real,
-            fused_slots=self.fused_slots, edge_params=self.edge_params)
+            fused_slots=self.fused_slots, edge_params=self.edge_params,
+            fused_mesh=self.fused_mesh if self.use_fused else None)
         p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
         return float(total)
 
@@ -858,7 +897,8 @@ class TreeEngine:
             use_pallas=self.use_levelkernel,
             pallas_interpret=self.pallas_interpret,
             asc_type=self.asc_type, n_real=self.n_real,
-            fused_slots=self.fused_slots, edge_params=self.edge_params)
+            fused_slots=self.fused_slots, edge_params=self.edge_params,
+            fused_mesh=self.fused_mesh if self.use_fused else None)
         self.branches = branches
         p.clv, p.scale_buffer = clv, scaler
         return float(total), float(d1), float(d2)
@@ -885,7 +925,8 @@ class TreeEngine:
             use_pallas=self.use_levelkernel,
             pallas_interpret=self.pallas_interpret,
             asc_type=self.asc_type, n_real=self.n_real,
-            fused_slots=self.fused_slots, edge_params=self.edge_params)
+            fused_slots=self.fused_slots, edge_params=self.edge_params,
+            fused_mesh=self.fused_mesh if self.use_fused else None)
         return float(acc)
 
     def newton_step(self):
@@ -902,7 +943,8 @@ class TreeEngine:
             use_pallas=self.use_levelkernel,
             pallas_interpret=self.pallas_interpret,
             asc_type=self.asc_type, n_real=self.n_real,
-            fused_slots=self.fused_slots, edge_params=self.edge_params)
+            fused_slots=self.fused_slots, edge_params=self.edge_params,
+            fused_mesh=self.fused_mesh if self.use_fused else None)
         self.branches = branches
         p.clv, p.scale_buffer = clv, scaler
         return float(total), float(d1), float(d2)

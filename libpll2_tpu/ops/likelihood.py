@@ -62,7 +62,11 @@ def _finalize_site_lk(terma, terminv, site_sc, threshold, dtype):
     log_arg = jnp.where(has_sc,
                         jnp.where(has_inv, terma * cap_factor + terminv, terma),
                         terma + terminv)
-    site_lk = jnp.log(jnp.where(log_arg > 0, log_arg, 1.0))
+    # honest log: a zero site likelihood (total underflow the scalers
+    # could not catch, e.g. per-site mode at extreme Gamma shapes on deep
+    # trees) is -inf, exactly as the reference reports it. Padded/zero-
+    # weight columns are neutralized downstream in _apply_asc.
+    site_lk = jnp.log(jnp.maximum(log_arg, 0.0))
     site_lk = site_lk + jnp.where(has_sc & ~has_inv,
                                   site_sc.astype(dtype) * log_thresh, 0.0)
     return site_lk
@@ -79,10 +83,12 @@ def _apply_asc(site_lk, terma, site_sc, pattern_weights,
     apply a log-of-sum correction. Requires pinv == 0 (enforced upstream).
     Returns (total, weighted_per_site)."""
     pw = pattern_weights.astype(dtype)
+    # site_lk may be -inf (zero site likelihood); 0 * -inf would be nan,
+    # so zero-weight (padded) columns must be masked, not multiplied out
     if asc_type == AB_STAMATAKIS or (asc_type == AB_NONE and n_real < 0):
         # Stamatakis treats the synthetic columns as ordinary weighted sites;
         # n_real < 0 marks "no synthetic columns allocated"
-        weighted = site_lk * pw
+        weighted = jnp.where(pw > 0, site_lk * pw, 0.0)
         if asc_type == AB_STAMATAKIS and n_real >= 0:
             # the reference adds the scaler-undo term UNWEIGHTED on the
             # synthetic columns (likelihood.c:95-101: site_lk = w*log(term)
@@ -98,7 +104,7 @@ def _apply_asc(site_lk, terma, site_sc, pattern_weights,
     # mask the synthetic columns out of the main sum (their weights may be
     # set even when the correction is currently switched off)
     main = (jnp.arange(site_lk.shape[0]) < n_real).astype(dtype)
-    weighted = site_lk * pw * main
+    weighted = jnp.where(pw * main > 0, site_lk * pw * main, 0.0)
     if asc_type == AB_NONE:
         return jnp.sum(weighted), weighted
     term_asc = jax.lax.dynamic_slice(terma, (n_real,), (states,))

@@ -157,6 +157,10 @@ def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
     rs = rates * states
     tile = tips_ref.shape[-1]
     f32 = jnp.float32
+    # static threshold/factor may arrive as np.float64 scalars (x64 hosts);
+    # coerce so they cannot promote the whole kernel off fp32
+    thresh = jnp.asarray(float(threshold), f32)
+    fact = jnp.asarray(float(factor), f32)
 
     def decode_tip(row):
         code = tips_ref[pl.ds(row, 1), :]                     # [1, T] int32
@@ -198,9 +202,9 @@ def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
         pml = pm_ref[pl.ds(tbl_ref[i, 3], 1)]                  # [1, R, s, s]
         pmr = pm_ref[pl.ds(tbl_ref[i, 6], 1)]
         x = matvecs(pml, left[:rs]) * matvecs(pmr, right[:rs])  # [rs, T]
-        small = jnp.all(x < threshold, axis=0)                  # [T]
+        small = jnp.all(x < thresh, axis=0)                     # [T]
         scale = small & (tbl_ref[i, 7] > 0)
-        x = jnp.where(scale[None, :], x * factor, x)
+        x = jnp.where(scale[None, :], x * fact, x)
         if stride > rs:
             x = jnp.concatenate(
                 [x, jnp.zeros((stride - rs, tile), f32)], axis=0)

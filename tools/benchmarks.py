@@ -201,6 +201,52 @@ def bench_repeats():
            f"{bytes_plain/2**20:.0f} MiB dense")
 
 
+def _reference_stepwise_time(headers, seqs, sites, seed=42):
+    """Time pll_fastparsimony_stepwise in the natively-compiled reference
+    (reference: /root/reference/src/stepwise.c:391)."""
+    import ctypes as ct
+    from pathlib import Path
+    sys.path.insert(0, "tests")
+    import oracle
+    if not oracle.available():
+        return None, None
+    fast_lib = Path(".refbuild/libpll_ref_fast.so")
+    if fast_lib.exists():
+        oracle.LIB_PATH = fast_lib
+        oracle._lib = None
+    lib = oracle.load()
+    lib.pll_fastparsimony_stepwise.restype = ct.c_void_p
+    lib.pll_fastparsimony_stepwise.argtypes = [
+        ct.POINTER(ct.POINTER(oracle.PllParsimony)),
+        ct.POINTER(ct.c_char_p), ct.POINTER(ct.c_uint), ct.c_uint,
+        ct.c_uint]
+    try:
+        lib.pll_utree_destroy.argtypes = [ct.c_void_p, ct.c_void_p]
+        destroy_tree = lib.pll_utree_destroy
+    except AttributeError:
+        destroy_tree = None        # fast lib built without graph teardown
+    n = len(headers)
+    part = oracle.OraclePartition(n, n - 2, 4, sites, 1, 2 * n - 3, 1,
+                                  n - 2)
+    for i, s in enumerate(seqs):
+        part.set_tip_states(i, "nt", s)
+    labels = (ct.c_char_p * n)(*[h.encode() for h in headers])
+    best = float("inf")
+    cost = ct.c_uint()
+    for _ in range(2):
+        pars = lib.pll_fastparsimony_init(part.ptr)
+        plist = (ct.POINTER(oracle.PllParsimony) * 1)(pars)
+        t0 = time.perf_counter()
+        tree_ptr = lib.pll_fastparsimony_stepwise(plist, labels,
+                                                  ct.byref(cost), 1, seed)
+        best = min(best, time.perf_counter() - t0)
+        if destroy_tree is not None:
+            destroy_tree(tree_ptr, None)
+        lib.pll_parsimony_destroy(pars)
+    part.destroy()
+    return best, cost.value
+
+
 def bench_stepwise():
     log("[5] stepwise-addition starting tree (128 taxa x 1024 sites)")
     n = 48 if QUICK else 128
@@ -210,6 +256,15 @@ def bench_stepwise():
     stree, cost = fastparsimony_stepwise([fp], headers, seed=42)
     dt = time.perf_counter() - t0
     record("stepwise_seconds", dt, "s", f"{n} taxa, score {cost}")
+    try:
+        ref_dt, ref_cost = _reference_stepwise_time(headers, seqs, 1024)
+    except Exception as e:
+        log("reference stepwise failed:", repr(e))
+        ref_dt = None
+    if ref_dt is not None:
+        record("stepwise_vs_reference", ref_dt / dt, "x",
+               f"reference {ref_dt:.2f} s (score {ref_cost}) vs {dt:.2f} s "
+               "— the honest dispatch-latency-bound ratio")
 
 
 def main():
