@@ -1,13 +1,14 @@
 """On-device numerical parity gate: the fp32 TPU production paths are
-asserted against the CPU fp64 path in the SAME process, across the mode
-matrix (scan / levels / fused Pallas kernel x DNA / AA x plain /
-scaling-stressed / asc-bias) — the TPU analog of the reference's
-12-attribute-combo golden matrix (/root/reference/test/runtest.py:45-57).
+asserted against the CPU fp64 path, across the mode matrix
+(levels / fused Pallas kernel x DNA / AA x plain / scaling-stressed /
+asc-bias) — the TPU analog of the reference's 12-attribute-combo golden
+matrix (/root/reference/test/runtest.py:45-57).
 
-The CPU fp64 values are themselves oracle-validated by the test suite
-(tests/ vs the ctypes bridge), so agreement here certifies the fp32 chip
-path end to end. Run standalone (`python bench_validate.py`) or via
-bench.py, which embeds the result in its JSON line.
+Two processes: the fp32 HALF runs in a worker WITHOUT x64 (the production
+configuration; x64 also breaks Mosaic index-map lowering), the parent
+enables x64 and computes the CPU fp64 references. The CPU fp64 values are
+themselves oracle-validated by the test suite, so agreement certifies the
+fp32 chip path end to end.
 
 Exit code 0 = all cases within fp32-justified tolerances.
 """
@@ -15,9 +16,13 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+WORKER_OUT = os.path.join(REPO, ".refbuild", "validate_fp32.json")
 
 # logL is a weighted sum of per-site logs: fp32 round-off accumulates to
 # ~1e-6 relative; the 2**-64 window scaling adds no systematic error.
@@ -90,73 +95,102 @@ def _problems():
     return cases
 
 
-def run_matrix():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from libpll2_tpu import TreeEngine
-
-    cpu = jax.devices("cpu")[0]
-    target = jax.devices()[0]
+def _modes(platform: str):
     modes = [("scan", dict(level_schedule=False, pallas=False)),
              ("levels", dict(level_schedule=True, pallas=False)),
              ("fused", dict(pallas=True))]
-    if target.platform not in ("cpu",):
+    if platform != "cpu":
         # the per-op scan compiles pathologically slowly through the
         # tunneled-TPU toolchain; it is oracle-validated on CPU by the
         # test suite, so the on-chip gate covers levels + fused
         modes = modes[1:]
-    results = []
+    return modes
+
+
+def fp32_worker():
+    """Run every (case, mode) in fp32 on the default device; NO x64."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+    from libpll2_tpu import TreeEngine
+
+    target = jax.devices()[0]
+    log(f"fp32 worker device: {target.platform} ({target.device_kind})")
+    out = []
     for (name, tree, headers, seqs, states, sites, asc, alpha) in \
             _problems():
-        with jax.default_device(cpu):
-            p64 = _build(tree, headers, seqs, states, sites, jnp.float64,
-                         asc=asc, alpha=alpha)
-            e64 = TreeEngine(p64, tree, pallas=False)
-            ref_lk, ref_d1, ref_d2 = e64.newton_step()
-        for mode, kw in modes:
-            if mode == "fused" and target.platform not in ("tpu", "axon"):
+        for mode, kw in _modes(target.platform):
+            if mode == "fused" and target.platform == "cpu":
                 kw = dict(pallas="interpret")
+            log(f"  {name}: fp32 {mode} ...")
             p32 = _build(tree, headers, seqs, states, sites, jnp.float32,
                          asc=asc, alpha=alpha)
             e32 = TreeEngine(p32, tree, **kw)
             lk, d1, d2 = e32.newton_step()
-            rel = abs(lk - ref_lk) / abs(ref_lk)
-            d1_err = abs(d1 - ref_d1) / max(abs(ref_d1), ATOL_D1 / TOL_D1)
-            d2_err = abs(d2 - ref_d2) / max(abs(ref_d2), ATOL_D1 / TOL_D1)
-            ok = bool(rel < TOL_LOGL and d1_err < TOL_D1
-                      and d2_err < TOL_D1 and np.isfinite(lk))
-            results.append({
-                "case": name, "mode": mode,
-                "kernel": ("fused" if e32.use_fused else
-                           "levelk" if e32.use_levelkernel else "xla"),
-                "logl": lk, "ref_logl": ref_lk, "rel_err": rel,
-                "d1_err": d1_err, "d2_err": d2_err, "ok": ok,
-            })
-            log(f"  {name:16s} {mode:7s} logL={lk:14.4f} "
-                f"rel={rel:.2e} d1={d1_err:.2e} d2={d2_err:.2e} "
-                f"{'OK' if ok else 'FAIL'}")
-    return results
+            out.append({"case": name, "mode": mode,
+                        "kernel": ("fused" if e32.use_fused else
+                                   "levelk" if e32.use_levelkernel
+                                   else "xla"),
+                        "lk": lk, "d1": d1, "d2": d2})
+    os.makedirs(os.path.dirname(WORKER_OUT), exist_ok=True)
+    with open(WORKER_OUT, "w") as fh:
+        json.dump({"platform": target.platform, "results": out}, fh)
+    return 0
 
 
 def main():
+    if "--fp32-worker" in sys.argv:
+        return fp32_worker()
+
+    env = dict(os.environ)
+    env.pop("JAX_ENABLE_X64", None)
+    log("launching fp32 worker (production config, no x64) ...")
+    r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--fp32-worker"], env=env, timeout=1500)
+    if r.returncode != 0:
+        log("fp32 worker failed")
+        return 1
+    payload = json.loads(open(WORKER_OUT).read())
+
     import jax
     jax.config.update("jax_enable_x64", True)
-    plat = os.environ.get("BENCH_PLATFORM")
-    if plat:
-        jax.config.update("jax_platforms", plat)
-    repo = os.path.dirname(os.path.abspath(__file__))
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(repo, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    dev = jax.devices()[0]
-    log(f"validation device: {dev.platform} ({dev.device_kind})")
-    results = run_matrix()
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from libpll2_tpu import TreeEngine
+
+    refs = {}
+    for (name, tree, headers, seqs, states, sites, asc, alpha) in \
+            _problems():
+        log(f"  {name}: fp64 reference on cpu ...")
+        p64 = _build(tree, headers, seqs, states, sites, jnp.float64,
+                     asc=asc, alpha=alpha)
+        e64 = TreeEngine(p64, tree, pallas=False)
+        refs[name] = e64.newton_step()
+
+    results = []
+    for row in payload["results"]:
+        ref_lk, ref_d1, ref_d2 = refs[row["case"]]
+        rel = abs(row["lk"] - ref_lk) / abs(ref_lk)
+        d1_err = abs(row["d1"] - ref_d1) / max(abs(ref_d1),
+                                               ATOL_D1 / TOL_D1)
+        d2_err = abs(row["d2"] - ref_d2) / max(abs(ref_d2),
+                                               ATOL_D1 / TOL_D1)
+        ok = bool(rel < TOL_LOGL and d1_err < TOL_D1
+                  and d2_err < TOL_D1 and np.isfinite(row["lk"]))
+        results.append({**row, "ref_logl": ref_lk, "rel_err": rel,
+                        "d1_err": d1_err, "d2_err": d2_err, "ok": ok})
+        log(f"  {row['case']:16s} {row['mode']:7s} "
+            f"logL={row['lk']:14.4f} rel={rel:.2e} d1={d1_err:.2e} "
+            f"d2={d2_err:.2e} {'OK' if ok else 'FAIL'}")
+
     n_ok = sum(r["ok"] for r in results)
-    summary = {"device": dev.platform, "cases": len(results),
+    summary = {"device": payload["platform"], "cases": len(results),
                "passed": n_ok, "ok": n_ok == len(results),
                "results": results}
-    with open(os.path.join(repo, "VALIDATE.json"), "w") as fh:
+    with open(os.path.join(REPO, "VALIDATE.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
     print(json.dumps({"metric": "tpu_parity_cases_passed",
                       "value": n_ok, "unit": "cases",

@@ -630,7 +630,10 @@ class TreeEngine:
             w *= 2
         widths.append(p.sites)
         by_w = {wd: [] for wd in widths}
-        for wd, f, gl, gr in buckets:
+        # engine mode merges identity-profile runs back together and
+        # always permutes: stable compiled shapes across topology moves
+        # matter more than the permute saving inside search loops
+        for wd, f, gl, gr, _, _ in buckets:
             by_w[wd].append((f, gl, gr))
         tail_off = layout.total - p.sites
         packed = []

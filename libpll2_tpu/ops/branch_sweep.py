@@ -190,9 +190,11 @@ def newton_sweep(clv, scaler, pmatrix, branches,
                 pl = jnp.take(pmatrix_p, m1, axis=0)
                 pr = jnp.take(pmatrix_p, m2, axis=0)
                 x = (jnp.einsum('rij,rjs->ris', pl, left,
-                                preferred_element_type=dtype)
+                                preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
                      * jnp.einsum('rij,rjs->ris', pr, right,
-                                  preferred_element_type=dtype))
+                                  preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST))
                 mask = jnp.all(x < thresh, axis=(0, 1))
                 x = jnp.where(mask[None, None, :], x * factor, x)
                 new_sc = (jnp.take(sc_c, s1, axis=0)

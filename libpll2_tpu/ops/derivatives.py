@@ -53,9 +53,11 @@ def update_sumtable(clv_parent: jnp.ndarray,   # [R, s, S]
     f = freqs[params_idx].astype(dtype)        # [R, s]
 
     lefterm = jnp.einsum('rks,rkj->rjs', clv_parent * f[:, :, None], a,
-                         preferred_element_type=dtype)
+                         preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     righterm = jnp.einsum('rjk,rks->rjs', b, clv_child,
-                          preferred_element_type=dtype)
+                          preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     sumtable = lefterm * righterm
 
     if rate_scalers:
@@ -107,7 +109,8 @@ def likelihood_derivatives(sumtable: jnp.ndarray,      # [R, s, S]
     # cat_lk[d, r, s]; d in {L, L', L''}
     diagp = jnp.stack([e, x * e, x * x * e])                  # [3, R, s]
     cat = jnp.einsum('rjs,drj->drs', sumtable, diagp,
-                     preferred_element_type=dtype)
+                     preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
 
     # invariant-site mixing per rate (core_derivatives.c:676-686)
     inv_ok = invariant >= 0
@@ -120,7 +123,8 @@ def likelihood_derivatives(sumtable: jnp.ndarray,      # [R, s, S]
     cat = cat * one_m_pinv
     cat = cat.at[0].add(inv_lk)
 
-    site = jnp.einsum('drs,r->ds', cat, w, preferred_element_type=dtype)
+    site = jnp.einsum('drs,r->ds', cat, w, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     valid = pattern_weights > 0
     lk0 = jnp.where(valid & (site[0] != 0), site[0], 1.0)
     deriv1 = -site[1] / lk0

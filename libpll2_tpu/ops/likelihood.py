@@ -162,7 +162,8 @@ def root_loglikelihood(clv: jnp.ndarray,            # [R, s, S]
     f = freqs[params_idx].astype(dtype)              # [R, s]
     pinv = prop_invar[params_idx]
 
-    term_r = jnp.einsum('ris,ri->rs', clv, f, preferred_element_type=dtype)
+    term_r = jnp.einsum('ris,ri->rs', clv, f, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
 
     cap = _cap_table(scale_threshold, dtype)
     if has_scaler:
@@ -204,9 +205,11 @@ def edge_loglikelihood(clv_parent: jnp.ndarray,     # [R, s, S]
     pinv = prop_invar[params_idx]
 
     termb = jnp.einsum('rjk,rks->rjs', pmatrix, clv_child,
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     terma_r = jnp.einsum('rjs,rj->rs', clv_parent * termb, f,
-                         preferred_element_type=dtype)
+                         preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
 
     sc = None
     if has_pscaler:

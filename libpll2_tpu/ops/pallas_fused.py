@@ -202,7 +202,10 @@ def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
         pml = pm_ref[pl.ds(tbl_ref[i, 3], 1)]                  # [1, R, s, s]
         pmr = pm_ref[pl.ds(tbl_ref[i, 6], 1)]
         x = matvecs(pml, left[:rs]) * matvecs(pmr, right[:rs])  # [rs, T]
-        small = jnp.all(x < thresh, axis=0)                     # [T]
+        # all(x < t) as an explicit f32 max-reduction: under x64 hosts
+        # Mosaic canonicalizes the all(cmp) form into an f64 min-reduce
+        # it cannot compile; max(x) < t is identical (x is non-negative)
+        small = jnp.max(x, axis=0) < thresh                     # [T]
         scale = small & (tbl_ref[i, 7] > 0)
         x = jnp.where(scale[None, :], x * fact, x)
         if stride > rs:

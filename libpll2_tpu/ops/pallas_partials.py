@@ -73,7 +73,7 @@ def _kernel(idx_ref,            # [9, W] int32 (SMEM, prefetched)
             terma = terma + pmat_l[r, :, j][:, None] * lrow[j][None, :]
             termb = termb + pmat_r[r, :, j][:, None] * rrow[j][None, :]
         x = terma * termb                            # [s, T]
-        small = jnp.all(x < threshold, axis=0)       # [T]
+        small = jnp.max(x, axis=0) < threshold       # [T] (see pallas_fused)
         all_small = small if all_small is None else (all_small & small)
         x_rows.append(x)
 
@@ -230,7 +230,7 @@ def _inplace_kernel(idx_ref,           # [9, W] int32 (SMEM, prefetched)
             terma = terma + pmat_l[r, :, jj][:, None] * lrow[jj][None, :]
             termb = termb + pmat_r[r, :, jj][:, None] * rrow[jj][None, :]
         x = terma * termb
-        small = jnp.all(x < threshold, axis=0)
+        small = jnp.max(x, axis=0) < threshold
         all_small = small if all_small is None else (all_small & small)
         x_rows.append(x)
     x = jnp.concatenate(x_rows, axis=0)

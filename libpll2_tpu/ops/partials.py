@@ -57,9 +57,11 @@ def _read_scaler(scaler: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def _one_partial(pl, left, pr, right, preferred):
     terma = jnp.einsum('rij,rjs->ris', pl, left,
-                       preferred_element_type=preferred)
+                       preferred_element_type=preferred,
+                       precision=jax.lax.Precision.HIGHEST)
     termb = jnp.einsum('rij,rjs->ris', pr, right,
-                       preferred_element_type=preferred)
+                       preferred_element_type=preferred,
+                       precision=jax.lax.Precision.HIGHEST)
     return terma * termb
 
 
@@ -117,35 +119,41 @@ def update_partials(clv: jnp.ndarray,        # [N, R, s, S]
     return clv, scaler
 
 
-@partial(jax.jit, static_argnames=('rate_scalers',))
+@partial(jax.jit, static_argnames=('rate_scalers', 'profiles'))
 def update_partials_repeats_pool(clv_flat: jnp.ndarray,   # [R, s, T]
                                  sc_flat: jnp.ndarray,    # [T2] / [R, T2]
                                  pmatrix: jnp.ndarray,    # [E, R, s, s]
                                  buckets,  # tuple of (fields, gl, gr)
                                  scale_threshold: float,
                                  scale_factor: float,
-                                 rate_scalers: bool = False):
+                                 rate_scalers: bool = False,
+                                 profiles=None):
     """All capacity buckets over the POOLED class-column storage in one
     compiled program (see repeats.FlatLayout): node n's class columns
     live at clv_flat[:, :, off[n]:off[n]+cap[n]]. Each bucket of width W
     computes only W columns per op; child columns are read as a W-wide
     window at the child's offset and permuted by the gather maps — cost
     scales with CLASS counts, not with the alignment width."""
-    for fields, gl, gr in buckets:
+    if profiles is None:
+        profiles = ((False, False),) * len(buckets)
+    for (fields, gl, gr), (il, ir) in zip(buckets, profiles):
         clv_flat, sc_flat = _repeats_pool_bucket(
             clv_flat, sc_flat, pmatrix, fields, gl, gr,
-            scale_threshold, scale_factor, rate_scalers=rate_scalers)
+            scale_threshold, scale_factor, rate_scalers=rate_scalers,
+            ident_l=il, ident_r=ir)
     return clv_flat, sc_flat
 
 
-@partial(jax.jit, static_argnames=('rate_scalers',))
+@partial(jax.jit, static_argnames=('rate_scalers', 'ident_l', 'ident_r'))
 def _repeats_pool_bucket(clv_flat, sc_flat, pmatrix,
                          fields,           # [n, 8] int32
                          gather_left,      # [n, W] int32 (child-local)
                          gather_right,     # [n, W] int32
                          scale_threshold: float,
                          scale_factor: float,
-                         rate_scalers: bool = False):
+                         rate_scalers: bool = False,
+                         ident_l: bool = False,
+                         ident_r: bool = False):
     dtype = clv_flat.dtype
     R, s = clv_flat.shape[0], clv_flat.shape[1]
     W = gather_left.shape[1]
@@ -159,7 +167,8 @@ def _repeats_pool_bucket(clv_flat, sc_flat, pmatrix,
             return jnp.take(win, idx, axis=2)
         onehot = (idx[None, :] == jnp.arange(W)[:, None]).astype(dtype)
         return jnp.einsum('rjc,cw->rjw', win, onehot,
-                          preferred_element_type=dtype)
+                          preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
 
     def permute_sc(win, idx):
         """win [W] (or [R, W]) scaler window."""
@@ -167,7 +176,8 @@ def _repeats_pool_bucket(clv_flat, sc_flat, pmatrix,
             return jnp.take(win, idx, axis=-1)
         onehot = (idx[None, :] == jnp.arange(W)[:, None]).astype(dtype)
         out = jnp.einsum('...c,cw->...w', win.astype(dtype), onehot,
-                         preferred_element_type=dtype)
+                         preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         return out.astype(win.dtype)
 
     def sc_window(buf, off):
@@ -186,14 +196,31 @@ def _repeats_pool_bucket(clv_flat, sc_flat, pmatrix,
                                      (R, s, W))
         rwin = jax.lax.dynamic_slice(clv_flat, (zero, zero, c2_off),
                                      (R, s, W))
-        left = permute(lwin, gl)
-        right = permute(rwin, gr)
         pl = jnp.take(pmatrix, m1, axis=0)
         pr = jnp.take(pmatrix, m2, axis=0)
-        x = _one_partial(pl, left, pr, right, dtype)          # [R, s, W]
+        # bclv ordering (core_partials.c:906-977 partial-left precompute):
+        # the matvec runs on the child's CLASS columns (<= W of them) and
+        # only the result is permuted to parent classes — matvec work
+        # scales with the child's class count, not the parent's. Identity
+        # maps (repeats disabled on both ends; trace-time flags) skip the
+        # permute entirely: at full width the W x W one-hot would
+        # dominate the step.
+        def child_term(pm, win, idx, is_ident):
+            t = jnp.einsum('rij,rjc->ric', pm, win,
+                           preferred_element_type=dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+            return t if is_ident else permute(t, idx)
 
-        sc1 = permute_sc(sc_window(sc_flat, s1_off), gl)
-        sc2 = permute_sc(sc_window(sc_flat, s2_off), gr)
+        terma = child_term(pl, lwin, gl, ident_l)
+        termb = child_term(pr, rwin, gr, ident_r)
+        x = terma * termb                                     # [R, s, W]
+
+        def child_sc(off, idx, is_ident):
+            win = sc_window(sc_flat, off)
+            return win if is_ident else permute_sc(win, idx)
+
+        sc1 = child_sc(s1_off, gl, ident_l)
+        sc2 = child_sc(s2_off, gr, ident_r)
         child_sc = sc1 + sc2
         if rate_scalers:
             mask = jnp.all(x < thresh, axis=1)                # [R, W]
@@ -261,9 +288,11 @@ def update_partials_levels(clv: jnp.ndarray,
         pl = jnp.take(pmatrix, m1, axis=0)             # [W, R, s, s]
         pr = jnp.take(pmatrix, m2, axis=0)
         terma = jnp.einsum('wrij,wrjs->wris', pl, left,
-                           preferred_element_type=dtype)
+                           preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         termb = jnp.einsum('wrij,wrjs->wris', pr, right,
-                           preferred_element_type=dtype)
+                           preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         x = terma * termb
 
         has_scaler = (psc >= 0) & ok

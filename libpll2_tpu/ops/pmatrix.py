@@ -13,6 +13,7 @@ Numerical semantics preserved:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import MISC_EPSILON
@@ -44,7 +45,8 @@ def update_prob_matrices(eigenvals: jnp.ndarray,    # [M, s]
     # P[e,r,j,k] = I + sum_m a[r,j,m] * expd[e,r,m] * b[r,m,k]
     left = a[None, :, :, :] * expd[:, :, None, :]          # [E,R,j,m]
     pmat = jnp.einsum('erjm,rmk->erjk', left, b,
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     pmat = pmat + jnp.eye(states, dtype=dtype)
 
     ident = jnp.broadcast_to(jnp.eye(states, dtype=dtype), pmat.shape)
@@ -80,7 +82,8 @@ def update_prob_matrices_per_edge(eigenvals: jnp.ndarray,   # [M, s]
 
     left = a * expd[:, :, None, :]                         # [E,R,j,m]
     pmat = jnp.einsum('erjm,ermk->erjk', left, b,
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     pmat = pmat + jnp.eye(states, dtype=dtype)
 
     ident = jnp.broadcast_to(jnp.eye(states, dtype=dtype), pmat.shape)

