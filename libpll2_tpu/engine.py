@@ -623,19 +623,20 @@ class TreeEngine:
         p._repeat_key = None
         p._repeat_schedule = None
 
+        s_pad = -(-p.sites // 128) * 128
         widths = []
         w = 128
-        while w < p.sites:
+        while w < s_pad:
             widths.append(w)
             w *= 2
-        widths.append(p.sites)
+        widths.append(s_pad)
         by_w = {wd: [] for wd in widths}
         # engine mode merges identity-profile runs back together and
         # always permutes: stable compiled shapes across topology moves
         # matter more than the permute saving inside search loops
         for wd, f, gl, gr, _, _ in buckets:
             by_w[wd].append((f, gl, gr))
-        tail_off = layout.total - p.sites
+        tail_off = layout.total - s_pad
         packed = []
         for wd in widths:
             rows = by_w[wd]

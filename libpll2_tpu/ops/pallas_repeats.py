@@ -1,0 +1,178 @@
+"""Pallas TPU kernel for the site-repeats class-column pool.
+
+The XLA pool path (ops/partials.py update_partials_repeats_pool) executes
+the operation list as a lax.scan; with class compression the per-op math
+shrinks to a few percent of dense work, and the scan's fixed per-step cost
+(~10 us of gather/scatter/launch bookkeeping) dominates — repeats were
+0.76x dense on TPU despite doing 13% of the FLOPs. This kernel removes
+that overhead:
+
+  * the WHOLE class-column pool lives in VMEM for the duration of one
+    call (typically a few MB: the pooled layout is 10x smaller than the
+    dense buffers — repeats.FlatLayout);
+  * one pallas_call per identity-profile run, grid = (ops in run,):
+    TPU grid steps execute in order, so in-place postorder dependencies
+    hold; per-step cost is ~1 us instead of ~10;
+  * class permutes are chunked one-hot matmuls on the MXU
+    ([W, 128] one-hot tiles built from the gather row), skipped entirely
+    for identity runs (repeats disabled on both ends);
+  * per-site scaling semantics identical to the XLA path (max(x) < t
+    form; scaler counts as f32 rows, exact to 2^24).
+
+fp32 only (the TPU fast path; fp64 validation uses the XLA pool path).
+Pool offsets are lane-aligned by construction (repeats.bucket_width).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _run_kernel(fields_ref,     # [n, 8] int32 (SMEM, prefetched)
+                gl_ref,         # [1, 1, W] int32 (blocked per op)
+                gr_ref,         # [1, 1, W] int32
+                pm_ref,         # [E, R, s, s] f32 (VMEM resident)
+                pool_ref,       # [RS, T] f32 (VMEM resident, aliased out)
+                sc_ref,         # [8, T2] f32 (VMEM resident, aliased out)
+                pool_out,       # aliased with pool_ref
+                sc_out,         # aliased with sc_ref
+                buf_l,          # VMEM [rs+8, W] scratch: term + scaler row
+                buf_r,          # VMEM [rs+8, W] scratch
+                *, rates: int, states: int, W: int,
+                ident_l: bool, ident_r: bool,
+                threshold: float, factor: float):
+    i = pl.program_id(0)
+    f32 = jnp.float32
+    rs = rates * states
+    thresh = jnp.asarray(float(threshold), f32)
+    fact = jnp.asarray(float(factor), f32)
+
+    def off(col):
+        return pl.multiple_of(fields_ref[i, col], LANE)
+
+    p_off, psc_off = off(0), off(1)
+    c1_off, m1, s1_off = off(2), fields_ref[i, 3], off(4)
+    c2_off, m2, s2_off = off(5), fields_ref[i, 6], off(7)
+
+    def term_into(buf, c_off, m, s_off, idx_ref, ident):
+        """buf[:rs] <- permuted P @ child window; buf[rs] <- permuted
+        child scaler row. The chunked one-hot permute rides the MXU
+        (HIGHEST precision keeps selection exact in fp32); a fori_loop
+        over 128-wide output chunks keeps the kernel body small — an
+        unrolled version made big-W compiles pathologically slow."""
+        win = pool_out[:, pl.ds(c_off, W)]                   # [rs, W]
+        pm = pm_ref[pl.ds(m, 1)][0]                          # [R, s, s]
+        rows = []
+        for r in range(rates):
+            crow = win[r * states:(r + 1) * states]          # [s, W]
+            acc = jnp.zeros((states, W), f32)
+            for j in range(states):
+                acc = acc + pm[r, :, j][:, None] * crow[j][None, :]
+            rows.append(acc)
+        t = jnp.concatenate(
+            rows + [sc_out[0:8, pl.ds(s_off, W)]], axis=0)
+        # t: [rs + 8, W]; rows rs.. carry the (identical) scaler rows
+        if ident:
+            buf[...] = t
+            return
+        iota = jax.lax.broadcasted_iota(jnp.int32, (t.shape[0], LANE), 1)
+
+        def chunk(c, _):
+            c0 = pl.multiple_of(c * LANE, LANE)
+            sel = idx_ref[0, 0, pl.ds(c0, LANE)]             # [LANE]
+            onehot = (sel[:, None] ==
+                      jax.lax.broadcasted_iota(jnp.int32, (LANE, W), 1))
+            # onehot[k, w] = (idx[c0+k] == w); permuted chunk = onehot @ t.T
+            val = jax.lax.dot_general(
+                onehot.astype(f32), t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)         # [LANE, rows]
+            buf[:, pl.ds(c0, LANE)] = val.T
+            return 0
+
+        jax.lax.fori_loop(0, W // LANE, chunk, 0)
+
+    term_into(buf_l, c1_off, m1, s1_off, gl_ref, ident_l)
+    term_into(buf_r, c2_off, m2, s2_off, gr_ref, ident_r)
+    x = buf_l[0:rs, :] * buf_r[0:rs, :]                      # [rs, W]
+    small = jnp.max(x, axis=0) < thresh                      # [W]
+    x = jnp.where(small[None, :], x * fact, x)
+    new_sc = (buf_l[rs:rs + 1, :] + buf_r[rs:rs + 1, :]
+              + small[None, :].astype(f32))                  # [1, W]
+
+    pool_out[:, pl.ds(p_off, W)] = x
+    sc_out[:, pl.ds(psc_off, W)] = jnp.broadcast_to(new_sc, (8, W))
+
+
+@partial(jax.jit, static_argnames=('profiles', 'rates', 'states',
+                                   'scale_threshold', 'scale_factor',
+                                   'interpret'))
+def update_partials_repeats_pool_pallas(clv_flat: jnp.ndarray,  # [R, s, T]
+                                        sc_flat: jnp.ndarray,   # [T2] i32
+                                        pmatrix: jnp.ndarray,   # [E,R,s,s]
+                                        buckets,  # tuple (fields, gl, gr)
+                                        scale_threshold: float,
+                                        scale_factor: float,
+                                        rates: int, states: int,
+                                        profiles=(),
+                                        interpret: bool = False):
+    """All identity-profile runs over the VMEM-resident pool; returns
+    (clv_flat, sc_flat) like the XLA pool path. fp32 only."""
+    R, s, T = clv_flat.shape
+    rs = R * s
+    pool = clv_flat.reshape(rs, T)
+    scp = jnp.tile(sc_flat.astype(jnp.float32)[None, :], (8, 1))
+    pm = pmatrix.astype(jnp.float32)
+
+    for (fields, gl, gr), (il, ir) in zip(buckets, profiles):
+        n = fields.shape[0]
+        W = gl.shape[-1]
+        gl = gl.reshape(n, 1, W)
+        gr = gr.reshape(n, 1, W)
+        kernel = partial(_run_kernel, rates=R, states=s, W=W,
+                         ident_l=il, ident_r=ir,
+                         threshold=scale_threshold, factor=scale_factor)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, 1, W), lambda i, f: (i, 0, 0)),
+                pl.BlockSpec((1, 1, W), lambda i, f: (i, 0, 0)),
+                pl.BlockSpec(pm.shape, lambda i, f: (0, 0, 0, 0)),
+                pl.BlockSpec(pool.shape, lambda i, f: (0, 0)),
+                pl.BlockSpec(scp.shape, lambda i, f: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec(pool.shape, lambda i, f: (0, 0)),
+                pl.BlockSpec(scp.shape, lambda i, f: (0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((rs + 8, W), jnp.float32),
+                pltpu.VMEM((rs + 8, W), jnp.float32),
+            ],
+        )
+        pool, scp = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(pool.shape, jnp.float32),
+                jax.ShapeDtypeStruct(scp.shape, jnp.float32),
+            ],
+            input_output_aliases={4: 0, 5: 1},
+            compiler_params=pltpu.CompilerParams(
+                # the pool + its aliased output + pipeline copies exceed
+                # the 16 MB scoped-vmem default; v5e has far more VMEM
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(fields, gl, gr, pm, pool, scp)
+
+    return (pool.reshape(R, s, T).astype(clv_flat.dtype),
+            scp[0].astype(sc_flat.dtype))

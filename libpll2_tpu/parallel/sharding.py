@@ -71,6 +71,18 @@ def shard_partition(partition, mesh: Mesh) -> None:
     sites, and every shard needs all of them.
     """
     n = mesh.devices.size
+    if partition.repeats is not None:
+        # class identity is a per-shard property (SURVEY §7: repeats are a
+        # compute-saving dedup, local to each rank's site slice in the
+        # reference's MPI consumers). The pooled class-column layout has
+        # no site axis to shard; distribute by splitting the alignment
+        # into per-device partitions (each with its own repeats tables)
+        # and summing logL/d1/d2 — the PartitionedEngine pattern.
+        raise ValueError(
+            "site-repeats partitions cannot be sharded on the site axis: "
+            "split the alignment into per-device partitions (each with "
+            "local repeats classes) and reduce their logL/d1/d2 sums, as "
+            "the reference's MPI consumers do (see partitioned.py)")
     if partition.sites_padded % n:
         raise ValueError(
             f"sites_padded={partition.sites_padded} not divisible by mesh "

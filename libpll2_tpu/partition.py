@@ -480,13 +480,28 @@ class Partition:
                     for _, f, gl, gr, _, _ in buckets)
                 self._repeat_profiles = tuple(
                     (il, ir) for _, _, _, _, il, ir in buckets)
-            self.clv_flat, self.sc_flat = \
-                ops_partials.update_partials_repeats_pool(
-                    self.clv_flat, self.sc_flat, self.pmatrix,
-                    self._repeat_schedule,
-                    self.scale_threshold, self.scale_factor,
-                    rate_scalers=self.rate_scalers,
-                    profiles=self._repeat_profiles)
+            use_pl = (self.dtype == jnp.float32
+                      and not self.rate_scalers
+                      and jax.default_backend() == "tpu")
+            if use_pl:
+                # VMEM-resident pool kernel: removes the ~10 us/op scan
+                # overhead that made compressed work slower than dense
+                from .ops import pallas_repeats
+                self.clv_flat, self.sc_flat = \
+                    pallas_repeats.update_partials_repeats_pool_pallas(
+                        self.clv_flat, self.sc_flat, self.pmatrix,
+                        self._repeat_schedule,
+                        self.scale_threshold, self.scale_factor,
+                        rates=self.rate_cats, states=self.states,
+                        profiles=self._repeat_profiles)
+            else:
+                self.clv_flat, self.sc_flat = \
+                    ops_partials.update_partials_repeats_pool(
+                        self.clv_flat, self.sc_flat, self.pmatrix,
+                        self._repeat_schedule,
+                        self.scale_threshold, self.scale_factor,
+                        rate_scalers=self.rate_scalers,
+                        profiles=self._repeat_profiles)
             return
         ops = operations if isinstance(operations, Operations) else \
             pack_operations(operations, pad_to=pad_to, scratch_clv=self.nodes)

@@ -183,6 +183,7 @@ def build_flat_layout(table: RepeatsTable, scaler_of: dict,
     `sites`-wide scratch tail so fixed-width child windows may read past
     the last node's region without going out of bounds."""
     nodes = table.nodes
+    s_pad = -(-sites // lane) * lane        # lane-aligned width ceiling
     caps = np.zeros(nodes, dtype=np.int64)
     off = np.zeros(nodes, dtype=np.int64)
     cur = 0
@@ -190,7 +191,7 @@ def build_flat_layout(table: RepeatsTable, scaler_of: dict,
         caps[n] = bucket_width(table.classes(n), sites, lane)
         off[n] = cur
         cur += caps[n]
-    total = cur + sites                      # scratch tail for window reads
+    total = cur + s_pad                      # scratch tail for window reads
 
     sc_caps = np.zeros(scale_buffers, dtype=np.int64)
     sc_off = np.zeros(scale_buffers, dtype=np.int64)
@@ -201,9 +202,9 @@ def build_flat_layout(table: RepeatsTable, scaler_of: dict,
         sc_off[k] = cur
         cur += sc_caps[k]
     sc_trash = cur
-    cur += sites
+    cur += s_pad
     sc_zero = cur
-    cur += sites
+    cur += s_pad
     return FlatLayout(caps=caps, off=off, total=int(total),
                       sc_caps=sc_caps, sc_off=sc_off,
                       sc_trash=int(sc_trash), sc_zero=int(sc_zero),
@@ -212,11 +213,14 @@ def build_flat_layout(table: RepeatsTable, scaler_of: dict,
 
 def bucket_width(classes: int, sites: int, lane: int = 128) -> int:
     """Round a class count up to a power-of-two multiple of the lane width
-    (capped at sites) — the static kernel widths that bound recompiles."""
+    (capped at the lane-aligned site count) — static kernel widths that
+    bound recompiles, with every pool offset lane-aligned (the Pallas
+    pool kernel slices windows at dynamic lane offsets)."""
+    cap = -(-sites // lane) * lane
     w = lane
     while w < classes:
         w *= 2
-    return min(w, sites)
+    return min(w, cap)
 
 
 def schedule_buckets_flat(table: RepeatsTable,

@@ -162,8 +162,15 @@ def bench_repeats():
         if repeats:
             sched = part._repeat_schedule
             profs = part._repeat_profiles
-            body = lambda c: ops_partials.update_partials_repeats_pool(
-                c[0], c[1], pmat, sched, thr, fac, profiles=profs)
+            if jax.default_backend() == "tpu":
+                from libpll2_tpu.ops import pallas_repeats
+                body = lambda c: \
+                    pallas_repeats.update_partials_repeats_pool_pallas(
+                        c[0], c[1], pmat, sched, thr, fac,
+                        rates=4, states=4, profiles=profs)
+            else:
+                body = lambda c: ops_partials.update_partials_repeats_pool(
+                    c[0], c[1], pmat, sched, thr, fac, profiles=profs)
             clv0, sc0 = part.clv_flat, part.sc_flat
         else:
             packed = pack_operations(ops, scratch_clv=part.nodes)
@@ -185,7 +192,9 @@ def bench_repeats():
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        dt = max((run(9) - run(3)) / 6, 1e-9)
+        # wide trip-count spread: the pallas pool path is fast enough
+        # that small k differences drown in dispatch noise
+        dt = max((run(60) - run(12)) / 48, 1e-9)
         work = None
         if repeats:
             work = sum(part.repeats.classes(o.parent_clv_index)
