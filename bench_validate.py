@@ -110,6 +110,9 @@ def _modes(platform: str):
 def fp32_worker():
     """Run every (case, mode) in fp32 on the default device; NO x64."""
     import jax
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:    # the axon plugin overrides JAX_PLATFORMS; force via config
+        jax.config.update("jax_platforms", plat)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

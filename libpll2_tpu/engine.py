@@ -597,6 +597,13 @@ class TreeEngine:
         p = self.partition
         v = getattr(p, "_tip_version", 0)
         if self._tip_codes_version != v:
+            if bool(np.any(p._tips_clv_set)):
+                raise C.PllError(
+                    C.ERROR_PARAM_INVALID,
+                    "a tip was overwritten with raw probabilities "
+                    "(set_tip_clv) after this fused-kernel engine was "
+                    "built; rebuild the TreeEngine (it will fall back "
+                    "to a non-fused path)")
             codes = jnp.asarray(ops_fused.tip_code_matrix(p))
             mesh = getattr(p, "mesh", None)
             if mesh is not None:

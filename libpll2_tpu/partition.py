@@ -480,8 +480,13 @@ class Partition:
                     for _, f, gl, gr, _, _ in buckets)
                 self._repeat_profiles = tuple(
                     (il, ir) for _, _, _, _, il, ir in buckets)
+            # the VMEM pool kernel wins when full-width class permutes
+            # are cheap (small alignments); at large widths the boundary
+            # ops' W-wide one-hot permutes dominate and the XLA scan path
+            # is faster — measured crossover around 2k columns
             use_pl = (self.dtype == jnp.float32
                       and not self.rate_scalers
+                      and self.sites <= 2048
                       and jax.default_backend() == "tpu")
             if use_pl:
                 # VMEM-resident pool kernel: removes the ~10 us/op scan

@@ -162,7 +162,7 @@ def bench_repeats():
         if repeats:
             sched = part._repeat_schedule
             profs = part._repeat_profiles
-            if jax.default_backend() == "tpu":
+            if jax.default_backend() == "tpu" and sites <= 2048:
                 from libpll2_tpu.ops import pallas_repeats
                 body = lambda c: \
                     pallas_repeats.update_partials_repeats_pool_pallas(
@@ -403,14 +403,19 @@ AVX2) on the host CPU. Where the time goes:
 **Site repeats.** The pooled class-column storage delivers the
 reference fork's memory promise and more (CLV+scaler bytes at ~0.10x
 dense on the 246x4465-scale conserved benchmark vs the reference's
-reported -30% end-to-end). Throughput: class columns cut the matvec
-work to ~13% of dense, but on TPU the per-op scan overhead and the
-class-permute (one-hot matmul, skipped where the map is identity)
-offset most of it — honest numbers in the table. The CPU path wins
-outright (1.3x), reproducing the reference's regime; on TPU dense
-batched compute remains king at moderate compression, while the 10x
-memory reduction stands on its own (it is the difference between
-fitting and not fitting a large EPA-ng-style workload on one chip).
+reported -30% end-to-end). Throughput is regime-dependent and honestly
+bounded: class columns cut the matvec work to ~13% of dense, and a
+VMEM-resident Pallas pool kernel (ops/pallas_repeats.py) removes the
+per-op scan overhead — it wins clearly at alignments <= ~2k columns
+(>5x dense at the 64x1024 size, bit-exact) and is auto-selected there.
+At large widths the enabled/disabled boundary ops need full-width
+class permutes whose one-hot cost grows with W^2, and the dense path
+(itself ~40x the reference CPU) wins at moderate compression — the
+table's full-size number uses the faster XLA pool path. The CPU path
+wins outright (1.3x), reproducing the reference's regime. Either way
+the 10x memory reduction stands on its own: it is the difference
+between fitting and not fitting a large EPA-ng-style workload on one
+chip.
 
 **Stepwise parsimony.** The reference's stepwise is a branch-bound
 bit-ops loop with ~us-scale steps — a shape the 30 ms-per-dispatch
