@@ -194,9 +194,30 @@ def bench_reference():
 def run_validation():
     """Numerical parity gate (bench_validate.py) in a subprocess so its
     fp64 config cannot leak into this process. Returns 'passed/cases' or
-    None. Every benchmark line doubles as a correctness certificate."""
+    None. Every benchmark line doubles as a correctness certificate.
+
+    A VALIDATE.json produced at the SAME git revision is reused — the
+    certificate belongs to the code, and the gate itself takes minutes
+    of tunneled-TPU dispatches that need not repeat per bench run."""
     if os.environ.get("BENCH_VALIDATE", "1") != "1":
         return None
+    try:
+        prior = json.loads((REPO / "VALIDATE.json").read_text())
+        if prior.get("git") and prior.get("device") != "cpu":
+            # reuse when nothing the gate validates changed since the
+            # certificate's revision (doc/bookkeeping commits are fine)
+            diff = subprocess.run(
+                ["git", "diff", "--name-only", prior["git"], "HEAD"],
+                cwd=REPO, capture_output=True, text=True, timeout=10)
+            touched = [l for l in diff.stdout.splitlines()
+                       if l.startswith("libpll2_tpu/")
+                       or l == "bench_validate.py"]
+            if diff.returncode == 0 and not touched:
+                log(f"validation certificate reused "
+                    f"(git {prior['git'][:10]})")
+                return f"{prior['passed']}/{prior['cases']}"
+    except Exception:
+        pass
     try:
         r = subprocess.run([sys.executable,
                             str(REPO / "bench_validate.py")],

@@ -190,9 +190,15 @@ def main():
             f"d2={d2_err:.2e} {'OK' if ok else 'FAIL'}")
 
     n_ok = sum(r["ok"] for r in results)
+    try:
+        git = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                             capture_output=True, text=True,
+                             timeout=10).stdout.strip()
+    except Exception:
+        git = ""
     summary = {"device": payload["platform"], "cases": len(results),
                "passed": n_ok, "ok": n_ok == len(results),
-               "results": results}
+               "git": git, "results": results}
     with open(os.path.join(REPO, "VALIDATE.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
     print(json.dumps({"metric": "tpu_parity_cases_passed",
