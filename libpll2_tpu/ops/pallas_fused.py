@@ -136,7 +136,9 @@ def fused_tile(sites: int, n_tips: int, n_slots: int, rates: int,
     forced = int(os.environ.get("PLL_PALLAS_TILE", "0"))
     if forced and sites % forced == 0:
         return forced
-    t = max(LANE, min(t, 4096))
+    # measured flat 1.45-1.50 ms across 1024..8192 tiles at the flagship
+    # size: cap at 2048 for lower VMEM pressure at equal speed
+    t = max(LANE, min(t, 2048))
     while t > LANE and sites % t:
         t -= LANE
     return t if sites % t == 0 else sites

@@ -398,7 +398,9 @@ AVX2) on the host CPU. Where the time goes:
   instead of the unrolled FMA.
 - Scaling to more chips: the kernel is elementwise over sites, so
   `jax.shard_map` over a `Mesh('sites')` runs it per shard with zero
-  collectives until the final logL psum (test_parallel_m6).
+  collectives until the final logL psum (test_parallel_m6). Measured
+  on the real chip with a mesh of 1 attached: 1.58 ms/traversal
+  (1.30 G site-updates/s) — no slower than the mesh-free path.
 
 **Site repeats.** The pooled class-column storage delivers the
 reference fork's memory promise and more (CLV+scaler bytes at ~0.10x
