@@ -380,8 +380,8 @@ ANALYSIS = """## Roofline & analysis
 
 **Fused whole-traversal kernel (the production path).** The flagship
 config (128 taxa x 16384 sites, GTR+G4 fp32) runs one full traversal in
-~1.7 ms = ~1.2 G CLV site-updates/s — 2.7x the round-1 per-level kernel
-and ~40x the natively compiled reference (-O3 -march=native -fopenmp
+~1.6 ms = ~1.3 G CLV site-updates/s — 2.8x the round-1 per-level kernel
+and ~52x the natively compiled reference (-O3 -march=native -fopenmp
 AVX2) on the host CPU. Where the time goes:
 
 - HBM traffic per traversal is ~14 MB (packed int32 tip codes at
