@@ -32,6 +32,7 @@ from .ops import likelihood as ops_likelihood
 from .ops import partials as ops_partials
 from .ops import pallas_partials as ops_pallas
 from .ops import pallas_fused as ops_fused
+from .ops import pallas_repeats
 from .ops import pmatrix as ops_pmatrix
 from .partition import Operation, Partition, pack_operations
 from .trees import create_operations, traverse
@@ -282,7 +283,8 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
 
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold',
-                                   'scale_factor', 'asc_type', 'n_real'))
+                                   'scale_factor', 'asc_type', 'n_real',
+                                   'use_pallas', 'pallas_interpret'))
 def _repeats_loglikelihood(clv_flat, sc_flat, eigenvals, inv_eigenvecs,
                            eigenvecs, prop_invar, rates, rate_weights,
                            freqs, params_idx_rates, branches,
@@ -290,7 +292,9 @@ def _repeats_loglikelihood(clv_flat, sc_flat, eigenvals, inv_eigenvecs,
                            pattern_weights, invariant,
                            scale_threshold, scale_factor,
                            rate_scalers: bool = False,
-                           asc_type: int = 0, n_real: int = -1):
+                           asc_type: int = 0, n_real: int = -1,
+                           use_pallas: bool = False,
+                           pallas_interpret: bool = False):
     """Fused full-tree evaluation over POOLED site-repeats storage: one
     dispatch runs pmatrices -> all capacity buckets -> root-edge logL.
     root_cols = (p_cols, p_sc_cols, c_cols, c_sc_cols) absolute per-site
@@ -301,9 +305,20 @@ def _repeats_loglikelihood(clv_flat, sc_flat, eigenvals, inv_eigenvecs,
             eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
             params_idx_rates, branches)
     with jax.named_scope("pll.partials.repeats"):
-        clv_flat, sc_flat = ops_partials.update_partials_repeats_pool(
-            clv_flat, sc_flat, pmatrix, buckets,
-            scale_threshold, scale_factor, rate_scalers=rate_scalers)
+        if use_pallas:
+            # VMEM-resident pool kernel (fp32, per-site scalers). The
+            # engine canonicalizes buckets with merged identity runs, so
+            # every op permutes: profiles are all (False, False).
+            clv_flat, sc_flat = pallas_repeats.pool_pallas(
+                clv_flat, sc_flat, pmatrix, buckets,
+                scale_threshold, scale_factor,
+                rates=clv_flat.shape[0], states=clv_flat.shape[1],
+                profiles=((False, False),) * len(buckets),
+                interpret=pallas_interpret)
+        else:
+            clv_flat, sc_flat = ops_partials.update_partials_repeats_pool(
+                clv_flat, sc_flat, pmatrix, buckets,
+                scale_threshold, scale_factor, rate_scalers=rate_scalers)
     p_cols, p_sc_cols, c_cols, c_sc_cols = root_cols
     with jax.named_scope("pll.edge_logl"):
         total, per = ops_likelihood.edge_loglikelihood(
@@ -320,7 +335,8 @@ def _repeats_loglikelihood(clv_flat, sc_flat, eigenvals, inv_eigenvecs,
 
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold',
-                                   'scale_factor', 'asc_type', 'n_real'))
+                                   'scale_factor', 'asc_type', 'n_real',
+                                   'use_pallas', 'pallas_interpret'))
 def _repeats_loglikelihood_loop(k, clv_flat, sc_flat, eigenvals,
                                 inv_eigenvecs, eigenvecs, prop_invar,
                                 rates, rate_weights, freqs,
@@ -329,7 +345,9 @@ def _repeats_loglikelihood_loop(k, clv_flat, sc_flat, eigenvals,
                                 pattern_weights, invariant,
                                 scale_threshold, scale_factor,
                                 rate_scalers: bool = False,
-                                asc_type: int = 0, n_real: int = -1):
+                                asc_type: int = 0, n_real: int = -1,
+                                use_pallas: bool = False,
+                                pallas_interpret: bool = False):
     """k chained repeats evaluations in one dispatch (bench helper; the
     pooled buffers thread through the carry so the work cannot hoist)."""
     def body(_, carry):
@@ -339,7 +357,8 @@ def _repeats_loglikelihood_loop(k, clv_flat, sc_flat, eigenvals,
             prop_invar, rates, rate_weights, freqs, params_idx_rates,
             branches, buckets, root_cols, mat, pattern_weights, invariant,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
-            asc_type=asc_type, n_real=n_real)
+            asc_type=asc_type, n_real=n_real, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret)
         return clv_flat, sc_flat, acc + total
     clv_flat, sc_flat, acc = jax.lax.fori_loop(
         0, k, body, (clv_flat, sc_flat, jnp.zeros((), clv_flat.dtype)))
@@ -347,7 +366,8 @@ def _repeats_loglikelihood_loop(k, clv_flat, sc_flat, eigenvals,
 
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold',
-                                   'scale_factor', 'asc_type', 'n_real'))
+                                   'scale_factor', 'asc_type', 'n_real',
+                                   'use_pallas', 'pallas_interpret'))
 def _repeats_newton_loop(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs,
                          eigenvecs, prop_invar, rates, rate_weights,
                          freqs, params_idx_rates, branches,
@@ -355,7 +375,9 @@ def _repeats_newton_loop(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs,
                          pattern_weights, invariant,
                          scale_threshold, scale_factor,
                          rate_scalers: bool = False,
-                         asc_type: int = 0, n_real: int = -1):
+                         asc_type: int = 0, n_real: int = -1,
+                         use_pallas: bool = False,
+                         pallas_interpret: bool = False):
     """k chained Newton iterations on the root branch over pooled
     repeats storage, one dispatch."""
     p_cols, p_sc_cols, c_cols, c_sc_cols = root_cols
@@ -367,7 +389,8 @@ def _repeats_newton_loop(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs,
             prop_invar, rates, rate_weights, freqs, params_idx_rates,
             branches, buckets, root_cols, mat, pattern_weights, invariant,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
-            asc_type=asc_type, n_real=n_real)
+            asc_type=asc_type, n_real=n_real, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret)
         sumtable = ops_derivatives.update_sumtable(
             jnp.take(clv_flat, p_cols, axis=2),
             jnp.take(clv_flat, c_cols, axis=2),
@@ -516,6 +539,12 @@ class TreeEngine:
                               and not bool(np.any(p._tips_clv_set)))
         self._levelk_wanted = (want_levelk and levelk_ok and on_target
                                and not self.repeats_mode)
+        # pooled-repeats Pallas kernel: fp32, per-site scalers, no mesh
+        # (the class pools are global, not site-sharded)
+        self._repeats_pallas_wanted = (
+            self.repeats_mode and want_fused and on_target
+            and p.dtype == jnp.float32 and not p.rate_scalers
+            and mesh is None)
         self.fused_mesh = mesh
         self.levels = level_schedule
         self.params_index = params_index
@@ -553,6 +582,19 @@ class TreeEngine:
     def use_pallas(self) -> bool:
         """True when any Pallas CLV path (fused or per-level) is active."""
         return self.use_fused or self.use_levelkernel
+
+    @property
+    def use_repeats_pallas(self) -> bool:
+        """True when the pooled-repeats VMEM kernel is active: the whole
+        class-column pool (CLV + scaler rows) must fit the kernel's VMEM
+        budget alongside its per-bucket scratch."""
+        if not self._repeats_pallas_wanted:
+            return False
+        p = self.partition
+        rs = p.rate_cats * p.states
+        T = p.clv_flat.shape[2]
+        T2 = p.sc_flat.shape[-1]
+        return 4 * (rs * T + 8 * T2) < 64 * 2**20
 
     @property
     def asc_type(self) -> int:
@@ -768,7 +810,9 @@ class TreeEngine:
                 self.branches, self.ops, self._root_cols, self._root_mat,
                 *self._site_args(), p.scale_threshold, p.scale_factor,
                 rate_scalers=p.rate_scalers,
-                asc_type=self.asc_type, n_real=self.n_real)
+                asc_type=self.asc_type, n_real=self.n_real,
+                use_pallas=self.use_repeats_pallas,
+                pallas_interpret=self.pallas_interpret)
             p.clv_flat, p.sc_flat, p.pmatrix = clv_flat, sc_flat, pmatrix
             return float(total)
         total, per, clv, scaler, pmatrix = _fused_loglikelihood(
@@ -826,7 +870,9 @@ class TreeEngine:
                     jnp.asarray(blen, p.dtype), buckets, root_cols, mat,
                     *self._site_args(), p.scale_threshold, p.scale_factor,
                     rate_scalers=p.rate_scalers,
-                    asc_type=self.asc_type, n_real=self.n_real)
+                    asc_type=self.asc_type, n_real=self.n_real,
+                    use_pallas=self.use_repeats_pallas,
+                    pallas_interpret=self.pallas_interpret)
                 out[i] = float(total)
             self.ops, self._root_cols, self._root_mat = \
                 self._pack_repeats(*self._repeats_pack_args)
@@ -896,7 +942,9 @@ class TreeEngine:
                     self._root_cols, self._root_mat, *self._site_args(),
                     p.scale_threshold, p.scale_factor,
                     rate_scalers=p.rate_scalers,
-                    asc_type=self.asc_type, n_real=self.n_real)
+                    asc_type=self.asc_type, n_real=self.n_real,
+                    use_pallas=self.use_repeats_pallas,
+                    pallas_interpret=self.pallas_interpret)
             self.branches = branches
             p.clv_flat, p.sc_flat = clv_flat, sc_flat
             return float(total), float(d1), float(d2)
@@ -925,7 +973,9 @@ class TreeEngine:
                 self._root_cols, self._root_mat, *self._site_args(),
                 p.scale_threshold, p.scale_factor,
                 rate_scalers=p.rate_scalers,
-                asc_type=self.asc_type, n_real=self.n_real)
+                asc_type=self.asc_type, n_real=self.n_real,
+                use_pallas=self.use_repeats_pallas,
+                pallas_interpret=self.pallas_interpret)
             p.clv_flat, p.sc_flat = clv_flat, sc_flat
             return float(acc)
         acc, _, _ = _fused_loglikelihood_loop(

@@ -13,9 +13,13 @@ that overhead:
   * one pallas_call per identity-profile run, grid = (ops in run,):
     TPU grid steps execute in order, so in-place postorder dependencies
     hold; per-step cost is ~1 us instead of ~10;
-  * class permutes are chunked one-hot matmuls on the MXU
-    ([W, 128] one-hot tiles built from the gather row), skipped entirely
-    for identity runs (repeats disabled on both ends);
+  * class permutes are blocked lane gathers: Mosaic's dynamic gather
+    handles one 128-lane vreg of source at a time, so each 128-wide
+    output chunk loops over the W/128 source blocks, gathers within the
+    block and selects by quotient — O(W^2/128) cheap VPU ops instead of
+    the O(W^2) MXU MACs of a one-hot matmul (measured 5 us vs 403 us per
+    permute at W=4480), skipped entirely for identity runs (repeats
+    disabled on both ends);
   * per-site scaling semantics identical to the XLA path (max(x) < t
     form; scaler counts as f32 rows, exact to 2^24).
 
@@ -44,6 +48,7 @@ def _run_kernel(fields_ref,     # [n, 8] int32 (SMEM, prefetched)
                 sc_out,         # aliased with sc_ref
                 buf_l,          # VMEM [rs+8, W] scratch: term + scaler row
                 buf_r,          # VMEM [rs+8, W] scratch
+                tmp,            # VMEM [rs+8, W] pre-permute staging
                 *, rates: int, states: int, W: int,
                 ident_l: bool, ident_r: bool,
                 threshold: float, factor: float):
@@ -60,12 +65,14 @@ def _run_kernel(fields_ref,     # [n, 8] int32 (SMEM, prefetched)
     c1_off, m1, s1_off = off(2), fields_ref[i, 3], off(4)
     c2_off, m2, s2_off = off(5), fields_ref[i, 6], off(7)
 
+    nrows = rs + 8
+
     def term_into(buf, c_off, m, s_off, idx_ref, ident):
         """buf[:rs] <- permuted P @ child window; buf[rs] <- permuted
-        child scaler row. The chunked one-hot permute rides the MXU
-        (HIGHEST precision keeps selection exact in fp32); a fori_loop
-        over 128-wide output chunks keeps the kernel body small — an
-        unrolled version made big-W compiles pathologically slow."""
+        child scaler row. Mosaic's dynamic gather spans a single source
+        vreg along lanes, so the permute stages the term in `tmp` and,
+        per 128-wide output chunk, loops over the W/128 source blocks:
+        gather within the block, select by index quotient."""
         win = pool_out[:, pl.ds(c_off, W)]                   # [rs, W]
         pm = pm_ref[pl.ds(m, 1)][0]                          # [R, s, s]
         rows = []
@@ -81,20 +88,23 @@ def _run_kernel(fields_ref,     # [n, 8] int32 (SMEM, prefetched)
         if ident:
             buf[...] = t
             return
-        iota = jax.lax.broadcasted_iota(jnp.int32, (t.shape[0], LANE), 1)
+        tmp[...] = t
+        nblk = W // LANE
 
         def chunk(c, _):
             c0 = pl.multiple_of(c * LANE, LANE)
             sel = idx_ref[0, 0, pl.ds(c0, LANE)]             # [LANE]
-            onehot = (sel[:, None] ==
-                      jax.lax.broadcasted_iota(jnp.int32, (LANE, W), 1))
-            # onehot[k, w] = (idx[c0+k] == w); permuted chunk = onehot @ t.T
-            val = jax.lax.dot_general(
-                onehot.astype(f32), t,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST)         # [LANE, rows]
-            buf[:, pl.ds(c0, LANE)] = val.T
+            q = sel // LANE
+            rb = jnp.broadcast_to((sel % LANE)[None, :], (nrows, LANE))
+
+            def src_blk(b, acc):
+                blk = tmp[:, pl.ds(b * LANE, LANE)]          # [nrows, LANE]
+                g = jnp.take_along_axis(blk, rb, axis=1)
+                return jnp.where((q == b)[None, :], g, acc)
+
+            acc = jax.lax.fori_loop(0, nblk, src_blk,
+                                    jnp.zeros((nrows, LANE), f32))
+            buf[:, pl.ds(c0, LANE)] = acc
             return 0
 
         jax.lax.fori_loop(0, W // LANE, chunk, 0)
@@ -111,20 +121,24 @@ def _run_kernel(fields_ref,     # [n, 8] int32 (SMEM, prefetched)
     sc_out[:, pl.ds(psc_off, W)] = jnp.broadcast_to(new_sc, (8, W))
 
 
-@partial(jax.jit, static_argnames=('profiles', 'rates', 'states',
-                                   'scale_threshold', 'scale_factor',
-                                   'interpret'))
-def update_partials_repeats_pool_pallas(clv_flat: jnp.ndarray,  # [R, s, T]
-                                        sc_flat: jnp.ndarray,   # [T2] i32
-                                        pmatrix: jnp.ndarray,   # [E,R,s,s]
-                                        buckets,  # tuple (fields, gl, gr)
-                                        scale_threshold: float,
-                                        scale_factor: float,
-                                        rates: int, states: int,
-                                        profiles=(),
-                                        interpret: bool = False):
+def pool_pallas(clv_flat: jnp.ndarray,  # [R, s, T]
+                sc_flat: jnp.ndarray,   # [T2] i32
+                pmatrix: jnp.ndarray,   # [E,R,s,s]
+                buckets,  # tuple of (fields, gl, gr)
+                scale_threshold: float,
+                scale_factor: float,
+                rates: int, states: int,
+                profiles=(),
+                interpret: bool = False):
     """All identity-profile runs over the VMEM-resident pool; returns
-    (clv_flat, sc_flat) like the XLA pool path. fp32 only."""
+    (clv_flat, sc_flat) like the XLA pool path. fp32 only.
+
+    Un-jitted entry point, for use INSIDE an enclosing jit (engine /
+    bench loops). CRITICAL: the `buckets` arrays must reach the trace as
+    jit ARGUMENTS or host numpy constants — a closed-over *device* array
+    becomes a jaxpr constvar, which defeats the pallas input/output
+    aliasing and makes the call re-copy the whole pool per grid step
+    (measured ~300x slower at 246x4465 scale)."""
     R, s, T = clv_flat.shape
     rs = R * s
     pool = clv_flat.reshape(rs, T)
@@ -156,6 +170,7 @@ def update_partials_repeats_pool_pallas(clv_flat: jnp.ndarray,  # [R, s, T]
             scratch_shapes=[
                 pltpu.VMEM((rs + 8, W), jnp.float32),
                 pltpu.VMEM((rs + 8, W), jnp.float32),
+                pltpu.VMEM((rs + 8, W), jnp.float32),
             ],
         )
         pool, scp = pl.pallas_call(
@@ -175,3 +190,11 @@ def update_partials_repeats_pool_pallas(clv_flat: jnp.ndarray,  # [R, s, T]
 
     return (pool.reshape(R, s, T).astype(clv_flat.dtype),
             scp[0].astype(sc_flat.dtype))
+
+
+# Eager/public entry point (partition.update_partials): buckets arrive as
+# jit arguments here, which is the fast aliasing-friendly form.
+update_partials_repeats_pool_pallas = jax.jit(
+    pool_pallas, static_argnames=('profiles', 'rates', 'states',
+                                  'scale_threshold', 'scale_factor',
+                                  'interpret'))

@@ -480,13 +480,15 @@ class Partition:
                     for _, f, gl, gr, _, _ in buckets)
                 self._repeat_profiles = tuple(
                     (il, ir) for _, _, _, _, il, ir in buckets)
-            # the VMEM pool kernel wins when full-width class permutes
-            # are cheap (small alignments); at large widths the boundary
-            # ops' W-wide one-hot permutes dominate and the XLA scan path
-            # is faster — measured crossover around 2k columns
+            # blocked-gather permutes cost O(W^2/128) VPU ops, so the VMEM
+            # pool kernel now wins at every alignment width (the old
+            # one-hot permute lost above ~2k columns) — as long as the
+            # whole pool (CLV + scaler rows) fits the kernel's VMEM budget
+            rs_t = self.rate_cats * self.states * self.clv_flat.shape[2]
+            pool_bytes = 4 * (rs_t + 8 * self.sc_flat.shape[-1])
             use_pl = (self.dtype == jnp.float32
                       and not self.rate_scalers
-                      and self.sites <= 2048
+                      and pool_bytes < 64 * 2**20
                       and jax.default_backend() == "tpu")
             if use_pl:
                 # VMEM-resident pool kernel: removes the ~10 us/op scan

@@ -54,3 +54,38 @@ def test_pool_kernel_matches_xla_path():
     np.testing.assert_allclose(np.asarray(clv2), clv_ref, rtol=2e-6,
                                atol=1e-30)
     np.testing.assert_array_equal(np.asarray(sc2), sc_ref)
+
+
+def test_engine_repeats_pallas_interpret_matches_xla():
+    """TreeEngine with pallas='interpret' on a repeats partition routes
+    the fused evaluation through the VMEM pool kernel; logL, the Newton
+    loop and candidate scoring must match the XLA pool engine."""
+    from libpll2_tpu import TreeEngine
+
+    def build():
+        tree = random_utree([f"t{i}" for i in range(16)], seed=7)
+        headers, seqs = simulate_alignment(
+            tree, 384, [0.3, 0.25, 0.2, 0.25],
+            [1.2, 3.0, 0.8, 1.1, 2.6, 1.0], alpha=0.9, seed=7)
+        part = Partition(tree.tip_count, tree.inner_count, 4, 384, 1,
+                         tree.edge_count, 4, tree.inner_count,
+                         site_repeats=True, dtype=jnp.float32)
+        by = dict(zip(headers, seqs))
+        for t in tree.tips():
+            part.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+        part.set_frequencies(0, [0.3, 0.25, 0.2, 0.25])
+        part.set_subst_params(0, [1.2, 3.0, 0.8, 1.1, 2.6, 1.0])
+        part.set_category_rates(compute_gamma_cats(0.9, 4))
+        return part, tree
+
+    part_x, tree_x = build()
+    part_k, tree_k = build()
+    eng_x = TreeEngine(part_x, tree_x, pallas=False)
+    eng_k = TreeEngine(part_k, tree_k, pallas='interpret')
+    assert eng_k.use_repeats_pallas
+    lk_x, lk_k = eng_x.loglikelihood(), eng_k.loglikelihood()
+    np.testing.assert_allclose(lk_k, lk_x, rtol=2e-6)
+    np.testing.assert_allclose(eng_k.newton_loop(2), eng_x.newton_loop(2),
+                               rtol=2e-4)
+    np.testing.assert_allclose(eng_k.loglikelihood_loop(2),
+                               eng_x.loglikelihood_loop(2), rtol=2e-6)

@@ -14,6 +14,7 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from libpll2_tpu import Partition, TreeEngine, compute_gamma_cats
@@ -159,36 +160,46 @@ def bench_repeats():
         part.update_partials(ops)        # builds schedule / warms
         pmat = part.pmatrix
         thr, fac = part.scale_threshold, part.scale_factor
+        # pmat and the schedule MUST flow in as jit arguments: a
+        # closed-over device array becomes a jaxpr constvar, which
+        # defeats the pallas pool kernel's input/output aliasing and
+        # re-copies the whole pool per grid step (~300x slower; see
+        # ops/pallas_repeats.pool_pallas docstring)
         if repeats:
             sched = part._repeat_schedule
             profs = part._repeat_profiles
-            if jax.default_backend() == "tpu" and sites <= 2048:
+            if jax.default_backend() == "tpu":
                 from libpll2_tpu.ops import pallas_repeats
-                body = lambda c: \
-                    pallas_repeats.update_partials_repeats_pool_pallas(
-                        c[0], c[1], pmat, sched, thr, fac,
-                        rates=4, states=4, profiles=profs)
+                body = lambda c, pm, sc_: pallas_repeats.pool_pallas(
+                    c[0], c[1], pm, sc_, thr, fac,
+                    rates=4, states=4, profiles=profs)
             else:
-                body = lambda c: ops_partials.update_partials_repeats_pool(
-                    c[0], c[1], pmat, sched, thr, fac, profiles=profs)
+                body = lambda c, pm, sc_: \
+                    ops_partials.update_partials_repeats_pool(
+                        c[0], c[1], pm, sc_, thr, fac, profiles=profs)
             clv0, sc0 = part.clv_flat, part.sc_flat
         else:
-            packed = pack_operations(ops, scratch_clv=part.nodes)
-            body = lambda c: ops_partials.update_partials(
-                c[0], c[1], pmat, packed, thr, fac)
+            sched = pack_operations(ops, scratch_clv=part.nodes)
+            body = lambda c, pm, sc_: ops_partials.update_partials(
+                c[0], c[1], pm, sc_, thr, fac)
             clv0, sc0 = part.clv, part.scale_buffer
 
         @jax.jit
-        def loop(k, clv, sc):
-            return jax.lax.fori_loop(0, k, lambda i, c: body(c), (clv, sc))
+        def loop(k, clv, sc, pm, sc_):
+            out = jax.lax.fori_loop(
+                0, k, lambda i, c: body(c, pm, sc_), (clv, sc))
+            # scalar summary: float() on it below is a true device sync —
+            # on the tunneled TPU, block_until_ready returns before the
+            # computation finishes, so a readback is the only honest wait
+            return jnp.sum(out[1])
 
-        jax.block_until_ready(loop(1, clv0, sc0))
+        float(loop(1, clv0, sc0, pmat, sched))
 
         def run(k):
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(loop(k, clv0, sc0))
+                float(loop(k, clv0, sc0, pmat, sched))
                 best = min(best, time.perf_counter() - t0)
             return best
 
@@ -288,7 +299,7 @@ def bench_newton_sweep():
                 jnp.asarray(steps), *sargs,
                 part.scale_threshold, part.scale_factor,
                 passes=passes, iterations=8, n_aux=n_aux)
-            jax.block_until_ready(out[0])
+            float(out[1].ravel()[0])    # readback = true device sync
             best = min(best, time.perf_counter() - t0)
         return best
 
