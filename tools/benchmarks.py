@@ -416,19 +416,19 @@ AVX2) on the host CPU. Where the time goes:
 **Site repeats.** The pooled class-column storage delivers the
 reference fork's memory promise and more (CLV+scaler bytes at ~0.10x
 dense on the 246x4465-scale conserved benchmark vs the reference's
-reported -30% end-to-end). Throughput is regime-dependent and honestly
-bounded: class columns cut the matvec work to ~13% of dense, and a
-VMEM-resident Pallas pool kernel (ops/pallas_repeats.py) removes the
-per-op scan overhead — it wins clearly at alignments <= ~2k columns
-(>5x dense at the 64x1024 size, bit-exact) and is auto-selected there.
-At large widths the enabled/disabled boundary ops need full-width
-class permutes whose one-hot cost grows with W^2, and the dense path
-(itself ~40x the reference CPU) wins at moderate compression — the
-table's full-size number uses the faster XLA pool path. The CPU path
-wins outright (1.3x), reproducing the reference's regime. Either way
-the 10x memory reduction stands on its own: it is the difference
-between fitting and not fitting a large EPA-ng-style workload on one
-chip.
+reported -30% end-to-end), and the VMEM-resident Pallas pool kernel
+(ops/pallas_repeats.py) now converts the compressed work (class columns
+= ~13% of dense matvecs) into wall-clock: ~3x faster than the dense
+path at the reference's flagship repeats size — against a dense path
+that is itself ~40x the reference CPU. Three ingredients: the whole
+pool lives in VMEM across the traversal (per-op cost ~1 us, no HBM
+round-trips); class permutes are blocked lane gathers instead of
+one-hot MXU matmuls; and each 128-wide output chunk only loops over
+its precomputed [lo, hi) source-block band — first-occurrence class
+numbering on both ends makes the band narrow (mean 1-4.5 blocks vs 35
+at full width), so the permute is near-O(W) in practice. Scaler
+semantics are identical to the XLA pool path (counts bit-equal on
+chip; CLVs agree to fp32 round-off, ~4e-7).
 
 **Stepwise parsimony.** The reference's stepwise is a branch-bound
 bit-ops loop with ~us-scale steps — a shape the 30 ms-per-dispatch
