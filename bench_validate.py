@@ -36,7 +36,7 @@ def log(*a):
 
 
 def _build(tree, headers, seqs, states, sites, dtype, asc=None,
-           alpha=0.8):
+           alpha=0.8, repeats=False):
     import numpy as np
     from libpll2_tpu import Partition, compute_gamma_cats
     from libpll2_tpu import constants as C
@@ -46,6 +46,8 @@ def _build(tree, headers, seqs, states, sites, dtype, asc=None,
     kwargs = {}
     if asc:
         kwargs["asc_bias"] = getattr(C.AscBias, asc.upper())
+    if repeats:
+        kwargs["site_repeats"] = True
     part = Partition(tree.tip_count, tree.inner_count, states, sites, 1,
                      tree.edge_count, 4, tree.inner_count, dtype=dtype,
                      **kwargs)
@@ -92,10 +94,26 @@ def _problems():
     cases.append(("aa_lg", t3, h3, s3, 20, 512, None, 1.0))
 
     cases.append(("dna_asc_lewis", t1, h1, s1, 4, 1024, "lewis", 0.8))
+
+    # site repeats: conserved alignment (strong class compression) so the
+    # pooled storage + Pallas pool kernel actually permute on chip
+    t4 = random_utree([f"t{i}" for i in range(48)], seed=8)
+    for nd in t4.nodes():
+        for h in ([nd] if nd.is_tip() else list(nd.ring())):
+            if h.back is not None:
+                h.length = h.back.length = max(h.length * 0.15, 0.001)
+    h4, s4 = simulate_alignment(t4, 896, [0.25] * 4, [1, 2, 1, 1, 2, 1],
+                                alpha=0.6, seed=8)
+    cases.append(("dna_repeats", t4, h4, s4, 4, 896, None, 0.6))
     return cases
 
 
-def _modes(platform: str):
+def _modes(platform: str, repeats: bool = False):
+    if repeats:
+        # repeats engines have two paths: the XLA pool scan and the
+        # VMEM-resident Pallas pool kernel (banded class permutes)
+        return [("pool", dict(pallas=False)),
+                ("fused", dict(pallas=True))]
     modes = [("scan", dict(level_schedule=False, pallas=False)),
              ("levels", dict(level_schedule=True, pallas=False)),
              ("fused", dict(pallas=True))]
@@ -124,16 +142,19 @@ def fp32_worker():
     out = []
     for (name, tree, headers, seqs, states, sites, asc, alpha) in \
             _problems():
-        for mode, kw in _modes(target.platform):
+        rep = name == "dna_repeats"
+        for mode, kw in _modes(target.platform, repeats=rep):
             if mode == "fused" and target.platform == "cpu":
                 kw = dict(pallas="interpret")
             log(f"  {name}: fp32 {mode} ...")
             p32 = _build(tree, headers, seqs, states, sites, jnp.float32,
-                         asc=asc, alpha=alpha)
+                         asc=asc, alpha=alpha, repeats=rep)
             e32 = TreeEngine(p32, tree, **kw)
             lk, d1, d2 = e32.newton_step()
             out.append({"case": name, "mode": mode,
-                        "kernel": ("fused" if e32.use_fused else
+                        "kernel": ("rep-pallas" if e32.use_repeats_pallas
+                                   else "rep-pool" if e32.repeats_mode
+                                   else "fused" if e32.use_fused else
                                    "levelk" if e32.use_levelkernel
                                    else "xla"),
                         "lk": lk, "d1": d1, "d2": d2})
@@ -169,7 +190,7 @@ def main():
             _problems():
         log(f"  {name}: fp64 reference on cpu ...")
         p64 = _build(tree, headers, seqs, states, sites, jnp.float64,
-                     asc=asc, alpha=alpha)
+                     asc=asc, alpha=alpha, repeats=(name == "dna_repeats"))
         e64 = TreeEngine(p64, tree, pallas=False)
         refs[name] = e64.newton_step()
 
