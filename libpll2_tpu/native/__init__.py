@@ -23,13 +23,19 @@ _tried = False
 
 
 def build() -> bool:
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-           "-o", str(_LIB), str(_SRC)]
-    try:
-        r = subprocess.run(cmd, capture_output=True, timeout=120)
-        return r.returncode == 0
-    except (OSError, subprocess.TimeoutExpired):
-        return False
+    # -march=native vectorizes the stepwise bit-op loops; fall back to
+    # plain -O3 on toolchains that reject it
+    for arch in (["-march=native"], []):
+        cmd = (["g++", "-O3"] + arch +
+               ["-fPIC", "-shared", "-std=c++17", "-o", str(_LIB),
+                str(_SRC)])
+        try:
+            r = subprocess.run(cmd, capture_output=True, timeout=120)
+            if r.returncode == 0:
+                return True
+        except (OSError, subprocess.TimeoutExpired):
+            return False
+    return False
 
 
 def load() -> Optional[ct.CDLL]:
@@ -51,6 +57,11 @@ def load() -> Optional[ct.CDLL]:
     lib.pll_tpu_repeats_tips.restype = ct.c_int64
     lib.pll_tpu_repeats_tips.argtypes = [ct.POINTER(ct.c_uint64),
                                          ct.c_int64, i32p, i32p]
+    i64p = ct.POINTER(ct.c_int64)
+    u32p = ct.POINTER(ct.c_uint32)
+    lib.pll_tpu_stepwise.restype = ct.c_int64
+    lib.pll_tpu_stepwise.argtypes = [u32p, ct.c_int64, ct.c_int64,
+                                     i64p, i64p, ct.c_int64, i32p, i32p]
     _lib = lib
     return _lib
 
@@ -87,6 +98,32 @@ def repeats_update(site_id_l: np.ndarray, site_id_r: np.ndarray,
         _ptr(lookup, ct.c_int32), _ptr(site_id, ct.c_int32),
         _ptr(id_site, ct.c_int32))
     return site_id, id_site[:ids].copy(), int(ids)
+
+
+def stepwise(tip_vecs: np.ndarray,       # [T, stride] uint32
+             states: np.ndarray,         # [P] int64
+             words: np.ndarray,          # [P] int64
+             order: np.ndarray           # [T] int32 shuffled tip order
+             ) -> Optional[Tuple[np.ndarray, int]]:
+    """Full native stepwise-addition build (see pllnative.cpp). Returns
+    (back[node_count], informative_cost) or None without the lib."""
+    lib = load()
+    if lib is None:
+        return None
+    T, stride = tip_vecs.shape
+    node_count = T + 3 * (T - 2)
+    back = np.full(node_count, -1, dtype=np.int32)
+    tv = np.ascontiguousarray(tip_vecs, dtype=np.uint32)
+    st = np.ascontiguousarray(states, dtype=np.int64)
+    wd = np.ascontiguousarray(words, dtype=np.int64)
+    od = np.ascontiguousarray(order, dtype=np.int32)
+    cost = lib.pll_tpu_stepwise(
+        _ptr(tv, ct.c_uint32), T, len(st), _ptr(st, ct.c_int64),
+        _ptr(wd, ct.c_int64), stride, _ptr(od, ct.c_int32),
+        _ptr(back, ct.c_int32))
+    if cost < 0:
+        return None
+    return back, int(cost)
 
 
 def repeats_tips(codes: np.ndarray

@@ -165,6 +165,7 @@ class FastParsimony:
         words = packed.shape[-1]
         vecs = np.zeros((nodes_count, self.states, words), dtype=np.uint32)
         vecs[:self.tips] = packed
+        self.packed_host = packed        # host copy for the native path
         self.vectors = jnp.asarray(vecs)
         self.node_cost = jnp.zeros(nodes_count, dtype=jnp.int32)
 

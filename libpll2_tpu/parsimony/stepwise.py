@@ -74,9 +74,59 @@ def _partial_ops(root: UNode) -> List[ParsBuildOp]:
             for n in trav if not n.is_tip()]
 
 
+def _rebuild_tree(back: np.ndarray, labels: Sequence[str],
+                  order: np.ndarray) -> UTree:
+    """UTree from the native engine's half-edge back-link array, with the
+    same node objects/indices the Python loop would have produced."""
+    tips_count = len(labels)
+    root = _inner_create(tips_count - 3, tips_count)
+    inner_nodes = [_inner_create(i, tips_count)
+                   for i in range(tips_count - 3)]
+    by_idx = {}
+    for idx in order:
+        n = _tip_create(int(idx), labels[int(idx)])
+        by_idx[n.node_index] = n
+    for n in [root] + inner_nodes:
+        for h in n.ring():
+            by_idx[h.node_index] = h
+            h.data = None
+    for i, b in enumerate(back):
+        if b >= 0 and i < b:
+            _link(by_idx[i], by_idx[int(b)])
+    return UTree(vroot=root, tip_count=tips_count,
+                 inner_count=tips_count - 2,
+                 edge_count=2 * tips_count - 3)
+
+
+def _stepwise_native(parsimony_list: Sequence[FastParsimony],
+                     labels: Sequence[str],
+                     seed: int) -> Optional[Tuple[UTree, int]]:
+    """Host-native build (native/pllnative.cpp pll_tpu_stepwise): the
+    same algorithm with zero device dispatches — the stepwise loop is
+    ~N^2 microsecond-scale bit-op steps, a shape the ~30 ms-per-dispatch
+    tunneled TPU cannot win. None when the native lib is unavailable."""
+    from .. import native
+    T = len(labels)
+    vecs = [p.packed_host.reshape(T, -1) for p in parsimony_list]
+    tip_vecs = np.ascontiguousarray(np.concatenate(vecs, axis=1))
+    states = np.array([p.states for p in parsimony_list], dtype=np.int64)
+    words = np.array([p.packed_host.shape[-1]
+                      for p in parsimony_list], dtype=np.int64)
+    order = np.asarray(create_shuffled(T, seed), dtype=np.int32)
+    res = native.stepwise(tip_vecs, states, words, order)
+    if res is None:
+        return None
+    back, cost = res
+    if T == 3:
+        cost = 0
+    cost += sum(p.const_cost for p in parsimony_list)
+    return _rebuild_tree(back, labels, order), cost
+
+
 def fastparsimony_stepwise(parsimony_list: Sequence[FastParsimony],
                            labels: Sequence[str],
-                           seed: int) -> Tuple[UTree, int]:
+                           seed: int,
+                           use_native: bool = True) -> Tuple[UTree, int]:
     """Returns (tree, parsimony cost). Tip i of the tree keeps clv/node
     index == its position in `labels`, inner nodes get the reference's
     template indices — interchangeable with pll_fastparsimony_stepwise."""
@@ -88,6 +138,10 @@ def fastparsimony_stepwise(parsimony_list: Sequence[FastParsimony],
         if p.tips != tips_count:
             raise C.PllError(C.ERROR_STEPWISE_STRUCT,
                              "Parsimony structures tips not equal.")
+    if use_native:
+        out = _stepwise_native(parsimony_list, labels, seed)
+        if out is not None:
+            return out
 
     root = _inner_create(tips_count - 3, tips_count)
     inner_nodes = [_inner_create(i, tips_count)

@@ -106,3 +106,28 @@ def test_stepwise_seed_zero_identity_order():
     labels = sorted(t.label for t in tree.tips())
     assert labels == sorted(headers)
     assert cost > 0
+
+
+def test_stepwise_native_matches_jax_path():
+    """The host-native engine (native/pllnative.cpp pll_tpu_stepwise) and
+    the JAX loop produce bit-identical trees and costs — including a
+    multi-partition build (reference stepwise.c:337-346 score summing)."""
+    headers, seqs = _data(seed=17)
+
+    def make_fp(sites_slice):
+        part = Partition(len(headers), len(headers) - 2, 4,
+                         len(sites_slice[0]), 1, 2 * len(headers) - 3, 1,
+                         len(headers) - 2)
+        for i, s in enumerate(sites_slice):
+            part.set_tip_states(i, maps.map_nt, s)
+        return FastParsimony(part)
+
+    for plist in ([make_fp(seqs)],
+                  [make_fp([s[:120] for s in seqs]),
+                   make_fp([s[120:] for s in seqs])]):
+        for seed in (3, 77):
+            tn, cn = fastparsimony_stepwise(plist, headers, seed)
+            tp, cp = fastparsimony_stepwise(plist, headers, seed,
+                                            use_native=False)
+            assert cn == cp
+            assert export_newick(tn.vroot) == export_newick(tp.vroot)
