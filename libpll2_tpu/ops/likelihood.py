@@ -229,3 +229,56 @@ def edge_loglikelihood(clv_parent: jnp.ndarray,     # [R, s, S]
     return _apply_asc(site_lk, terma, site_sc, pattern_weights,
                       asc_type, n_real, clv_parent.shape[1],
                       scale_threshold, dtype)
+
+
+@partial(jax.jit, static_argnames=('rate_scalers', 'has_nscaler',
+                                   'has_oscaler'))
+def node_ancestral(clv_node: jnp.ndarray,           # [R, s, S]
+                   clv_other: jnp.ndarray,          # [R, s, S]
+                   nscaler: jnp.ndarray,
+                   oscaler: jnp.ndarray,
+                   pmatrix: jnp.ndarray,            # [R, s, s]
+                   freqs: jnp.ndarray,              # [M, s]
+                   rate_weights: jnp.ndarray,       # [R]
+                   params_idx: jnp.ndarray,         # [R] int
+                   scale_threshold: float,
+                   rate_scalers: bool = False,
+                   has_nscaler: bool = True,
+                   has_oscaler: bool = True) -> jnp.ndarray:
+    """Marginal ancestral state probabilities at a node, viewed across the
+    edge to `other` (reference: /root/reference/src/likelihood.c:639-757,
+    pll_compute_node_ancestral_extbuf).
+
+    anc[site, i] ∝ sum_r w_r * freq[i] * clv_node[r,i,site]
+                                       * (P_r @ clv_other[r,:,site])[i]
+    normalized over states per site.  Per-site scalers multiply a whole
+    site uniformly and cancel in the normalization (so outputs match the
+    reference exactly); in per-rate scaler mode the relative scaler
+    differences between rates are undone with the capped factors used by
+    the likelihood path — a deliberate divergence: the reference sums the
+    stored (scaled) CLV products without undoing per-rate factors
+    (likelihood.c:735-744), which distorts the rate mixture.
+
+    Returns anc [S, s] (rows sum to 1).
+    """
+    dtype = clv_node.dtype
+    f = freqs[params_idx].astype(dtype)              # [R, s]
+    combined = clv_node * jnp.einsum(
+        'rjk,rks->rjs', pmatrix, clv_other,
+        preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST)
+
+    if rate_scalers:
+        sc = None
+        if has_nscaler:
+            sc = nscaler
+        if has_oscaler:
+            sc = oscaler if sc is None else sc + oscaler
+        if sc is not None:
+            cap = _cap_table(scale_threshold, dtype)
+            _, rate_factor = _site_scalings(sc, True, cap)  # [R, S]
+            combined = combined * rate_factor[:, None, :]
+
+    anc = jnp.einsum('r,rjs,rj->sj', rate_weights.astype(dtype), combined,
+                     f, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)   # [S, s]
+    return anc / jnp.sum(anc, axis=1, keepdims=True)

@@ -613,6 +613,31 @@ class Partition:
             return float(total), np.asarray(per)[:self.sites]
         return float(total)
 
+    def compute_node_ancestral(self, node_clv_index: int,
+                               node_scaler_index: int,
+                               other_clv_index: int,
+                               other_scaler_index: int,
+                               matrix_index: int,
+                               freqs_indices) -> np.ndarray:
+        """Marginal ancestral state probabilities [sites, states] at `node`,
+        combining its CLV with the neighbor's CLV across the connecting
+        edge (reference: /root/reference/src/likelihood.c:758-830,
+        pll_compute_node_ancestral).  Unlike the reference, site-repeats
+        partitions are supported (class columns are expanded per site)."""
+        nclv, nscaler, has_n = self._node_view(node_clv_index,
+                                               node_scaler_index)
+        oclv, oscaler, has_o = self._node_view(other_clv_index,
+                                               other_scaler_index)
+        anc = ops_likelihood.node_ancestral(
+            nclv, oclv, nscaler, oscaler, self.pmatrix[matrix_index],
+            jnp.asarray(self.frequencies, self.dtype),
+            jnp.asarray(self.rate_weights, self.dtype),
+            jnp.asarray(np.asarray(freqs_indices, dtype=np.int32)),
+            self.scale_threshold,
+            rate_scalers=self.rate_scalers,
+            has_nscaler=has_n, has_oscaler=has_o)
+        return np.asarray(anc)[:self.sites]
+
     # ----------------------------------------------------------- derivatives
     def update_sumtable(self, parent_clv_index: int, child_clv_index: int,
                         parent_scaler_index: int, child_scaler_index: int,

@@ -203,6 +203,10 @@ def _declare(lib):
     lib.pll_compute_edge_loglikelihood.argtypes = [
         P(PllPartition), ct.c_uint, ct.c_int, ct.c_uint, ct.c_int,
         ct.c_uint, P(ct.c_uint), P(ct.c_double)]
+    lib.pll_compute_node_ancestral.restype = ct.c_int
+    lib.pll_compute_node_ancestral.argtypes = [
+        P(PllPartition), ct.c_uint, ct.c_int, ct.c_uint, ct.c_int,
+        ct.c_uint, P(ct.c_uint), P(ct.c_double)]
     lib.pll_update_sumtable.restype = ct.c_int
     lib.pll_update_sumtable.argtypes = [
         P(PllPartition), ct.c_uint, ct.c_uint, ct.c_int, ct.c_int,
@@ -342,6 +346,14 @@ class OraclePartition:
         logl = self.lib.pll_compute_edge_loglikelihood(
             self.ptr, p, psc, c, csc, mat, u32(freqs_indices), out)
         return (logl, list(out)) if persite else logl
+
+    def node_ancestral(self, node, nsc, other, osc, mat, freqs_indices):
+        import numpy as np
+        out = (ct.c_double * (self.sites * self.states))()
+        ok = self.lib.pll_compute_node_ancestral(
+            self.ptr, node, nsc, other, osc, mat, u32(freqs_indices), out)
+        assert ok == 1
+        return np.array(out).reshape(self.sites, self.states)
 
     def derivatives(self, p, c, psc, csc, params_indices, brlens):
         import numpy as np

@@ -58,18 +58,45 @@ def build(n_taxa, sites, states=4, rate_cats=4, seed=7, model=None,
     return part, tree, headers, seqs
 
 
-def device_time(eng, reps=3, k1=3, k2=9):
-    eng.loglikelihood_loop(1)
+def chained_time(run_loop, reps=5, target=0.4, k_max=200_000):
+    """Per-iteration device time via two chained trip counts.
+
+    `run_loop(k)` must execute k chained device-side iterations in ONE
+    dispatch and block until done (trip counts are traced, so any k
+    reuses one compilation). The tunneled TPU's dispatch latency jitters
+    by tens of ms, so the trip counts are picked adaptively such that
+    the k2-k1 difference spans ~`target` seconds of device time — far
+    above the noise floor — then each count takes a min over `reps` and
+    the difference is re-measured until it comes out positive."""
+    run_loop(1)                                    # compile
+    t0 = time.perf_counter()
+    run_loop(1)
+    base = time.perf_counter() - t0                # ~dispatch latency
+    k_est = 64
+    t0 = time.perf_counter()
+    run_loop(k_est)
+    dt_est = max((time.perf_counter() - t0 - base) / k_est, 1e-7)
+    k1 = min(max(4, int(target / (4 * dt_est))), k_max)
+    k2 = 5 * k1
 
     def run(k):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            eng.loglikelihood_loop(k)
+            run_loop(k)
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return max((run(k2) - run(k1)) / (k2 - k1), 1e-9)
+    for _ in range(4):
+        dt = (run(k2) - run(k1)) / (k2 - k1)
+        if dt > 0:
+            return dt
+        log("  (negative timing difference — tunnel noise; retrying)")
+    return max(dt, 1e-9)
+
+
+def device_time(eng, **kw):
+    return chained_time(eng.loglikelihood_loop, **kw)
 
 
 def record(name, value, unit, note=""):
@@ -92,17 +119,7 @@ def bench_newton():
     log("[2] Newton branch optimization (32 taxa x 2048 sites)")
     part, tree, *_ = build(32, 2048, seed=9)
     eng = TreeEngine(part, tree)
-    eng.newton_loop(1)
-
-    def run(k):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            eng.newton_loop(k)
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    dt = max((run(15) - run(5)) / 10, 1e-9)
+    dt = chained_time(eng.newton_loop)
     record("newton_steps_per_sec", 1 / dt, "steps/s",
            "full eval + sumtable + d1/d2 + update, device-side")
 
@@ -111,7 +128,7 @@ def bench_protein():
     log("[3] 20-state LG (64 taxa x 2048 sites)")
     part, tree, *_ = build(64, 2048, states=20, model="lg", seed=11)
     eng = TreeEngine(part, tree)
-    dt = device_time(eng, k1=2, k2=10)
+    dt = device_time(eng)
     su = tree.inner_count * 2048
     record("aa_site_updates_per_sec", su / dt, "site-updates/s",
            f"pallas={eng.use_pallas}, {dt*1e3:.2f} ms/traversal")
@@ -333,11 +350,16 @@ def bench_spr():
     s.evaluate()                               # compile single eval
     t0 = time.perf_counter()
     lk, accepted = s.spr_round_batched(batch=64)
+    dt_first = time.perf_counter() - t0
+    # second round: batched scorers already compiled — the steady-state
+    # per-round cost a search loop actually pays
+    t0 = time.perf_counter()
+    lk2, accepted2 = s.spr_round_batched(batch=64)
     dt = time.perf_counter() - t0
     record("spr_round_seconds", dt, "s",
-           f"steepest-ascent round, {accepted} moves accepted, "
-           f"final logL {lk:.1f}; candidates scored device-side in "
-           "power-of-two batches")
+           f"steepest-ascent round (warm), {accepted2} moves accepted, "
+           f"logL {lk2:.1f}; first round incl. batch compiles "
+           f"{dt_first:.1f} s ({accepted} moves, logL {lk:.1f})")
 
 
 def bench_stepwise():
