@@ -282,6 +282,76 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
     return total, d1, d2, branches, clv, scaler
 
 
+def pack_repeats_canonical(partition, operations, root_indices,
+                           pad_counts=None):
+    """Build the pooled-storage schedule for one topology: installs the
+    flat layout on `partition` and returns numpy
+    (packed [(f, gl, gr)] per width, root_cols 4-tuple, mat, layout).
+
+    Bucket shapes are canonicalized — every lane width from 128 up to the
+    padded class domain is present and op counts are padded to powers of
+    two (dummy ops recompute into the scratch tail) — so topology moves
+    (and, for the sharded engine, different shards) hit a bounded set of
+    compiled programs. `pad_counts` ({width: n}) forces a minimum op count
+    per width, used to align per-shard tables to one common shape."""
+    from .repeats import schedule_buckets_flat
+    p = partition
+    width = p.sites + p.asc_extra           # class domain incl. asc columns
+    layout, buckets = schedule_buckets_flat(
+        p.repeats, operations, width, p.scale_buffers)
+    p._install_flat(layout)
+    # the partition's own step-by-step schedule cache is now stale
+    p._repeat_key = None
+    p._repeat_schedule = None
+
+    s_pad = -(-width // 128) * 128
+    widths = []
+    w = 128
+    while w < s_pad:
+        widths.append(w)
+        w *= 2
+    widths.append(s_pad)
+    by_w = {wd: [] for wd in widths}
+    # engine mode merges identity-profile runs back together and
+    # always permutes: stable compiled shapes across topology moves
+    # matter more than the permute saving inside search loops
+    for wd, f, gl, gr, _, _ in buckets:
+        by_w[wd].append((f, gl, gr))
+    tail_off = layout.total - s_pad
+    packed = []
+    for wd in widths:
+        rows = by_w[wd]
+        n_real = sum(f.shape[0] for f, _, _ in rows)
+        n = 1
+        while n < max(n_real, 1, (pad_counts or {}).get(wd, 1)):
+            n *= 2
+        f = np.zeros((n, 8), dtype=np.int32)
+        gl = np.zeros((n, wd), dtype=np.int32)
+        gr = np.zeros((n, wd), dtype=np.int32)
+        # dummy rows: recompute into the scratch tail / trash region
+        f[:] = [tail_off, layout.sc_trash, 0, 0, layout.sc_zero,
+                0, 0, layout.sc_zero]
+        k = 0
+        for fr, glr, grr in rows:
+            f[k:k + fr.shape[0]] = fr
+            gl[k:k + glr.shape[0]] = glr
+            gr[k:k + grr.shape[0]] = grr
+            k += fr.shape[0]
+        packed.append((f, gl, gr))
+
+    def cols(node, sc_idx):
+        sid = p.repeats.site_id[node].astype(np.int64)
+        c = (layout.off[node] + sid).astype(np.int32)
+        has = sc_idx >= 0 and layout.sc_caps[sc_idx] > 0
+        base = layout.sc_off[sc_idx] if has else layout.sc_zero
+        return c, (base + sid).astype(np.int32)
+
+    p_clv, p_sc, c_clv, c_sc, mat = root_indices
+    pc, psc = cols(p_clv, p_sc)
+    cc, csc = cols(c_clv, c_sc)
+    return packed, (pc, psc, cc, csc), mat, layout
+
+
 @partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
                                    'use_pallas', 'pallas_interpret'))
@@ -659,70 +729,13 @@ class TreeEngine:
     def _pack_repeats(self, operations, root_indices):
         """Build the pooled-storage schedule for one topology: installs
         the flat layout on the partition and returns (buckets, root_cols,
-        mat). Bucket shapes are canonicalized — every lane width from 128
-        up to `sites` is present and op counts are padded to powers of two
-        (dummy ops write the scratch tail) — so topology moves hit a
-        bounded set of compiled programs."""
-        from .repeats import schedule_buckets_flat
-        p = self.partition
-        layout, buckets = schedule_buckets_flat(
-            p.repeats, operations, p.sites, p.scale_buffers)
-        p._install_flat(layout)
-        # the partition's own step-by-step schedule cache is now stale
-        p._repeat_key = None
-        p._repeat_schedule = None
-
-        s_pad = -(-p.sites // 128) * 128
-        widths = []
-        w = 128
-        while w < s_pad:
-            widths.append(w)
-            w *= 2
-        widths.append(s_pad)
-        by_w = {wd: [] for wd in widths}
-        # engine mode merges identity-profile runs back together and
-        # always permutes: stable compiled shapes across topology moves
-        # matter more than the permute saving inside search loops
-        for wd, f, gl, gr, _, _ in buckets:
-            by_w[wd].append((f, gl, gr))
-        tail_off = layout.total - s_pad
-        packed = []
-        for wd in widths:
-            rows = by_w[wd]
-            n_real = sum(f.shape[0] for f, _, _ in rows)
-            n = 1
-            while n < max(n_real, 1):
-                n *= 2
-            f = np.zeros((n, 8), dtype=np.int32)
-            gl = np.zeros((n, wd), dtype=np.int32)
-            gr = np.zeros((n, wd), dtype=np.int32)
-            # dummy rows: recompute into the scratch tail / trash region
-            f[:] = [tail_off, layout.sc_trash, 0, 0, layout.sc_zero,
-                    0, 0, layout.sc_zero]
-            k = 0
-            for fr, glr, grr in rows:
-                f[k:k + fr.shape[0]] = fr
-                gl[k:k + glr.shape[0]] = glr
-                gr[k:k + grr.shape[0]] = grr
-                k += fr.shape[0]
-            packed.append((self._rep(jnp.asarray(f)),
-                           self._rep(jnp.asarray(gl)),
-                           self._rep(jnp.asarray(gr))))
-
-        def cols(node, sc_idx):
-            sid = p.repeats.site_id[node].astype(np.int64)
-            c = (layout.off[node] + sid).astype(np.int32)
-            has = sc_idx >= 0 and layout.sc_caps[sc_idx] > 0
-            base = layout.sc_off[sc_idx] if has else layout.sc_zero
-            return c, (base + sid).astype(np.int32)
-
-        p_clv, p_sc, c_clv, c_sc, mat = root_indices
-        pc, psc = cols(p_clv, p_sc)
-        cc, csc = cols(c_clv, c_sc)
-        root_cols = tuple(self._rep(jnp.asarray(a))
-                          for a in (pc, psc, cc, csc))
-        return tuple(packed), root_cols, self._rep(
-            jnp.asarray(mat, np.int32))
+        mat) as device arrays (see pack_repeats_canonical)."""
+        packed, root_cols, mat, _ = pack_repeats_canonical(
+            self.partition, operations, root_indices)
+        return (tuple((self._rep(jnp.asarray(f)), self._rep(jnp.asarray(g)),
+                       self._rep(jnp.asarray(h))) for f, g, h in packed),
+                tuple(self._rep(jnp.asarray(a)) for a in root_cols),
+                self._rep(jnp.asarray(mat, np.int32)))
 
     def _pack_topology(self, operations, branches, pmatrix_indices,
                        root) -> None:

@@ -25,9 +25,11 @@ run SPMD unchanged.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -79,10 +81,10 @@ def shard_partition(partition, mesh: Mesh) -> None:
         # into per-device partitions (each with its own repeats tables)
         # and summing logL/d1/d2 — the PartitionedEngine pattern.
         raise ValueError(
-            "site-repeats partitions cannot be sharded on the site axis: "
-            "split the alignment into per-device partitions (each with "
-            "local repeats classes) and reduce their logL/d1/d2 sums, as "
-            "the reference's MPI consumers do (see partitioned.py)")
+            "site-repeats partitions cannot be sharded in place (the "
+            "pooled class-column layout has no global site axis): build "
+            "one per-device partition per column slice and run them as "
+            "one SPMD program via ShardedRepeatsEngine")
     if partition.sites_padded % n:
         raise ValueError(
             f"sites_padded={partition.sites_padded} not divisible by mesh "
@@ -93,3 +95,196 @@ def shard_partition(partition, mesh: Mesh) -> None:
         scaler_sharding(mesh, partition.rate_scalers))
     partition.pmatrix = jax.device_put(partition.pmatrix, replicated(mesh))
     partition.mesh = mesh
+
+
+@partial(jax.jit, static_argnames=('mesh', 'scale_threshold',
+                                   'scale_factor', 'rate_scalers',
+                                   'use_pallas', 'pallas_interpret'))
+def _sharded_repeats_loop(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs,
+                          eigenvecs, prop_invar, rates, rate_weights,
+                          freqs, params_idx_rates, branches, buckets,
+                          root_cols, mat, pattern_weights, invariant, *,
+                          mesh, scale_threshold, scale_factor,
+                          rate_scalers, use_pallas=False,
+                          pallas_interpret=False):
+    """k chained sharded repeats evaluations in one SPMD dispatch: every
+    device runs the pooled bucket traversal on its local class tables,
+    then the root-edge logL sums ride one psum over the 'sites' axis."""
+    from jax import shard_map
+
+    from ..engine import _repeats_loglikelihood
+
+    def local(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs, eigenvecs,
+              prop_invar, rates, rate_weights, freqs, params_idx_rates,
+              branches, buckets, root_cols, mat, pw, inv):
+        def body(_, carry):
+            acc, cf, sf = carry
+            total, _per, cf, sf, _pm = _repeats_loglikelihood(
+                cf, sf, eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
+                rates, rate_weights, freqs, params_idx_rates, branches,
+                buckets, root_cols, mat, pw, inv,
+                scale_threshold, scale_factor, rate_scalers=rate_scalers,
+                use_pallas=use_pallas, pallas_interpret=pallas_interpret)
+            return acc + total, cf, sf
+
+        zero = jnp.zeros((), clv_flat.dtype)
+        acc, cf, sf = jax.lax.fori_loop(0, k, body,
+                                        (zero, clv_flat, sc_flat))
+        return jax.lax.psum(acc, SITES_AXIS), cf, sf
+
+    rep = P()
+    sc_spec = P(None, SITES_AXIS) if rate_scalers else P(SITES_AXIS)
+    bucket_specs = tuple((P(SITES_AXIS, None),) * 3 for _ in buckets)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, P(None, None, SITES_AXIS), sc_spec, rep, rep, rep,
+                  rep, rep, rep, rep, rep, rep, bucket_specs,
+                  (P(SITES_AXIS),) * 4, rep, P(SITES_AXIS), P(SITES_AXIS)),
+        out_specs=(P(), P(None, None, SITES_AXIS), sc_spec),
+        check_vma=False,
+    )(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs, eigenvecs,
+      prop_invar, rates, rate_weights, freqs, params_idx_rates, branches,
+      buckets, root_cols, mat, pattern_weights, invariant)
+
+
+class ShardedRepeatsEngine:
+    """Site data-parallelism for site-repeats partitions.
+
+    The reference's MPI consumers give each rank a slice of alignment
+    columns; a site class is local to a rank (repeats are a pure
+    compute-saving dedup, so per-shard class tables are exactly as
+    correct as a global one — SURVEY §7). The TPU equivalent built here:
+    each device owns a contiguous column slice with its OWN class table
+    and pooled class-column storage, and ONE `jax.shard_map` program runs
+    the fused bucket traversal per shard and `psum`s the root-edge logL.
+
+    Per-shard table shapes are canonicalized (equal lane widths, op
+    counts padded to the max across shards, pools padded to the largest
+    shard's total) so a single compiled program serves every shard as
+    data — see engine.pack_repeats_canonical.
+
+    parts: one site-repeats Partition per mesh device, each built over
+    its column slice (equal widths) with identical model parameters.
+    """
+
+    def __init__(self, tree, parts, mesh: Mesh, params_index: int = 0,
+                 pallas: Optional[bool] = None, interpret: bool = False):
+        from ..engine import pack_repeats_canonical
+        from ..trees import create_operations, traverse
+        from .. import constants as C
+
+        n = mesh.devices.size
+        if len(parts) != n:
+            raise ValueError(f"need {n} shard partitions, got {len(parts)}")
+        p0 = parts[0]
+        for p in parts:
+            if p.repeats is None:
+                raise C.PllError(
+                    C.ERROR_PARAM_INVALID,
+                    "every shard partition needs site_repeats=True (and "
+                    f">= {C.REPEATS_MIN_SITES} sites per shard)")
+            if p.sites != p0.sites:
+                raise ValueError("shard partitions must have equal widths")
+            if p.asc_extra:
+                raise C.PllError(C.ERROR_PARAM_INVALID,
+                                 "asc bias is not supported under "
+                                 "site sharding")
+        self.mesh = mesh
+        self.parts = parts
+        self.tree = tree
+        self.dtype = p0.dtype
+        self.rate_scalers = p0.rate_scalers
+        # per-shard VMEM pool kernel (fp32, per-site scalers); each device
+        # runs it on its local class columns inside the shard_map program
+        eligible = (p0.dtype == jnp.float32 and not p0.rate_scalers
+                    and (interpret or jax.default_backend() == "tpu"))
+        self.use_pallas = eligible if pallas is None else (pallas and
+                                                           eligible)
+        self.pallas_interpret = interpret
+
+        trav = traverse(tree.vroot)
+        operations, branches, pmatrix_indices = create_operations(trav)
+        root = tree.vroot
+        ri = (root.clv_index, root.scaler_index, root.back.clv_index,
+              root.back.scaler_index, root.pmatrix_index)
+
+        # pass 1: learn per-width op counts; pass 2: repack aligned
+        counts = {}
+        for p in parts:
+            for f, gl, _ in pack_repeats_canonical(p, operations, ri)[0]:
+                counts[gl.shape[1]] = max(counts.get(gl.shape[1], 0),
+                                          f.shape[0])
+        packs = [pack_repeats_canonical(p, operations, ri,
+                                        pad_counts=counts) for p in parts]
+
+        # stack tables; shard blocks ride the 'sites' mesh axis
+        n_widths = len(packs[0][0])
+        self._buckets = tuple(
+            (self._put(np.concatenate([pk[0][w][0] for pk in packs]),
+                       P(SITES_AXIS, None)),
+             self._put(np.concatenate([pk[0][w][1] for pk in packs]),
+                       P(SITES_AXIS, None)),
+             self._put(np.concatenate([pk[0][w][2] for pk in packs]),
+                       P(SITES_AXIS, None)))
+            for w in range(n_widths))
+        self._root_cols = tuple(
+            self._put(np.concatenate([pk[1][i] for pk in packs]),
+                      P(SITES_AXIS))
+            for i in range(4))
+        self._mat = self._put(np.asarray(packs[0][2], np.int32), P())
+
+        # pools, padded to the largest shard
+        t_max = max(p.clv_flat.shape[-1] for p in parts)
+        sc_max = max(p.sc_flat.shape[-1] for p in parts)
+
+        def pad_to(a, width):
+            pad = [(0, 0)] * (a.ndim - 1) + [(0, width - a.shape[-1])]
+            return np.pad(np.asarray(a), pad)
+
+        self.clv_flat = self._put(
+            np.concatenate([pad_to(p.clv_flat, t_max) for p in parts],
+                           axis=-1), P(None, None, SITES_AXIS))
+        self.sc_flat = self._put(
+            np.concatenate([pad_to(p.sc_flat, sc_max) for p in parts],
+                           axis=-1),
+            P(None, SITES_AXIS) if self.rate_scalers else P(SITES_AXIS))
+        self._pw = self._put(
+            np.concatenate([np.asarray(p.pattern_weights) for p in parts]),
+            P(SITES_AXIS))
+        self._inv = self._put(
+            np.concatenate([np.asarray(p.invariant) for p in parts]),
+            P(SITES_AXIS))
+
+        blen = np.zeros(p0.prob_matrices)
+        blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
+        self.branches = self._put(np.asarray(blen, self.dtype), P())
+
+        p0._ensure_eigen([params_index])
+        d = self.dtype
+        self._model = tuple(
+            self._put(np.asarray(a, d), P()) for a in (
+                p0.eigenvals, p0.inv_eigenvecs, p0.eigenvecs,
+                p0.prop_invar, p0.rates, p0.rate_weights, p0.frequencies)
+        ) + (self._put(np.asarray([params_index] * p0.rate_cats,
+                                  np.int32), P()),)
+
+    def _put(self, a, spec):
+        import jax.numpy as jnp
+        return jax.device_put(jnp.asarray(a), NamedSharding(self.mesh, spec))
+
+    def loglikelihood_loop(self, k: int) -> float:
+        """Sum of k chained sharded evaluations, one SPMD dispatch."""
+        total, self.clv_flat, self.sc_flat = _sharded_repeats_loop(
+            jnp.asarray(k, jnp.int32),
+            self.clv_flat, self.sc_flat, *self._model, self.branches,
+            self._buckets, self._root_cols, self._mat, self._pw, self._inv,
+            mesh=self.mesh,
+            scale_threshold=self.parts[0].scale_threshold,
+            scale_factor=self.parts[0].scale_factor,
+            rate_scalers=self.rate_scalers,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret)
+        return float(total)
+
+    def loglikelihood(self) -> float:
+        return self.loglikelihood_loop(1)

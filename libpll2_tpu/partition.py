@@ -169,11 +169,13 @@ class Partition:
         self.repeats = None
         self._repeat_schedule = None
         if site_repeats:
-            # repeats auto-off below 16 sites, as in pll.c:441-449
-            if sites >= C.REPEATS_MIN_SITES and asc_bias == C.AscBias.NONE \
-                    and self.sites_padded == sites:
+            # repeats auto-off below 16 sites, as in pll.c:441-449. The
+            # class domain spans the real sites PLUS the synthetic asc
+            # columns — the reference's repeats tables are sized
+            # sites + states when asc is allocated (repeats.c:69,122,201)
+            if sites >= C.REPEATS_MIN_SITES and self.sites_padded == base:
                 from .repeats import RepeatsTable
-                self.repeats = RepeatsTable(self.nodes, sites)
+                self.repeats = RepeatsTable(self.nodes, base)
 
         S, R, s = self.sites_padded, rate_cats, states
         if self.repeats is None:
@@ -261,6 +263,13 @@ class Partition:
             self._repeat_key = None
             self._repeat_schedule = None
             self._flat = None
+            if self.asc_extra:
+                # synthetic asc column k observes state k everywhere —
+                # its class code is the single-bit mask (repeats.c:189-254
+                # classes tips by character over sites + asc columns)
+                masks = np.concatenate([
+                    masks, np.uint64(1) << np.arange(self.states,
+                                                     dtype=np.uint64)])
             self.repeats.set_tip(tip_index, masks)
             ids = int(self.repeats.ids[tip_index])
             rep = self.repeats.id_site[tip_index, :ids]
@@ -297,6 +306,8 @@ class Partition:
             self._repeat_key = None
             self._repeat_schedule = None
             self._flat = None
+            if self.asc_extra:
+                arr = np.concatenate([arr, np.eye(self.states)])
             self._tip_cols[tip_index] = np.ascontiguousarray(arr.T)
         else:
             block = np.zeros((self.rate_cats, self.states,
@@ -472,7 +483,7 @@ class Partition:
                     or getattr(self, "_repeat_key", None) != key):
                 self._repeat_key = key
                 layout, buckets = schedule_buckets_flat(
-                    self.repeats, operations, self.sites,
+                    self.repeats, operations, self.sites + self.asc_extra,
                     self.scale_buffers)
                 self._install_flat(layout)
                 self._repeat_schedule = tuple(
@@ -536,7 +547,8 @@ class Partition:
         if self._flat is None:
             from .repeats import build_flat_layout
             self._install_flat(build_flat_layout(
-                self.repeats, {}, self.sites, self.scale_buffers))
+                self.repeats, {}, self.sites + self.asc_extra,
+                self.scale_buffers))
 
     # ------------------------------------------------------------ likelihood
     def _scaler_row(self, index: int):

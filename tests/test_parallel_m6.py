@@ -224,3 +224,89 @@ def test_fused_kernel_under_mesh_interpret():
     np.testing.assert_allclose(acc, 2 * lk, rtol=1e-6)
     lkn, d1, d2 = eng.newton_step()
     assert np.isfinite(lkn) and np.isfinite(d1) and np.isfinite(d2)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_sharded_repeats_engine_invariance(n_dev):
+    """Site-repeats under site sharding: per-device column slices with
+    LOCAL class tables, one SPMD program, psum'd root logL — the value
+    must be independent of the shard count and equal to the unsharded
+    repeats (and dense) answer."""
+    from libpll2_tpu.parallel import ShardedRepeatsEngine
+    from libpll2_tpu.trees import random_utree
+    from libpll2_tpu.utils.simulate import simulate_alignment
+
+    n_taxa, sites = 14, 1024
+    tree = random_utree([f"t{i}" for i in range(n_taxa)], seed=31)
+    freqs = [0.3, 0.25, 0.2, 0.25]
+    subst = [1.2, 3.0, 0.8, 1.1, 2.6, 1.0]
+    rates = compute_gamma_cats(0.8, 4)
+    headers, seqs = simulate_alignment(tree, sites, freqs, subst,
+                                       alpha=0.8, seed=31)
+    by_label = dict(zip(headers, seqs))
+    ordered = [by_label[t.label] for t in tree.tips()]
+    tip_idx = [t.clv_index for t in tree.tips()]
+
+    def make(lo, hi, repeats=True):
+        p = Partition(tree.tip_count, tree.inner_count, 4, hi - lo, 1,
+                      tree.edge_count, 4, tree.inner_count,
+                      site_repeats=repeats)
+        for ti, s in zip(tip_idx, ordered):
+            p.set_tip_states(ti, maps.map_nt, s[lo:hi])
+        p.set_frequencies(0, freqs)
+        p.set_subst_params(0, subst)
+        p.set_category_rates(rates)
+        return p
+
+    lk_full = TreeEngine(make(0, sites), tree, pallas=False).loglikelihood()
+    lk_dense = TreeEngine(make(0, sites, repeats=False), tree,
+                          pallas=False).loglikelihood()
+    np.testing.assert_allclose(lk_full, lk_dense, rtol=1e-10)
+
+    w = sites // n_dev
+    mesh = make_mesh(n_dev)
+    parts = [make(d * w, (d + 1) * w) for d in range(n_dev)]
+    eng = ShardedRepeatsEngine(tree, parts, mesh)
+    lk = eng.loglikelihood()
+    np.testing.assert_allclose(lk, lk_full, rtol=1e-10)
+    # chained loop reuses the pools without drifting
+    np.testing.assert_allclose(eng.loglikelihood_loop(3), 3 * lk_full,
+                               rtol=1e-10)
+
+
+def test_sharded_repeats_pallas_interpret():
+    """The VMEM pool kernel runs per shard inside the SPMD program
+    (interpret mode on the virtual CPU mesh; fp32 like the TPU path)."""
+    import jax.numpy as jnp
+    from libpll2_tpu.parallel import ShardedRepeatsEngine
+    from libpll2_tpu.trees import random_utree
+    from libpll2_tpu.utils.simulate import simulate_alignment
+
+    n_taxa, sites, n_dev = 10, 512, 4
+    tree = random_utree([f"t{i}" for i in range(n_taxa)], seed=33)
+    freqs = [0.3, 0.25, 0.2, 0.25]
+    subst = [1.2, 3.0, 0.8, 1.1, 2.6, 1.0]
+    rates = compute_gamma_cats(0.8, 4)
+    headers, seqs = simulate_alignment(tree, sites, freqs, subst,
+                                       alpha=0.8, seed=33)
+    by_label = dict(zip(headers, seqs))
+
+    def make(lo, hi):
+        p = Partition(tree.tip_count, tree.inner_count, 4, hi - lo, 1,
+                      tree.edge_count, 4, tree.inner_count,
+                      site_repeats=True, dtype=jnp.float32)
+        for t in tree.tips():
+            p.set_tip_states(t.clv_index, maps.map_nt,
+                             by_label[t.label][lo:hi])
+        p.set_frequencies(0, freqs)
+        p.set_subst_params(0, subst)
+        p.set_category_rates(rates)
+        return p
+
+    lk_full = TreeEngine(make(0, sites), tree, pallas=False).loglikelihood()
+    w = sites // n_dev
+    eng = ShardedRepeatsEngine(tree, [make(d * w, (d + 1) * w)
+                                      for d in range(n_dev)],
+                               make_mesh(n_dev), interpret=True)
+    assert eng.use_pallas
+    np.testing.assert_allclose(eng.loglikelihood(), lk_full, rtol=2e-5)

@@ -222,3 +222,80 @@ def test_repeats_engine_topology_moves():
     moves.rollback_move(rb)
     # engine schedule restored: original topology still evaluates right
     np.testing.assert_allclose(eng.loglikelihood(), base, rtol=1e-10)
+
+
+ASC_CASES = [
+    ("lewis", oracle.ATTRIB_AB_LEWIS, False),
+    ("felsenstein", oracle.ATTRIB_AB_FELSENSTEIN, True),
+    ("stamatakis", oracle.ATTRIB_AB_STAMATAKIS, True),
+]
+
+
+@pytest.mark.parametrize("asc_name,ref_attr,needs_weights", ASC_CASES,
+                         ids=[c[0] for c in ASC_CASES])
+def test_repeats_with_asc_bias(asc_name, ref_attr, needs_weights):
+    """Site repeats + ascertainment bias, together — the reference sizes
+    its repeats tables over sites + asc columns (repeats.c:69,122,201);
+    here the synthetic columns join the class domain the same way."""
+    from libpll2_tpu import constants as C
+    from libpll2_tpu import TreeEngine
+    asc = getattr(C.AscBias, asc_name.upper())
+    weights = [50, 40, 60, 20]
+    tree, headers, seqs = _simulated(seed=23)
+    by_label = dict(zip(headers, seqs))
+    rates = compute_gamma_cats(0.8, 4)
+
+    ref = oracle.OraclePartition(
+        tree.tip_count, tree.inner_count, 4, N_SITES, 1, tree.edge_count,
+        4, tree.inner_count,
+        attributes=oracle.ATTRIB_SITE_REPEATS | oracle.ATTRIB_AB_FLAG)
+    part = Partition(tree.tip_count, tree.inner_count, 4, N_SITES, 1,
+                     tree.edge_count, 4, tree.inner_count,
+                     site_repeats=True, asc_bias=asc)
+    assert part.repeats is not None       # repeats stayed enabled with asc
+    for tip in tree.tips():
+        ref.set_tip_states(tip.clv_index, "nt", by_label[tip.label])
+        part.set_tip_states(tip.clv_index, maps.map_nt,
+                            by_label[tip.label])
+    for impl in (ref, part):
+        impl.set_frequencies(0, FREQS)
+        impl.set_subst_params(0, SUBST)
+        impl.set_category_rates(rates)
+    ref.set_asc_bias_type(ref_attr)
+    if needs_weights:
+        ref.set_asc_state_weights(weights)
+        part.set_asc_state_weights(weights)
+
+    trav = traverse(tree.vroot)
+    ops, branches, pmat_idx = create_operations(trav)
+    pidx = [0] * 4
+    ref.update_prob_matrices(pidx, pmat_idx, branches)
+    part.update_prob_matrices(pidx, pmat_idx, branches)
+    ref.update_partials([(o.parent_clv_index, o.parent_scaler_index,
+                          o.child1_clv_index, o.child1_matrix_index,
+                          o.child1_scaler_index, o.child2_clv_index,
+                          o.child2_matrix_index, o.child2_scaler_index)
+                         for o in ops])
+    part.update_partials(ops)
+    root = tree.vroot
+    args = (root.clv_index, root.scaler_index, root.back.clv_index,
+            root.back.scaler_index, root.pmatrix_index, pidx)
+    lk_ref = ref.edge_loglikelihood(*args)
+    lk = part.compute_edge_loglikelihood(*args)
+    np.testing.assert_allclose(lk, lk_ref, rtol=1e-10)
+    ref.destroy()
+
+    # the fused engine path agrees too
+    part2 = Partition(tree.tip_count, tree.inner_count, 4, N_SITES, 1,
+                      tree.edge_count, 4, tree.inner_count,
+                      site_repeats=True, asc_bias=asc)
+    for tip in tree.tips():
+        part2.set_tip_states(tip.clv_index, maps.map_nt,
+                             by_label[tip.label])
+    part2.set_frequencies(0, FREQS)
+    part2.set_subst_params(0, SUBST)
+    part2.set_category_rates(rates)
+    if needs_weights:
+        part2.set_asc_state_weights(weights)
+    eng = TreeEngine(part2, tree, pallas=False)
+    np.testing.assert_allclose(eng.loglikelihood(), lk_ref, rtol=1e-10)
