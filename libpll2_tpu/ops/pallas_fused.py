@@ -144,6 +144,101 @@ def fused_tile(sites: int, n_tips: int, n_slots: int, rates: int,
     return t if sites % t == 0 else sites
 
 
+def plane_tile(sites: int, n_tips: int, n_slots: int, rates: int,
+               states: int) -> int:
+    """Lane count C per grid step for the plane-layout kernel (the site
+    axis is viewed as [8, sites/8]; one tile covers 8*C sites)."""
+    import os
+    rs = rates * states
+    # bytes per site column: tips (x2 pipeline), slot planes, slot
+    # scaler plane, root outs + scaler outs (x2 pipeline)
+    per_col = (n_tips * 4 * 2 + n_slots * rs * 4 + n_slots * 4
+               + (2 * rs + 2) * 4 * 2)
+    cols = sites // 8
+    c = (VMEM_BUDGET // (8 * per_col)) // LANE * LANE
+    forced = int(os.environ.get("PLL_PALLAS_TILE", "0"))
+    if forced and forced % 8 == 0 and cols % (forced // 8) == 0:
+        return forced // 8
+    c = max(LANE, min(c, 2048))
+    while c > LANE and cols % c:
+        c -= LANE
+    return c if cols % c == 0 else cols
+
+
+def _fused_kernel_planes(tbl_ref,      # [n_ops+1, 8] int32 (SMEM)
+                         tips_ref,     # [n_tips, 8, C] int32
+                         pm_ref,       # [E, R, s, s] f32 (VMEM resident)
+                         outp_ref,     # [rs, 8, C]
+                         outc_ref,     # [rs, 8, C]
+                         scp_ref,      # [1, 8, C] int32
+                         scc_ref,      # [1, 8, C] int32
+                         clvbuf,       # VMEM [n_slots*rs, 8, C] f32
+                         scalbuf,      # VMEM [n_slots, 8, C] f32
+                         *, rates: int, states: int, threshold: float,
+                         factor: float, n_ops: int):
+    """Plane-layout variant for small alphabets: the site tile is viewed
+    as an [8, C] vreg plane, so every (rate, state) row is a FULL (8,128)
+    vector register and the state contraction is rates*states*states
+    scalar-broadcast FMAs on full planes — ~4x fewer (and fully packed)
+    vector ops than the row-layout kernel's [states, T] slices, which
+    waste 1 - states/8 of every register for DNA."""
+    rs = rates * states
+    tile8 = tips_ref.shape[-2:]                        # (8, C)
+    f32 = jnp.float32
+    thresh = jnp.asarray(float(threshold), f32)
+    fact = jnp.asarray(float(factor), f32)
+
+    def decode_tip(row):
+        code = tips_ref[pl.ds(row, 1)][0]              # [8, C] int32
+        st = jnp.stack([((code >> j) & 1).astype(f32)
+                        for j in range(states)])       # [s, 8, C]
+        return jnp.concatenate([st] * rates, axis=0)   # [rs, 8, C]
+
+    def load_child(is_tip, idx):
+        return jax.lax.cond(
+            is_tip == 1,
+            lambda: (decode_tip(idx), jnp.zeros(tile8, f32)),
+            lambda: (clvbuf[pl.ds(idx * rs, rs)],
+                     scalbuf[pl.ds(idx, 1)][0]))
+
+    def matvecs(pm, child):
+        """[rs, 8, C]: per (rate, state-row), sum_j P[r,i,j]*child[r,j]
+        — each term one scalar-splat FMA over a full plane."""
+        rows = []
+        for r in range(rates):
+            for i in range(states):
+                acc = pm[0, r, i, 0] * child[r * states]
+                for j in range(1, states):
+                    acc = acc + pm[0, r, i, j] * child[r * states + j]
+                rows.append(acc)
+        return jnp.stack(rows)
+
+    def body(i, _):
+        pslot = tbl_ref[i, 0]
+        left, lsc = load_child(tbl_ref[i, 1], tbl_ref[i, 2])
+        right, rsc = load_child(tbl_ref[i, 4], tbl_ref[i, 5])
+        pml = pm_ref[pl.ds(tbl_ref[i, 3], 1)]          # [1, R, s, s]
+        pmr = pm_ref[pl.ds(tbl_ref[i, 6], 1)]
+        x = matvecs(pml, left) * matvecs(pmr, right)   # [rs, 8, C]
+        # max(x) < t form (see _fused_kernel); x is non-negative
+        small = jnp.max(x, axis=0) < thresh            # [8, C]
+        scale = small & (tbl_ref[i, 7] > 0)
+        x = x * jnp.where(scale, fact, f32(1.0))[None]
+        newsc = lsc + rsc + scale.astype(f32)          # [8, C]
+        clvbuf[pl.ds(pslot * rs, rs)] = x
+        scalbuf[pl.ds(pslot, 1)] = newsc[None]
+        return 0
+
+    jax.lax.fori_loop(0, n_ops, body, 0)
+
+    outp, psc = load_child(tbl_ref[n_ops, 0], tbl_ref[n_ops, 1])
+    outc, csc = load_child(tbl_ref[n_ops, 2], tbl_ref[n_ops, 3])
+    outp_ref[...] = outp
+    outc_ref[...] = outc
+    scp_ref[0] = psc.astype(jnp.int32)
+    scc_ref[0] = csc.astype(jnp.int32)
+
+
 def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
                   tips_ref,            # [n_tips, T] int32
                   pm_ref,              # [E, R, s, s] f32 (VMEM resident)
@@ -229,20 +324,65 @@ def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
 
 
 @partial(jax.jit, static_argnames=('rates', 'states', 'n_slots',
-                                   'threshold', 'factor', 'interpret'))
+                                   'threshold', 'factor', 'interpret',
+                                   'planes'))
 def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
                     pmatrix: jnp.ndarray,     # [E, R, s, s] f32
                     table: jnp.ndarray,       # [n_ops+1, 8] int32
                     rates: int, states: int, n_slots: int,
                     threshold: float, factor: float,
-                    interpret: bool = False):
+                    interpret: bool = False, planes=None):
     """One full postorder; returns (clv_p, clv_c, scaler_p, scaler_c) for
     the root edge: CLVs [R, s, S] f32 and scalers [S] int32."""
     n_tips, sites = tip_codes.shape
-    stride = _round_up(rates * states, 8)
-    tile = fused_tile(sites, n_tips, n_slots, rates, states)
     n_ops = table.shape[0] - 1
     e, r, s = pmatrix.shape[0], rates, states
+    rs = rates * states
+    if planes is None:
+        planes = states < 16 and sites % 1024 == 0
+    if planes:
+        # plane layout: site axis viewed as [8, sites/8] so every
+        # (rate, state) row is a full vreg plane (the reshape is a pure
+        # view — C-order [8, S/8] flattens back to site order)
+        cols = sites // 8
+        c = plane_tile(sites, n_tips, n_slots, rates, states)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cols // c,),
+            in_specs=[
+                pl.BlockSpec((n_tips, 8, c), lambda j, tbl: (0, 0, j)),
+                pl.BlockSpec((e, r, s, s), lambda j, tbl: (0, 0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((rs, 8, c), lambda j, tbl: (0, 0, j)),
+                pl.BlockSpec((rs, 8, c), lambda j, tbl: (0, 0, j)),
+                pl.BlockSpec((1, 8, c), lambda j, tbl: (0, 0, j)),
+                pl.BlockSpec((1, 8, c), lambda j, tbl: (0, 0, j)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n_slots * rs, 8, c), jnp.float32),
+                pltpu.VMEM((n_slots, 8, c), jnp.float32),
+            ],
+        )
+        kernel = partial(_fused_kernel_planes, rates=rates, states=states,
+                         threshold=threshold, factor=factor, n_ops=n_ops)
+        outp, outc, scp, scc = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((rs, 8, cols), jnp.float32),
+                jax.ShapeDtypeStruct((rs, 8, cols), jnp.float32),
+                jax.ShapeDtypeStruct((1, 8, cols), jnp.int32),
+                jax.ShapeDtypeStruct((1, 8, cols), jnp.int32),
+            ],
+            interpret=interpret,
+        )(table, tip_codes.reshape(n_tips, 8, cols),
+          pmatrix.astype(jnp.float32))
+        clv_p = outp.reshape(rates, states, sites)
+        clv_c = outc.reshape(rates, states, sites)
+        return clv_p, clv_c, scp.reshape(sites), scc.reshape(sites)
+    stride = _round_up(rates * states, 8)
+    tile = fused_tile(sites, n_tips, n_slots, rates, states)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
