@@ -209,7 +209,12 @@ def run_validation():
             diff = subprocess.run(
                 ["git", "diff", "--name-only", prior["git"], "HEAD"],
                 cwd=REPO, capture_output=True, text=True, timeout=10)
-            touched = [l for l in diff.stdout.splitlines()
+            # uncommitted edits must also invalidate the certificate
+            wt = subprocess.run(["git", "diff", "--name-only", "HEAD"],
+                                cwd=REPO, capture_output=True, text=True,
+                                timeout=10)
+            touched = [l for l in (diff.stdout.splitlines()
+                                   + wt.stdout.splitlines())
                        if l.startswith("libpll2_tpu/")
                        or l == "bench_validate.py"]
             if diff.returncode == 0 and not touched:

@@ -38,10 +38,26 @@ from .partition import Operation, Partition, pack_operations
 from .trees import create_operations, traverse
 
 
+def _scatter_root_rows(clv, scaler, root_idx, rows):
+    """Write the fused kernel's root-edge rows back into the partition
+    buffers (API contract for downstream sumtable/derivative consumers).
+    EXPENSIVE inside a loop: XLA materializes a copy of the whole clv
+    buffer per dynamic-update — loop paths scatter once, after the loop."""
+    p_clv, p_sc_i, c_clv, c_sc_i, _ = root_idx
+    clv_p, clv_c, sc_p, sc_c = rows
+    clv = clv.at[p_clv].set(clv_p.astype(clv.dtype))
+    clv = clv.at[c_clv].set(clv_c.astype(clv.dtype))
+    trash = scaler.shape[0] - 2
+    scaler = scaler.at[jnp.where(p_sc_i >= 0, p_sc_i, trash)].set(sc_p)
+    scaler = scaler.at[jnp.where(c_sc_i >= 0, c_sc_i, trash)].set(sc_c)
+    return clv, scaler
+
+
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
-                                   'fused_slots', 'fused_mesh'))
+                                   'fused_slots', 'fused_mesh',
+                                   'fused_scatter'))
 def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                          prop_invar, rates, rate_weights, freqs,
                          params_idx_rates, branches,
@@ -53,7 +69,7 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                          pallas_interpret: bool = False,
                          asc_type: int = 0, n_real: int = -1,
                          fused_slots: int = 0, edge_params=None,
-                         fused_mesh=None):
+                         fused_mesh=None, fused_scatter: bool = True):
     """branches[e] is ordered by pmatrix index e. `edge_params` (an
     optional [E, R] int table) switches P-matrix computation to the
     per-branch heterotachy variant — every edge may use its own rate
@@ -112,14 +128,15 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                 pattern_weights, invariant, scale_threshold,
                 rate_scalers=rate_scalers, has_pscaler=True,
                 has_cscaler=True, asc_type=asc_type, n_real=n_real)
+        if not fused_scatter:
+            # loop/batched callers take the raw root rows; the big clv
+            # buffer is untouched (no per-iteration whole-buffer copy)
+            return total, per, (clv_p, clv_c, sc_p, sc_c), scaler, pmatrix
         # keep the API contract for downstream consumers (sumtable,
         # derivatives): the root edge's rows are refreshed; inner rows
         # stay stale by design (they never left VMEM)
-        clv = clv.at[p_clv].set(clv_p.astype(clv.dtype))
-        clv = clv.at[c_clv].set(clv_c.astype(clv.dtype))
-        trash = scaler.shape[0] - 2
-        scaler = scaler.at[jnp.where(p_sc_i >= 0, p_sc_i, trash)].set(sc_p)
-        scaler = scaler.at[jnp.where(c_sc_i >= 0, c_sc_i, trash)].set(sc_c)
+        clv, scaler = _scatter_root_rows(clv, scaler, root_idx,
+                                         (clv_p, clv_c, sc_p, sc_c))
         return total, per, clv, scaler, pmatrix
     with jax.named_scope("pll.partials"):
         if use_pallas:
@@ -152,7 +169,8 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
-                                   'fused_slots', 'fused_mesh'))
+                                   'fused_slots', 'fused_mesh',
+                                   'fused_scatter'))
 def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        prop_invar, rates, rate_weights, freqs,
                        params_idx_rates, branches,
@@ -164,23 +182,41 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        pallas_interpret: bool = False,
                        asc_type: int = 0, n_real: int = -1,
                        fused_slots: int = 0, edge_params=None,
-                       fused_mesh=None):
+                       fused_mesh=None, fused_scatter: bool = True):
     """One full 'training' step: evaluate the tree, then Newton-update the
     root branch length from d1/d2 (the reference's examples/newton loop body,
-    reference: /root/reference/examples/newton/newton.c:66-96, fused)."""
-    total, _, clv, scaler, pmatrix = _fused_loglikelihood(
-        clv, scaler, eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
-        rate_weights, freqs, params_idx_rates, branches,
-        op_arrays, root_idx, pattern_weights, invariant,
-        scale_threshold, scale_factor, rate_scalers=rate_scalers,
-        valid=valid, levels=levels, use_pallas=use_pallas,
-        pallas_interpret=pallas_interpret, asc_type=asc_type, n_real=n_real,
-        fused_slots=fused_slots, edge_params=edge_params,
-        fused_mesh=fused_mesh)
+    reference: /root/reference/examples/newton/newton.c:66-96, fused).
+
+    With fused_scatter=False (loop bodies), the fused path returns the raw
+    root rows in place of (clv, scaler) so no whole-buffer copy occurs."""
     p_clv, p_sc, c_clv, c_sc, mat = root_idx
+    if fused_slots > 0:
+        total, _, rows, _, pmatrix = _fused_loglikelihood(
+            clv, scaler, eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
+            rates, rate_weights, freqs, params_idx_rates, branches,
+            op_arrays, root_idx, pattern_weights, invariant,
+            scale_threshold, scale_factor, rate_scalers=rate_scalers,
+            valid=valid, levels=levels, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret, asc_type=asc_type,
+            n_real=n_real, fused_slots=fused_slots,
+            edge_params=edge_params, fused_mesh=fused_mesh,
+            fused_scatter=False)
+        clv_p, clv_c, sc_p, sc_c = rows
+    else:
+        total, _, clv, scaler, pmatrix = _fused_loglikelihood(
+            clv, scaler, eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
+            rates, rate_weights, freqs, params_idx_rates, branches,
+            op_arrays, root_idx, pattern_weights, invariant,
+            scale_threshold, scale_factor, rate_scalers=rate_scalers,
+            valid=valid, levels=levels, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret, asc_type=asc_type,
+            n_real=n_real, edge_params=edge_params, fused_mesh=fused_mesh)
+        clv_p = jnp.take(clv, p_clv, axis=0)
+        clv_c = jnp.take(clv, c_clv, axis=0)
+        sc_p = jnp.take(scaler, p_sc, axis=0)
+        sc_c = jnp.take(scaler, c_sc, axis=0)
     sumtable = ops_derivatives.update_sumtable(
-        jnp.take(clv, p_clv, axis=0), jnp.take(clv, c_clv, axis=0),
-        jnp.take(scaler, p_sc, axis=0), jnp.take(scaler, c_sc, axis=0),
+        clv_p, clv_c, sc_p, sc_c,
         inv_eigenvecs, eigenvecs, freqs, params_idx_rates, scale_threshold,
         rate_scalers=rate_scalers, has_pscaler=True, has_cscaler=True)
     blen = jnp.take(branches, mat)
@@ -188,8 +224,7 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
     # absolute scalers (per-site mode only; asc excludes rate scalers)
     asc_scalers = None
     if asc_type in (1, 2):
-        asc_scalers = (jnp.take(scaler, p_sc, axis=0)
-                       + jnp.take(scaler, c_sc, axis=0))
+        asc_scalers = sc_p + sc_c
     d1, d2 = ops_derivatives.likelihood_derivatives(
         sumtable, eigenvals, prop_invar, freqs, rates, rate_weights,
         params_idx_rates, pattern_weights, invariant, blen,
@@ -199,6 +234,12 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                                           C.OPT_MIN_BRANCH_LEN,
                                           C.OPT_MAX_BRANCH_LEN)
     branches = branches.at[mat].set(new_len)
+    if fused_slots > 0:
+        if not fused_scatter:
+            return total, d1, d2, branches, (clv_p, clv_c, sc_p, sc_c), \
+                scaler
+        clv, scaler = _scatter_root_rows(clv, scaler, root_idx,
+                                         (clv_p, clv_c, sc_p, sc_c))
     return total, d1, d2, branches, clv, scaler
 
 
@@ -220,25 +261,52 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                               fused_mesh=None):
     """k chained full-traversal evaluations in ONE dispatch (the CLV state
     threads through the loop, so XLA cannot hoist the work). Benchmarking
-    helper: amortizes host->device dispatch latency."""
-    def body(_, carry):
-        clv, scaler, acc = carry
-        ops_i = op_arrays
-        if fused_slots > 0:
+    helper: amortizes host->device dispatch latency.
+
+    The fused path carries only the root-edge rows through the loop and
+    scatters them into the big clv buffer ONCE at the end — the
+    per-iteration scatter made XLA copy the whole (tens-of-MB) buffer
+    every trip, costing ~2.3x the traversal kernel itself."""
+    if fused_slots > 0:
+        table, codes = op_arrays
+        sites = codes.shape[1]
+        r, s = clv.shape[1], clv.shape[2]
+        rows0 = (jnp.zeros((r, s, sites), jnp.float32),
+                 jnp.zeros((r, s, sites), jnp.float32),
+                 jnp.zeros((sites,), jnp.int32),
+                 jnp.zeros((sites,), jnp.int32))
+
+        def body(_, carry):
+            acc, rows_prev = carry
             # thread the carry into the (otherwise loop-invariant) kernel
             # inputs so XLA cannot hoist the traversal out of the loop
-            table, codes = op_arrays
             dep = jnp.isnan(acc).astype(jnp.int32)       # always 0, traced
-            ops_i = (table + dep, codes)
+            total, _, rows, _, _ = _fused_loglikelihood(
+                clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
+                prop_invar, rates, rate_weights, freqs, params_idx_rates,
+                branches, (table + dep, codes), root_idx, pattern_weights,
+                invariant, scale_threshold, scale_factor,
+                rate_scalers=rate_scalers, valid=valid, levels=levels,
+                use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+                asc_type=asc_type, n_real=n_real, fused_slots=fused_slots,
+                edge_params=edge_params, fused_mesh=fused_mesh,
+                fused_scatter=False)
+            return acc + total, rows
+        acc, rows = jax.lax.fori_loop(
+            0, k, body, (jnp.zeros((), clv.dtype), rows0))
+        clv, scaler = _scatter_root_rows(clv, scaler, root_idx, rows)
+        return acc, clv, scaler
+
+    def body(_, carry):
+        clv, scaler, acc = carry
         total, _, clv, scaler, _ = _fused_loglikelihood(
             clv, scaler, eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
             rates, rate_weights, freqs, params_idx_rates, branches,
-            ops_i, root_idx, pattern_weights, invariant,
+            op_arrays, root_idx, pattern_weights, invariant,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
             valid=valid, levels=levels, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret, asc_type=asc_type,
-            n_real=n_real, fused_slots=fused_slots,
-            edge_params=edge_params, fused_mesh=fused_mesh)
+            n_real=n_real, edge_params=edge_params, fused_mesh=fused_mesh)
         return clv, scaler, acc + total
     clv, scaler, acc = jax.lax.fori_loop(
         0, k, body, (clv, scaler, jnp.zeros((), clv.dtype)))
@@ -262,7 +330,37 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        fused_slots: int = 0, edge_params=None,
                        fused_mesh=None):
     """k chained Newton iterations on the root branch in ONE dispatch
-    (the reference's examples/newton loop, device-resident)."""
+    (the reference's examples/newton loop, device-resident). The fused
+    path carries root rows only; one scatter after the loop."""
+    zero = jnp.zeros((), clv.dtype)
+    if fused_slots > 0:
+        table, codes = op_arrays
+        sites = codes.shape[1]
+        r, s = clv.shape[1], clv.shape[2]
+        rows0 = (jnp.zeros((r, s, sites), jnp.float32),
+                 jnp.zeros((r, s, sites), jnp.float32),
+                 jnp.zeros((sites,), jnp.int32),
+                 jnp.zeros((sites,), jnp.int32))
+
+        def body(_, carry):
+            rows_prev, branches, total, d1, d2 = carry
+            total, d1, d2, branches, rows, _ = _fused_newton_step(
+                clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
+                prop_invar, rates, rate_weights, freqs, params_idx_rates,
+                branches, op_arrays, root_idx, pattern_weights, invariant,
+                scale_threshold, scale_factor, rate_scalers=rate_scalers,
+                valid=valid, levels=levels, use_pallas=use_pallas,
+                pallas_interpret=pallas_interpret, asc_type=asc_type,
+                n_real=n_real, fused_slots=fused_slots,
+                edge_params=edge_params, fused_mesh=fused_mesh,
+                fused_scatter=False)
+            return rows, branches, total, d1, d2
+
+        rows, branches, total, d1, d2 = jax.lax.fori_loop(
+            0, k, body, (rows0, branches, zero, zero, zero))
+        clv, scaler = _scatter_root_rows(clv, scaler, root_idx, rows)
+        return total, d1, d2, branches, clv, scaler
+
     def body(_, carry):
         clv, scaler, branches, total, d1, d2 = carry
         total, d1, d2, branches, clv, scaler = _fused_newton_step(
@@ -272,11 +370,9 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
             valid=valid, levels=levels, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret, asc_type=asc_type,
-            n_real=n_real, fused_slots=fused_slots,
-            edge_params=edge_params, fused_mesh=fused_mesh)
+            n_real=n_real, edge_params=edge_params, fused_mesh=fused_mesh)
         return clv, scaler, branches, total, d1, d2
 
-    zero = jnp.zeros((), clv.dtype)
     clv, scaler, branches, total, d1, d2 = jax.lax.fori_loop(
         0, k, body, (clv, scaler, branches, zero, zero, zero))
     return total, d1, d2, branches, clv, scaler
@@ -522,7 +618,7 @@ def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                 invariant, scale_threshold, scale_factor,
                 rate_scalers=rate_scalers, asc_type=asc_type,
                 n_real=n_real, fused_slots=fused_slots,
-                pallas_interpret=pallas_interpret)
+                pallas_interpret=pallas_interpret, fused_scatter=False)
             return carry, total
 
         _, totals = jax.lax.scan(body, None,

@@ -112,11 +112,13 @@ def likelihood_derivatives(sumtable: jnp.ndarray,      # [R, s, S]
                      preferred_element_type=dtype,
                        precision=jax.lax.Precision.HIGHEST)
 
-    # invariant-site mixing per rate (core_derivatives.c:676-686)
+    # invariant-site mixing per rate (core_derivatives.c:676-686);
+    # one-hot matmul instead of a lane-axis gather (slow on TPU)
     inv_ok = invariant >= 0
     inv_state = jnp.maximum(invariant, 0)
-    inv_freq = jnp.take_along_axis(
-        f, inv_state[None, :].repeat(f.shape[0], axis=0), axis=1)   # [R, S]
+    onehot = (inv_state[None, :] ==
+              jnp.arange(f.shape[1])[:, None]).astype(dtype)        # [s, S]
+    inv_freq = f @ onehot                                           # [R, S]
     inv_lk = jnp.where(inv_ok[None, :] & (pinv[:, None] > 0),
                        inv_freq * pinv[:, None], 0.0)
     one_m_pinv = jnp.where(pinv > 0, 1.0 - pinv, 1.0)[None, :, None]
