@@ -277,19 +277,29 @@ def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
                      scalbuf[pl.ds(idx * 8, 8), :]))
 
     def matvecs(pm, child):
-        """[stride, T] terms: per rate, P[r] @ child[r]."""
+        """[rs, T] terms: per rate, P[r] @ child[r]."""
+        if use_dot:
+            # ONE [rs, rs] block-diagonal MXU dot instead of `rates`
+            # small [s, s] dots: each small dot occupies a full systolic
+            # pass regardless of size, so fusing the rates into one
+            # matrix cuts MXU passes `rates`-fold (80x80 for LG+G4 also
+            # fills 39% of the 128x128 array vs 2.4% for 20x20)
+            blocks = []
+            for r in range(rates):
+                row = [pm[0, r] if q == r else
+                       jnp.zeros((states, states), f32)
+                       for q in range(rates)]
+                blocks.append(jnp.concatenate(row, axis=1))
+            bd = jnp.concatenate(blocks, axis=0)               # [rs, rs]
+            return jnp.dot(bd, child[:rs], preferred_element_type=f32)
         rows = []
         for r in range(rates):
             crow = child[r * states:(r + 1) * states]          # [s, T]
             p_r = pm[0, r]                                     # [s, s]
-            if use_dot:
-                rows.append(jnp.dot(p_r, crow,
-                                    preferred_element_type=f32))
-            else:
-                acc = jnp.zeros((states, tile), f32)
-                for j in range(states):
-                    acc = acc + p_r[:, j][:, None] * crow[j][None, :]
-                rows.append(acc)
+            acc = jnp.zeros((states, tile), f32)
+            for j in range(states):
+                acc = acc + p_r[:, j][:, None] * crow[j][None, :]
+            rows.append(acc)
         return jnp.concatenate(rows, axis=0)                   # [rs, T]
 
     def body(i, _):
