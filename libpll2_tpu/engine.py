@@ -609,8 +609,7 @@ def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
     if fused_slots > 0:
         tables_k, tip_codes = ops_k
 
-        def body(carry, xs):
-            branches, table, root_idx = xs
+        def eval_one(branches, table, root_idx):
             total, _, _, _, _ = _fused_loglikelihood(
                 clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                 prop_invar, rates, rate_weights, freqs, params_idx_rates,
@@ -619,11 +618,24 @@ def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                 rate_scalers=rate_scalers, asc_type=asc_type,
                 n_real=n_real, fused_slots=fused_slots,
                 pallas_interpret=pallas_interpret, fused_scatter=False)
-            return carry, total
+            return total
 
-        _, totals = jax.lax.scan(body, None,
-                                 (branches_k, tables_k, root_idx_k))
-        return totals
+        # vmap the candidate axis: Pallas grows the kernel grid by one
+        # dimension, so a whole chunk of candidates runs as ONE kernel
+        # launch (a lax.scan paid ~1 ms of per-iteration launch overhead
+        # per candidate). Chunked to bound the [chunk, R*s, S]
+        # intermediates; the padded count is a power of two, so chunks
+        # divide evenly.
+        chunk = min(tables_k.shape[0], 128)
+
+        def body(carry, xs):
+            return carry, jax.vmap(eval_one)(*xs)
+
+        _, totals = jax.lax.scan(
+            body, None,
+            jax.tree.map(lambda a: a.reshape((-1, chunk) + a.shape[1:]),
+                         (branches_k, tables_k, root_idx_k)))
+        return totals.reshape(-1)
 
     def body(carry, xs):
         branches, ops, root_idx = xs

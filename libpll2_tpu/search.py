@@ -137,13 +137,16 @@ class TreeSearch:
 
     def spr_round_batched(self, max_candidates: Optional[int] = None,
                           seed: int = 0,
-                          batch: int = 64) -> Tuple[float, int]:
+                          batch: Optional[int] = None) -> Tuple[float, int]:
         """Steepest-ascent SPR: every (prune, regraft) candidate of the
-        round is scored device-side through evaluate_topologies in
-        batches of `batch` (padded to powers of two, so the whole search
-        reuses a bounded set of compiled programs), then the best
-        improving move is applied; repeats until no improvement. This is
-        the TPU replacement for the reference consumers' move -> partial
+        round is scored device-side through evaluate_topologies — by
+        default the WHOLE neighborhood in one dispatch (counts pad to
+        powers of two, so varying rounds reuse a bounded set of compiled
+        programs; on a tunneled TPU each extra dispatch costs ~30 ms of
+        latency, which dominated the round at batch=64). Pass `batch` to
+        cap the per-dispatch candidate count. The best improving move is
+        applied; repeats until no improvement. This is the TPU
+        replacement for the reference consumers' move -> partial
         traversal -> rescore -> rollback loop (SURVEY call stack 3.4) —
         hundreds of candidates per dispatch instead of one.
         """
@@ -182,9 +185,10 @@ class TreeSearch:
                     moves.rollback_move(rb)
             if not candidates:
                 return best, accepted
+            step = batch or len(candidates)
             scores = np.concatenate(
-                [eng.evaluate_topologies(candidates[i:i + batch])
-                 for i in range(0, len(candidates), batch)])
+                [eng.evaluate_topologies(candidates[i:i + step])
+                 for i in range(0, len(candidates), step)])
             i = int(np.argmax(scores))
             if scores[i] <= best + self.epsilon:
                 return best, accepted
