@@ -460,16 +460,24 @@ def _repeats_loglikelihood(clv_flat, sc_flat, eigenvals, inv_eigenvecs,
                            rate_scalers: bool = False,
                            asc_type: int = 0, n_real: int = -1,
                            use_pallas: bool = False,
-                           pallas_interpret: bool = False):
+                           pallas_interpret: bool = False,
+                           edge_params=None):
     """Fused full-tree evaluation over POOLED site-repeats storage: one
     dispatch runs pmatrices -> all capacity buckets -> root-edge logL.
     root_cols = (p_cols, p_sc_cols, c_cols, c_sc_cols) absolute per-site
     column indices into the pools (host-computed from the layout +
-    site_id maps)."""
+    site_id maps). `edge_params` selects per-branch heterotachy exactly
+    as in _fused_loglikelihood (class schedules are model-independent,
+    so repeats compose freely with per-edge rate matrices)."""
     with jax.named_scope("pll.pmatrix"):
-        pmatrix = ops_pmatrix.update_prob_matrices(
-            eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
-            params_idx_rates, branches)
+        if edge_params is not None:
+            pmatrix = ops_pmatrix.update_prob_matrices_per_edge(
+                eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+                edge_params, branches)
+        else:
+            pmatrix = ops_pmatrix.update_prob_matrices(
+                eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+                params_idx_rates, branches)
     with jax.named_scope("pll.partials.repeats"):
         if use_pallas:
             # VMEM-resident pool kernel (fp32, per-site scalers). The
@@ -513,7 +521,8 @@ def _repeats_loglikelihood_loop(k, clv_flat, sc_flat, eigenvals,
                                 rate_scalers: bool = False,
                                 asc_type: int = 0, n_real: int = -1,
                                 use_pallas: bool = False,
-                                pallas_interpret: bool = False):
+                                pallas_interpret: bool = False,
+                                edge_params=None):
     """k chained repeats evaluations in one dispatch (bench helper; the
     pooled buffers thread through the carry so the work cannot hoist)."""
     def body(_, carry):
@@ -524,7 +533,7 @@ def _repeats_loglikelihood_loop(k, clv_flat, sc_flat, eigenvals,
             branches, buckets, root_cols, mat, pattern_weights, invariant,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
             asc_type=asc_type, n_real=n_real, use_pallas=use_pallas,
-            pallas_interpret=pallas_interpret)
+            pallas_interpret=pallas_interpret, edge_params=edge_params)
         return clv_flat, sc_flat, acc + total
     clv_flat, sc_flat, acc = jax.lax.fori_loop(
         0, k, body, (clv_flat, sc_flat, jnp.zeros((), clv_flat.dtype)))
@@ -543,7 +552,8 @@ def _repeats_newton_loop(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs,
                          rate_scalers: bool = False,
                          asc_type: int = 0, n_real: int = -1,
                          use_pallas: bool = False,
-                         pallas_interpret: bool = False):
+                         pallas_interpret: bool = False,
+                         edge_params=None):
     """k chained Newton iterations on the root branch over pooled
     repeats storage, one dispatch."""
     p_cols, p_sc_cols, c_cols, c_sc_cols = root_cols
@@ -556,7 +566,7 @@ def _repeats_newton_loop(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs,
             branches, buckets, root_cols, mat, pattern_weights, invariant,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
             asc_type=asc_type, n_real=n_real, use_pallas=use_pallas,
-            pallas_interpret=pallas_interpret)
+            pallas_interpret=pallas_interpret, edge_params=edge_params)
         sumtable = ops_derivatives.update_sumtable(
             jnp.take(clv_flat, p_cols, axis=2),
             jnp.take(clv_flat, c_cols, axis=2),
@@ -738,11 +748,6 @@ class TreeEngine:
                 raise C.PllError(
                     C.ERROR_PARAM_INVALID,
                     f"edge_params must have shape ({p.prob_matrices},)")
-            if self.repeats_mode:
-                raise C.PllError(
-                    C.ERROR_PARAM_INVALID,
-                    "per-branch edge_params is not supported together "
-                    "with site repeats; use the step-by-step API")
             self.edge_params = self._rep(jnp.asarray(
                 np.repeat(ep[:, None], R, axis=1)))
             self._edge_params_host = ep
@@ -866,6 +871,12 @@ class TreeEngine:
             self.branches = self._rep(jnp.asarray(blen, p.dtype))
             self.root_idx = self._rep(jnp.asarray(list(ri),
                                                   dtype=np.int32))
+            if self._edge_params_host is not None:
+                # the root edge's model drives freqs/eigen mixing
+                rm = int(self._edge_params_host[ri[4]])
+                self.params_idx_rates = self._rep(jnp.asarray(
+                    [rm] * p.rate_cats, np.int32))
+                p._model_version += 1     # refresh cached operands
             return
         if self._fused_wanted:
             table, n_slots = ops_fused.pack_fused_schedule(
@@ -933,7 +944,8 @@ class TreeEngine:
                 rate_scalers=p.rate_scalers,
                 asc_type=self.asc_type, n_real=self.n_real,
                 use_pallas=self.use_repeats_pallas,
-                pallas_interpret=self.pallas_interpret)
+                pallas_interpret=self.pallas_interpret,
+                edge_params=self.edge_params)
             p.clv_flat, p.sc_flat, p.pmatrix = clv_flat, sc_flat, pmatrix
             return float(total)
         total, per, clv, scaler, pmatrix = _fused_loglikelihood(
@@ -993,7 +1005,8 @@ class TreeEngine:
                     rate_scalers=p.rate_scalers,
                     asc_type=self.asc_type, n_real=self.n_real,
                     use_pallas=self.use_repeats_pallas,
-                    pallas_interpret=self.pallas_interpret)
+                    pallas_interpret=self.pallas_interpret,
+                    edge_params=self.edge_params)
                 out[i] = float(total)
             self.ops, self._root_cols, self._root_mat = \
                 self._pack_repeats(*self._repeats_pack_args)
@@ -1065,7 +1078,8 @@ class TreeEngine:
                     rate_scalers=p.rate_scalers,
                     asc_type=self.asc_type, n_real=self.n_real,
                     use_pallas=self.use_repeats_pallas,
-                    pallas_interpret=self.pallas_interpret)
+                    pallas_interpret=self.pallas_interpret,
+                    edge_params=self.edge_params)
             self.branches = branches
             p.clv_flat, p.sc_flat = clv_flat, sc_flat
             return float(total), float(d1), float(d2)
@@ -1096,7 +1110,8 @@ class TreeEngine:
                 rate_scalers=p.rate_scalers,
                 asc_type=self.asc_type, n_real=self.n_real,
                 use_pallas=self.use_repeats_pallas,
-                pallas_interpret=self.pallas_interpret)
+                pallas_interpret=self.pallas_interpret,
+                edge_params=self.edge_params)
             p.clv_flat, p.sc_flat = clv_flat, sc_flat
             return float(acc)
         acc, _, _ = _fused_loglikelihood_loop(

@@ -321,3 +321,51 @@ def test_eigen_reconstructs_rate_matrix():
     q = np.diag(freqs ** -0.5) @ s @ np.diag(freqs ** 0.5)
     recon = es.inv_evecs @ np.diag(es.eigenvals) @ es.evecs
     np.testing.assert_allclose(recon, q, rtol=1e-8, atol=1e-10)
+
+
+def test_alpha_cats_logl_sweep():
+    """alpha-cats.c analog (/root/reference/test/src/alpha-cats.c): full
+    logL agreement across a grid of Gamma shapes x category counts x
+    discretization modes on one fixed 5-taxon scenario."""
+    rng = np.random.default_rng(11)
+    n_tips, n_sites = 5, 20
+    seqs = [random_seq(n_sites, alphabet=NT, rng=rng)
+            for _ in range(n_tips)]
+    freqs = [0.3, 0.25, 0.2, 0.25]
+    subst = [1.0, 2.5, 1.0, 1.0, 2.5, 1.0]     # HKY-style titv=2.5
+    n_inner, n_edges = n_tips - 1, 2 * (n_tips - 1)
+    brlens = rng.uniform(0.05, 0.5, size=n_edges)
+    ops = []
+    for k in range(n_inner):
+        parent = n_tips + k
+        c1 = n_tips + k - 1 if k > 0 else 0
+        ops.append((parent, k, c1, 2 * k, (k - 1) if k > 0 else -1,
+                    k + 1, 2 * k + 1, -1))
+
+    for cats in (1, 2, 4, 16):
+        pidx = [0] * cats
+        for alpha in (0.1, 0.75, 1.0, 100.0):
+            for mode in (C.GAMMA_RATES_MEAN, C.GAMMA_RATES_MEDIAN):
+                rates = compute_gamma_cats(alpha, cats, mode)
+                ref = oracle.OraclePartition(n_tips, n_inner, 4, n_sites,
+                                             1, n_edges, cats, n_inner)
+                part = Partition(n_tips, n_inner, 4, n_sites, 1, n_edges,
+                                 cats, n_inner)
+                for i, s in enumerate(seqs):
+                    ref.set_tip_states(i, "nt", s)
+                    part.set_tip_states(i, maps.map_nt, s)
+                for impl in (ref, part):
+                    impl.set_frequencies(0, freqs)
+                    impl.set_subst_params(0, subst)
+                    impl.set_category_rates(rates)
+                    impl.update_prob_matrices(pidx, list(range(n_edges)),
+                                              brlens)
+                ref.update_partials(ops)
+                part.update_partials([Operation(*o) for o in ops])
+                root, root_sc = ops[-1][0], ops[-1][1]
+                lk_ref = ref.root_loglikelihood(root, root_sc, pidx)
+                lk = part.compute_root_loglikelihood(root, root_sc, pidx)
+                np.testing.assert_allclose(lk, lk_ref, rtol=1e-10,
+                                           err_msg=f"alpha={alpha} "
+                                           f"cats={cats} mode={mode}")
+                ref.destroy()

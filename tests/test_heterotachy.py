@@ -141,3 +141,27 @@ def test_engine_edge_params_newton_and_modes():
                       pallas="interpret")
     assert e_pl.use_fused
     np.testing.assert_allclose(e_pl.loglikelihood(), lk1, rtol=1e-5)
+
+
+def test_engine_edge_params_with_site_repeats():
+    """Per-branch models compose with pooled site repeats: the repeats
+    engine's logL matches the step-by-step heterotachy result (classes
+    are model-independent, so compression cannot change the math)."""
+    tree, headers, seqs, ops, branches, pidx, ep = _problem(seed=31)
+    part = _build(tree, headers, seqs)
+    lk_sbs = _eval_stepwise(part, tree, ops, branches, pidx, ep)
+
+    by = dict(zip(headers, seqs))
+    part_r = Partition(tree.tip_count, tree.inner_count, 4, N_SITES, 2,
+                       tree.edge_count, 4, tree.inner_count,
+                       site_repeats=True)
+    for t in tree.tips():
+        part_r.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+    _fill_models(part_r)
+    eng = TreeEngine(part_r, tree, edge_params=ep)
+    assert eng.repeats_mode
+    lk_rep = eng.loglikelihood()
+    np.testing.assert_allclose(lk_rep, lk_sbs, rtol=1e-10)
+    # newton loop over the repeats pool honors per-edge models
+    lkn, d1, d2 = eng.newton_loop(4)
+    assert np.isfinite(lkn) and lkn >= lk_rep - 1e-9
