@@ -16,8 +16,14 @@ SCALE_THRESHOLD = 2.0 ** -256
 SCALE_FACTOR_SQRT = 2.0 ** 128
 SCALE_THRESHOLD_SQRT = 2.0 ** -128
 # fp32 fast path uses a much smaller window (fp32 min normal is 2**-126).
-SCALE_FACTOR_F32 = 2.0 ** 64
-SCALE_THRESHOLD_F32 = 2.0 ** -64
+# fp32 fast path: the window must satisfy threshold^2 > 2^-126 (fp32 min
+# normal) — one pruning step multiplies two children that can each sit
+# just below the threshold, and the underflow check runs only AFTER the
+# product. 2^-64 (the old window) gave (2^-64)^2 = 2^-128 < 2^-126: on
+# deep trees (~1000 taxa) TPU flush-to-zero zeroed whole sites between
+# checks and the logL came back -inf while the reference was finite.
+SCALE_FACTOR_F32 = 2.0 ** 32
+SCALE_THRESHOLD_F32 = 2.0 ** -32
 # per-rate scaling: cap on scaler differences when undoing (pll.h:97)
 SCALE_RATE_MAXDIFF = 4
 
