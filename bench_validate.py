@@ -25,7 +25,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 WORKER_OUT = os.path.join(REPO, ".refbuild", "validate_fp32.json")
 
 # logL is a weighted sum of per-site logs: fp32 round-off accumulates to
-# ~1e-6 relative; the 2**-64 window scaling adds no systematic error.
+# ~1e-6 relative; the 2**-32 window scaling adds no systematic error.
 TOL_LOGL = 5e-5
 TOL_D1 = 5e-3         # derivatives lose ~2-3 digits near extrema
 ATOL_D1 = 5e-2
@@ -105,6 +105,15 @@ def _problems():
     h4, s4 = simulate_alignment(t4, 896, [0.25] * 4, [1, 2, 1, 1, 2, 1],
                                 alpha=0.6, seed=8)
     cases.append(("dna_repeats", t4, h4, s4, 4, 896, None, 0.6))
+
+    # deep random tree: ~10 levels of scaling activity; guards the fp32
+    # window invariant threshold^2 > 2^-126 (a 2^-64 window silently
+    # flushed whole sites to zero between scale checks on TPU FTZ
+    # hardware and returned -inf at this depth)
+    t5 = random_utree([f"t{i}" for i in range(768)], seed=9)
+    h5, s5 = simulate_alignment(t5, 2048, [0.3, 0.2, 0.2, 0.3],
+                                [1, 2, 1, 1, 2, 1], alpha=0.8, seed=9)
+    cases.append(("dna_deep", t5, h5, s5, 4, 2048, None, 0.8))
     return cases
 
 
