@@ -166,8 +166,8 @@ def plane_tile(sites: int, n_tips: int, n_slots: int, rates: int,
 
 
 def _fused_kernel_planes(tbl_ref,      # [n_ops+1, 8] int32 (SMEM)
+                         pmf_ref,      # [E*R*s*s] f32 (SMEM)
                          tips_ref,     # [n_tips, 8, C] int32
-                         pm_ref,       # [E, R, s, s] f32 (VMEM resident)
                          outp_ref,     # [rs, 8, C]
                          outc_ref,     # [rs, 8, C]
                          scp_ref,      # [1, 8, C] int32
@@ -181,7 +181,9 @@ def _fused_kernel_planes(tbl_ref,      # [n_ops+1, 8] int32 (SMEM)
     vector register and the state contraction is rates*states*states
     scalar-broadcast FMAs on full planes — ~4x fewer (and fully packed)
     vector ops than the row-layout kernel's [states, T] slices, which
-    waste 1 - states/8 of every register for DNA."""
+    waste 1 - states/8 of every register for DNA. The P-matrix entries
+    live in SMEM (scalar prefetch) — every FMA coefficient is a scalar
+    splat, and VMEM scalar reads cost ~20% of the kernel."""
     rs = rates * states
     tile8 = tips_ref.shape[-2:]                        # (8, C)
     f32 = jnp.float32
@@ -201,15 +203,18 @@ def _fused_kernel_planes(tbl_ref,      # [n_ops+1, 8] int32 (SMEM)
             lambda: (clvbuf[pl.ds(idx * rs, rs)],
                      scalbuf[pl.ds(idx, 1)][0]))
 
-    def matvecs(pm, child):
+    def matvecs(mat, child):
         """[rs, 8, C]: per (rate, state-row), sum_j P[r,i,j]*child[r,j]
-        — each term one scalar-splat FMA over a full plane."""
+        — each term one scalar-splat FMA over a full plane; coefficients
+        are SMEM scalar loads at mat*R*s*s + ..."""
+        base = mat * (rs * states)
         rows = []
         for r in range(rates):
             for i in range(states):
-                acc = pm[0, r, i, 0] * child[r * states]
+                off = base + (r * states + i) * states
+                acc = pmf_ref[off] * child[r * states]
                 for j in range(1, states):
-                    acc = acc + pm[0, r, i, j] * child[r * states + j]
+                    acc = acc + pmf_ref[off + j] * child[r * states + j]
                 rows.append(acc)
         return jnp.stack(rows)
 
@@ -217,9 +222,7 @@ def _fused_kernel_planes(tbl_ref,      # [n_ops+1, 8] int32 (SMEM)
         pslot = tbl_ref[i, 0]
         left, lsc = load_child(tbl_ref[i, 1], tbl_ref[i, 2])
         right, rsc = load_child(tbl_ref[i, 4], tbl_ref[i, 5])
-        pml = pm_ref[pl.ds(tbl_ref[i, 3], 1)]          # [1, R, s, s]
-        pmr = pm_ref[pl.ds(tbl_ref[i, 6], 1)]
-        x = matvecs(pml, left) * matvecs(pmr, right)   # [rs, 8, C]
+        x = matvecs(tbl_ref[i, 3], left) * matvecs(tbl_ref[i, 6], right)
         # max(x) < t form (see _fused_kernel); x is non-negative
         small = jnp.max(x, axis=0) < thresh            # [8, C]
         scale = small & (tbl_ref[i, 7] > 0)
@@ -357,17 +360,16 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
         cols = sites // 8
         c = plane_tile(sites, n_tips, n_slots, rates, states)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,        # op table + flat P-matrix (SMEM)
             grid=(cols // c,),
             in_specs=[
-                pl.BlockSpec((n_tips, 8, c), lambda j, tbl: (0, 0, j)),
-                pl.BlockSpec((e, r, s, s), lambda j, tbl: (0, 0, 0, 0)),
+                pl.BlockSpec((n_tips, 8, c), lambda j, tbl, pmf: (0, 0, j)),
             ],
             out_specs=[
-                pl.BlockSpec((rs, 8, c), lambda j, tbl: (0, 0, j)),
-                pl.BlockSpec((rs, 8, c), lambda j, tbl: (0, 0, j)),
-                pl.BlockSpec((1, 8, c), lambda j, tbl: (0, 0, j)),
-                pl.BlockSpec((1, 8, c), lambda j, tbl: (0, 0, j)),
+                pl.BlockSpec((rs, 8, c), lambda j, tbl, pmf: (0, 0, j)),
+                pl.BlockSpec((rs, 8, c), lambda j, tbl, pmf: (0, 0, j)),
+                pl.BlockSpec((1, 8, c), lambda j, tbl, pmf: (0, 0, j)),
+                pl.BlockSpec((1, 8, c), lambda j, tbl, pmf: (0, 0, j)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((n_slots * rs, 8, c), jnp.float32),
@@ -386,8 +388,8 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
                 jax.ShapeDtypeStruct((1, 8, cols), jnp.int32),
             ],
             interpret=interpret,
-        )(table, tip_codes.reshape(n_tips, 8, cols),
-          pmatrix.astype(jnp.float32))
+        )(table, pmatrix.astype(jnp.float32).reshape(-1),
+          tip_codes.reshape(n_tips, 8, cols))
         clv_p = outp.reshape(rates, states, sites)
         clv_c = outc.reshape(rates, states, sites)
         return clv_p, clv_c, scp.reshape(sites), scc.reshape(sites)
