@@ -13,11 +13,12 @@ from .ops.gamma import compute_gamma_cats
 from .engine import TreeEngine
 from . import checkpoint
 from .partitioned import PartitionedEngine
+from .bootstrap import bootstrap_loglikelihoods
 
 __all__ = [
     "constants", "AscBias", "PllError",
     "Operation", "Partition", "pack_operations",
     "compute_gamma_cats", "TreeEngine", "checkpoint",
-    "PartitionedEngine",
+    "PartitionedEngine", "bootstrap_loglikelihoods",
 ]
 __version__ = "0.1.0"

@@ -961,6 +961,38 @@ class TreeEngine:
         p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
         return float(total)
 
+    def loglikelihood_persite(self, branches=None):
+        """(total logL, per-site WEIGHTED logL [sites_padded]) — the
+        reference's persite_lnl output (likelihood.c:122 persite arg);
+        synthetic asc columns and lane padding carry 0."""
+        p = self.partition
+        if branches is not None:
+            self.branches = self._rep(jnp.asarray(branches, p.dtype))
+        if self.repeats_mode:
+            total, per, clv_flat, sc_flat, pmatrix = _repeats_loglikelihood(
+                p.clv_flat, p.sc_flat, *self._model_args(),
+                self.branches, self.ops, self._root_cols, self._root_mat,
+                *self._site_args(), p.scale_threshold, p.scale_factor,
+                rate_scalers=p.rate_scalers,
+                asc_type=self.asc_type, n_real=self.n_real,
+                use_pallas=self.use_repeats_pallas,
+                pallas_interpret=self.pallas_interpret,
+                edge_params=self.edge_params)
+            p.clv_flat, p.sc_flat, p.pmatrix = clv_flat, sc_flat, pmatrix
+            return float(total), np.asarray(per)
+        total, per, clv, scaler, pmatrix = _fused_loglikelihood(
+            p.clv, p.scale_buffer, *self._model_args(),
+            self.branches, self.ops, self.root_idx, *self._site_args(),
+            p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
+            valid=self.valid, levels=self.levels,
+            use_pallas=self.use_levelkernel,
+            pallas_interpret=self.pallas_interpret,
+            asc_type=self.asc_type, n_real=self.n_real,
+            fused_slots=self.fused_slots, edge_params=self.edge_params,
+            fused_mesh=self.fused_mesh if self.use_fused else None)
+        p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
+        return float(total), np.asarray(per)
+
     def apply_branches_to_tree(self, tree) -> None:
         """Write the engine's (possibly optimized) branch lengths back onto
         the tree's half-edges, keyed by pmatrix index."""
