@@ -6,7 +6,8 @@ this framework:
   2. parsimony stepwise-addition starting tree (bit-reproducible)
   3. gradient optimization of ALL branch lengths + GTR model parameters
   4. NNI hill climbing with one-dispatch candidate scoring
-  5. checkpoint of the final model + tree
+  5. bootstrap support from ONE evaluation (logL is weight-linear)
+  6. checkpoint of the final model + tree
 
 Usage: python examples/full_analysis.py [seed]
 """
@@ -94,7 +95,13 @@ def main(seed=42):
     eng2.apply_branches_to_tree(tree)
     print(f"[{time.time()-t0:5.1f}s] final logL: {lk_final:.4f}")
 
-    # --- 5. checkpoint ---------------------------------------------------
+    # --- 5. bootstrap ------------------------------------------------------
+    from libpll2_tpu import bootstrap_loglikelihoods
+    logls, _ = bootstrap_loglikelihoods(eng2, 1000, seed=seed)
+    print(f"[{time.time()-t0:5.1f}s] 1000 bootstrap replicate logLs from "
+          f"one eval: mean {logls.mean():.2f} +- {logls.std():.2f}")
+
+    # --- 6. checkpoint ---------------------------------------------------
     checkpoint.save("analysis.ckpt.npz", part, tree, best_logl=lk_final)
     print(f"[{time.time()-t0:5.1f}s] checkpointed -> analysis.ckpt.npz")
     print(export_newick(tree.vroot)[:100], "...")
