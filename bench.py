@@ -82,7 +82,7 @@ def bench_tpu():
     # Device-side throughput: run K chained traversals in ONE dispatch and
     # difference two trip counts, cancelling host->device dispatch latency
     # (tens of ms through a tunneled TPU).
-    k1, k2 = 5, 25    # wide spread dilutes shared-chip timing noise
+    k1, k2 = 5, 65    # wide spread dilutes shared-chip timing noise
     eng.loglikelihood_loop(1)           # compile the loop program
 
     def run(k):
