@@ -209,15 +209,17 @@ def run_validation():
             diff = subprocess.run(
                 ["git", "diff", "--name-only", prior["git"], "HEAD"],
                 cwd=REPO, capture_output=True, text=True, timeout=10)
-            # uncommitted edits must also invalidate the certificate
-            wt = subprocess.run(["git", "diff", "--name-only", "HEAD"],
+            # uncommitted (incl. untracked) edits must also invalidate
+            # the certificate; any git failure fails CLOSED (revalidate)
+            wt = subprocess.run(["git", "status", "--porcelain"],
                                 cwd=REPO, capture_output=True, text=True,
                                 timeout=10)
             touched = [l for l in (diff.stdout.splitlines()
-                                   + wt.stdout.splitlines())
+                                   + [w[3:] for w in
+                                      wt.stdout.splitlines()])
                        if l.startswith("libpll2_tpu/")
                        or l == "bench_validate.py"]
-            if diff.returncode == 0 and not touched:
+            if diff.returncode == 0 and wt.returncode == 0 and not touched:
                 log(f"validation certificate reused "
                     f"(git {prior['git'][:10]})")
                 return f"{prior['passed']}/{prior['cases']}"

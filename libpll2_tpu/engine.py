@@ -53,6 +53,26 @@ def _scatter_root_rows(clv, scaler, root_idx, rows):
     return clv, scaler
 
 
+def _zero_root_rows(clv, sites):
+    """fori_loop carry initializer matching the fused kernel's root-row
+    outputs (f32 CLVs + int32 scalers, whatever the partition dtype)."""
+    r, s = clv.shape[1], clv.shape[2]
+    return (jnp.zeros((r, s, sites), jnp.float32),
+            jnp.zeros((r, s, sites), jnp.float32),
+            jnp.zeros((sites,), jnp.int32),
+            jnp.zeros((sites,), jnp.int32))
+
+
+def _scatter_if_ran(k, clv, scaler, root_idx, rows):
+    """Post-loop scatter, guarded: with a traced trip count of 0 the carry
+    still holds the all-zero initializer — writing it would corrupt the
+    partition's root rows."""
+    return jax.lax.cond(
+        k > 0,
+        lambda: _scatter_root_rows(clv, scaler, root_idx, rows),
+        lambda: (clv, scaler))
+
+
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
@@ -269,12 +289,7 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
     every trip, costing ~2.3x the traversal kernel itself."""
     if fused_slots > 0:
         table, codes = op_arrays
-        sites = codes.shape[1]
-        r, s = clv.shape[1], clv.shape[2]
-        rows0 = (jnp.zeros((r, s, sites), jnp.float32),
-                 jnp.zeros((r, s, sites), jnp.float32),
-                 jnp.zeros((sites,), jnp.int32),
-                 jnp.zeros((sites,), jnp.int32))
+        rows0 = _zero_root_rows(clv, codes.shape[1])
 
         def body(_, carry):
             acc, rows_prev = carry
@@ -294,7 +309,7 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
             return acc + total, rows
         acc, rows = jax.lax.fori_loop(
             0, k, body, (jnp.zeros((), clv.dtype), rows0))
-        clv, scaler = _scatter_root_rows(clv, scaler, root_idx, rows)
+        clv, scaler = _scatter_if_ran(k, clv, scaler, root_idx, rows)
         return acc, clv, scaler
 
     def body(_, carry):
@@ -335,12 +350,7 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
     zero = jnp.zeros((), clv.dtype)
     if fused_slots > 0:
         table, codes = op_arrays
-        sites = codes.shape[1]
-        r, s = clv.shape[1], clv.shape[2]
-        rows0 = (jnp.zeros((r, s, sites), jnp.float32),
-                 jnp.zeros((r, s, sites), jnp.float32),
-                 jnp.zeros((sites,), jnp.int32),
-                 jnp.zeros((sites,), jnp.int32))
+        rows0 = _zero_root_rows(clv, codes.shape[1])
 
         def body(_, carry):
             rows_prev, branches, total, d1, d2 = carry
@@ -358,7 +368,7 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
 
         rows, branches, total, d1, d2 = jax.lax.fori_loop(
             0, k, body, (rows0, branches, zero, zero, zero))
-        clv, scaler = _scatter_root_rows(clv, scaler, root_idx, rows)
+        clv, scaler = _scatter_if_ran(k, clv, scaler, root_idx, rows)
         return total, d1, d2, branches, clv, scaler
 
     def body(_, carry):
@@ -604,7 +614,8 @@ def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                           rate_scalers: bool = False,
                           asc_type: int = 0, n_real: int = -1,
                           fused_slots: int = 0,
-                          pallas_interpret: bool = False):
+                          pallas_interpret: bool = False,
+                          edge_params=None):
     """logL of K candidate topologies in ONE dispatch.
 
     branches_k [K, E], ops_k: Operations with [K, n] arrays (scan path) or
@@ -615,19 +626,30 @@ def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
     kept, so memory stays at one CLV buffer. This is the TPU replacement
     for the reference consumers' move -> rescore -> rollback loop: tens of
     SPR/NNI candidates amortize one dispatch.
+
+    With `edge_params` (heterotachy), every candidate's pmatrices use the
+    per-edge table AND its likelihood mixing uses ITS OWN root edge's
+    model (edge_params[root_mat]) — what set_topology + loglikelihood
+    would compute after applying that move.
     """
+    def _pidx(root_idx):
+        if edge_params is None:
+            return params_idx_rates
+        return edge_params[root_idx[4]]          # [R] candidate-root model
+
     if fused_slots > 0:
         tables_k, tip_codes = ops_k
 
         def eval_one(branches, table, root_idx):
             total, _, _, _, _ = _fused_loglikelihood(
                 clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
-                prop_invar, rates, rate_weights, freqs, params_idx_rates,
+                prop_invar, rates, rate_weights, freqs, _pidx(root_idx),
                 branches, (table, tip_codes), root_idx, pattern_weights,
                 invariant, scale_threshold, scale_factor,
                 rate_scalers=rate_scalers, asc_type=asc_type,
                 n_real=n_real, fused_slots=fused_slots,
-                pallas_interpret=pallas_interpret, fused_scatter=False)
+                pallas_interpret=pallas_interpret,
+                edge_params=edge_params, fused_scatter=False)
             return total
 
         # vmap the candidate axis: Pallas grows the kernel grid by one
@@ -651,10 +673,10 @@ def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
         branches, ops, root_idx = xs
         total, _, _, _, _ = _fused_loglikelihood(
             clv, scaler, eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
-            rates, rate_weights, freqs, params_idx_rates, branches,
+            rates, rate_weights, freqs, _pidx(root_idx), branches,
             ops, root_idx, pattern_weights, invariant,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
-            asc_type=asc_type, n_real=n_real)
+            asc_type=asc_type, n_real=n_real, edge_params=edge_params)
         return carry, total
 
     _, totals = jax.lax.scan(body, None, (branches_k, ops_k, root_idx_k))
@@ -933,33 +955,8 @@ class TreeEngine:
         PMATRIX-INDEX order (the engine's storage order) — traversal-ordered
         lists from create_operations must be permuted through their
         pmatrix_indices first, as the constructor does."""
-        p = self.partition
-        if branches is not None:
-            self.branches = self._rep(jnp.asarray(branches, p.dtype))
-        if self.repeats_mode:
-            total, per, clv_flat, sc_flat, pmatrix = _repeats_loglikelihood(
-                p.clv_flat, p.sc_flat, *self._model_args(),
-                self.branches, self.ops, self._root_cols, self._root_mat,
-                *self._site_args(), p.scale_threshold, p.scale_factor,
-                rate_scalers=p.rate_scalers,
-                asc_type=self.asc_type, n_real=self.n_real,
-                use_pallas=self.use_repeats_pallas,
-                pallas_interpret=self.pallas_interpret,
-                edge_params=self.edge_params)
-            p.clv_flat, p.sc_flat, p.pmatrix = clv_flat, sc_flat, pmatrix
-            return float(total)
-        total, per, clv, scaler, pmatrix = _fused_loglikelihood(
-            p.clv, p.scale_buffer, *self._model_args(),
-            self.branches, self.ops, self.root_idx, *self._site_args(),
-            p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
-            valid=self.valid, levels=self.levels,
-            use_pallas=self.use_levelkernel,
-            pallas_interpret=self.pallas_interpret,
-            asc_type=self.asc_type, n_real=self.n_real,
-            fused_slots=self.fused_slots, edge_params=self.edge_params,
-            fused_mesh=self.fused_mesh if self.use_fused else None)
-        p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
-        return float(total)
+        total, _ = self.loglikelihood_persite(branches)
+        return total
 
     def loglikelihood_persite(self, branches=None):
         """(total logL, per-site WEIGHTED logL [sites_padded]) — the
@@ -1030,8 +1027,16 @@ class TreeEngine:
                     operations, tuple(ri))
                 blen = np.zeros(p.prob_matrices)
                 blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
+                margs = list(self._model_args())
+                if self._edge_params_host is not None:
+                    # heterotachy: THIS candidate's root edge's model
+                    # drives the freqs/eigen mixing, exactly as
+                    # set_topology + loglikelihood would compute
+                    rm = int(self._edge_params_host[ri[4]])
+                    margs[7] = self._rep(jnp.asarray(
+                        [rm] * p.rate_cats, np.int32))
                 total, _, _, _, _ = _repeats_loglikelihood(
-                    p.clv_flat, p.sc_flat, *self._model_args(),
+                    p.clv_flat, p.sc_flat, *margs,
                     jnp.asarray(blen, p.dtype), buckets, root_cols, mat,
                     *self._site_args(), p.scale_threshold, p.scale_factor,
                     rate_scalers=p.rate_scalers,
@@ -1093,7 +1098,8 @@ class TreeEngine:
             rate_scalers=p.rate_scalers,
             asc_type=self.asc_type, n_real=self.n_real,
             fused_slots=fused_slots,
-            pallas_interpret=self.pallas_interpret)
+            pallas_interpret=self.pallas_interpret,
+            edge_params=self.edge_params)
         return np.asarray(totals)[:k]
 
     def newton_loop(self, k: int):

@@ -17,8 +17,9 @@ partials.c, likelihood.c, derivatives.c, models.c). Differences by design:
     models.c:412-428); everything downstream is jitted JAX.
 
 Precision: float64 by default (bit-consistent with the reference; requires
-jax_enable_x64). A float32 fast path uses a 2**-64 rescaling window instead
-of 2**-256.
+jax_enable_x64). A float32 fast path uses a 2**-32 rescaling window instead
+of 2**-256 (squared, the window must stay above fp32's minimum normal or
+deep trees flush to zero between scale checks on TPU).
 """
 from __future__ import annotations
 

@@ -165,3 +165,75 @@ def test_engine_edge_params_with_site_repeats():
     # newton loop over the repeats pool honors per-edge models
     lkn, d1, d2 = eng.newton_loop(4)
     assert np.isfinite(lkn) and lkn >= lk_rep - 1e-9
+
+
+def test_evaluate_topologies_edge_params():
+    """Batched candidate scoring must use the per-edge models AND each
+    candidate's own root-edge model for the likelihood mixing — scoring
+    the engine's own topology must reproduce loglikelihood() exactly
+    (regression: candidates were scored with the homogeneous model,
+    ~40 logL units off on a two-model tree)."""
+    tree, headers, seqs, ops, branches, pidx, ep = _problem(seed=41)
+    part = _build(tree, headers, seqs)
+    eng = TreeEngine(part, tree, edge_params=ep, pallas=False,
+                     level_schedule=False)
+    lk = eng.loglikelihood()
+    vr = tree.vroot
+    cand = [(ops, branches, pidx,
+             (vr.clv_index, vr.scaler_index, vr.back.clv_index,
+              vr.back.scaler_index, vr.pmatrix_index))]
+    scores = eng.evaluate_topologies(cand)
+    np.testing.assert_allclose(scores[0], lk, rtol=1e-10)
+
+    # fused-kernel path too (fp32 tolerance)
+    import jax.numpy as jnp
+    part2 = Partition(tree.tip_count, tree.inner_count, 4, N_SITES, 2,
+                      tree.edge_count, 4, tree.inner_count,
+                      dtype=jnp.float32)
+    by = dict(zip(headers, seqs))
+    for t in tree.tips():
+        part2.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+    _fill_models(part2)
+    eng2 = TreeEngine(part2, tree, edge_params=ep, pallas="interpret")
+    assert eng2.use_fused
+    lk2 = eng2.loglikelihood()
+    scores2 = eng2.evaluate_topologies(cand)
+    np.testing.assert_allclose(scores2[0], lk2, rtol=1e-5)
+
+    # repeats path: per-candidate root model
+    part3 = Partition(tree.tip_count, tree.inner_count, 4, N_SITES, 2,
+                      tree.edge_count, 4, tree.inner_count,
+                      site_repeats=True)
+    for t in tree.tips():
+        part3.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+    _fill_models(part3)
+    eng3 = TreeEngine(part3, tree, edge_params=ep)
+    assert eng3.repeats_mode
+    lk3 = eng3.loglikelihood()
+    scores3 = eng3.evaluate_topologies(cand)
+    np.testing.assert_allclose(scores3[0], lk3, rtol=1e-10)
+
+
+def test_loop_k0_preserves_root_rows():
+    """loglikelihood_loop(0)/newton_loop(0) must not corrupt the stored
+    root CLV rows with the loop carry's zero initializer."""
+    import jax.numpy as jnp
+    tree, headers, seqs, ops, branches, pidx, ep = _problem(seed=47)
+    by = dict(zip(headers, seqs))
+    part = Partition(tree.tip_count, tree.inner_count, 4, N_SITES, 1,
+                     tree.edge_count, 4, tree.inner_count,
+                     dtype=jnp.float32)
+    for t in tree.tips():
+        part.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+    part.set_frequencies(0, FREQS0)
+    part.set_subst_params(0, SUBST0)
+    part.set_category_rates(compute_gamma_cats(0.8, 4))
+    eng = TreeEngine(part, tree, pallas="interpret")
+    assert eng.use_fused
+    lk = eng.loglikelihood()
+    root_row = np.asarray(part.clv[tree.vroot.clv_index]).copy()
+    assert np.abs(root_row).sum() > 0
+    acc = eng.loglikelihood_loop(0)
+    assert acc == 0.0
+    np.testing.assert_array_equal(np.asarray(part.clv[tree.vroot.clv_index]),
+                                  root_row)

@@ -354,14 +354,17 @@ def bench_spr():
     # later rounds: batched scorers compiled — the steady-state per-round
     # cost a search loop actually pays (best of 3; jit tracing of the
     # shapes an accepted move touches can straggle into round 2)
-    dt = float("inf")
+    best = None
     for _ in range(3):
         t0 = time.perf_counter()
         lk2, accepted2 = s.spr_round_batched()
-        dt = min(dt, time.perf_counter() - t0)
+        dt_i = time.perf_counter() - t0
+        if best is None or dt_i < best[0]:
+            best = (dt_i, accepted2, lk2)
+    dt, accepted2, lk2 = best
     record("spr_round_seconds", dt, "s",
-           f"steepest-ascent round (warm), {accepted2} moves accepted, "
-           f"logL {lk2:.1f}; first round incl. batch compiles "
+           f"steepest-ascent round (warm, best of 3), {accepted2} moves "
+           f"accepted, logL {lk2:.1f}; first round incl. batch compiles "
            f"{dt_first:.1f} s ({accepted} moves, logL {lk:.1f})")
 
 
