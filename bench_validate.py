@@ -119,9 +119,12 @@ def _problems():
 
 def _modes(platform: str, repeats: bool = False):
     if repeats:
-        # repeats engines have two paths: the XLA pool scan and the
-        # VMEM-resident Pallas pool kernel (banded class permutes)
+        # repeats engines have three paths: the XLA pool scan, the
+        # VMEM-resident Pallas pool kernel (banded class permutes), and
+        # the default dense fused kernel over the pooled storage
         return [("pool", dict(pallas=False)),
+                ("poolk", dict(pallas="pool" if platform != "cpu"
+                               else "pool-interpret")),
                 ("fused", dict(pallas=True))]
     modes = [("scan", dict(level_schedule=False, pallas=False)),
              ("levels", dict(level_schedule=True, pallas=False)),

@@ -141,6 +141,13 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
             else:
                 clv_p, clv_c, sc_p, sc_c = _traverse(tip_codes, pmatrix,
                                                      table)
+        # the kernel may run on a lane-grain-padded site axis; everything
+        # downstream (pattern weights, partition buffers) uses the
+        # partition's width — drop the pad columns here
+        w = clv.shape[3]
+        if clv_p.shape[-1] != w:
+            clv_p, clv_c = clv_p[..., :w], clv_c[..., :w]
+            sc_p, sc_c = sc_p[:w], sc_c[:w]
         with jax.named_scope("pll.edge_logl"):
             total, per = ops_likelihood.edge_loglikelihood(
                 clv_p, clv_c, sc_p, sc_c, jnp.take(pmatrix, mat, axis=0),
@@ -266,7 +273,8 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
-                                   'fused_slots', 'fused_mesh'))
+                                   'fused_slots', 'fused_mesh',
+                                   'fused_scatter'))
 def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                               eigenvecs, prop_invar, rates, rate_weights,
                               freqs, params_idx_rates, branches, op_arrays,
@@ -278,7 +286,7 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                               pallas_interpret: bool = False,
                               asc_type: int = 0, n_real: int = -1,
                               fused_slots: int = 0, edge_params=None,
-                              fused_mesh=None):
+                              fused_mesh=None, fused_scatter: bool = True):
     """k chained full-traversal evaluations in ONE dispatch (the CLV state
     threads through the loop, so XLA cannot hoist the work). Benchmarking
     helper: amortizes host->device dispatch latency.
@@ -289,7 +297,7 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
     every trip, costing ~2.3x the traversal kernel itself."""
     if fused_slots > 0:
         table, codes = op_arrays
-        rows0 = _zero_root_rows(clv, codes.shape[1])
+        rows0 = _zero_root_rows(clv, clv.shape[3])
 
         def body(_, carry):
             acc, rows_prev = carry
@@ -309,7 +317,8 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
             return acc + total, rows
         acc, rows = jax.lax.fori_loop(
             0, k, body, (jnp.zeros((), clv.dtype), rows0))
-        clv, scaler = _scatter_if_ran(k, clv, scaler, root_idx, rows)
+        if fused_scatter:
+            clv, scaler = _scatter_if_ran(k, clv, scaler, root_idx, rows)
         return acc, clv, scaler
 
     def body(_, carry):
@@ -331,7 +340,8 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
 @partial(jax.jit, static_argnames=('rate_scalers', 'levels', 'use_pallas',
                                    'pallas_interpret', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
-                                   'fused_slots', 'fused_mesh'))
+                                   'fused_slots', 'fused_mesh',
+                                   'fused_scatter'))
 def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        prop_invar, rates, rate_weights, freqs,
                        params_idx_rates, branches, op_arrays, root_idx,
@@ -343,14 +353,14 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        pallas_interpret: bool = False,
                        asc_type: int = 0, n_real: int = -1,
                        fused_slots: int = 0, edge_params=None,
-                       fused_mesh=None):
+                       fused_mesh=None, fused_scatter: bool = True):
     """k chained Newton iterations on the root branch in ONE dispatch
     (the reference's examples/newton loop, device-resident). The fused
     path carries root rows only; one scatter after the loop."""
     zero = jnp.zeros((), clv.dtype)
     if fused_slots > 0:
         table, codes = op_arrays
-        rows0 = _zero_root_rows(clv, codes.shape[1])
+        rows0 = _zero_root_rows(clv, clv.shape[3])
 
         def body(_, carry):
             rows_prev, branches, total, d1, d2 = carry
@@ -368,7 +378,8 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
 
         rows, branches, total, d1, d2 = jax.lax.fori_loop(
             0, k, body, (rows0, branches, zero, zero, zero))
-        clv, scaler = _scatter_if_ran(k, clv, scaler, root_idx, rows)
+        if fused_scatter:
+            clv, scaler = _scatter_if_ran(k, clv, scaler, root_idx, rows)
         return total, d1, d2, branches, clv, scaler
 
     def body(_, carry):
@@ -706,6 +717,10 @@ class TreeEngine:
           'interpret' — same, kernels in interpret mode (CPU debugging);
           'levels-kernel' / 'levels-interpret' — force the per-level
                     Pallas kernel (ops/pallas_partials);
+          'pool' / 'pool-interpret' — for site-repeats partitions: force
+                    the POOLED compute path (XLA buckets / VMEM pool
+                    kernel) instead of the default dense fused kernel
+                    over the compressed storage;
           False   — pure XLA (scan or level schedule)."""
         self.partition = partition
         p = partition
@@ -729,30 +744,56 @@ class TreeEngine:
         # parallelism over tree nodes"). Semantically identical: ops within
         # a level are independent.
         mesh_n = mesh.devices.size if mesh is not None else 1
-        eligible = (p.dtype == jnp.float32 and not p.rate_scalers
-                    and p.repeats is None
-                    and p.sites_padded % (128 * mesh_n) == 0)
-        # the per-level kernel has no shard_map path; only the fused
-        # whole-traversal kernel runs under a mesh
-        levelk_ok = eligible and mesh is None
+        # the fused whole-traversal kernel pads its tip-code matrix to
+        # the lane grain internally and slices the root rows back, so
+        # arbitrary (real-world) site counts are eligible; only the
+        # sharded path needs the partition itself to split evenly
+        fused_core_ok = (p.dtype == jnp.float32 and not p.rate_scalers
+                         and (mesh is None
+                              or p.sites_padded % (128 * mesh_n) == 0))
+        eligible = fused_core_ok and p.repeats is None
+        # the per-level kernel has no shard_map path and operates on the
+        # partition buffers directly, so it keeps the alignment demand
+        levelk_ok = (eligible and mesh is None
+                     and p.sites_padded % 128 == 0)
         on_target = (jax.default_backend() == "tpu" if pallas == "auto"
                      else True)
-        self.pallas_interpret = pallas in ("interpret", "levels-interpret")
+        self.pallas_interpret = pallas in ("interpret", "levels-interpret",
+                                           "pool-interpret")
         want_fused = pallas in ("auto", True, "interpret")
+        want_pool = pallas in ("pool", "pool-interpret")
         want_levelk = want_fused or pallas in ("levels-kernel",
                                                "levels-interpret")
-        self._fused_wanted = (want_fused and eligible and on_target
-                              and not self.repeats_mode
-                              and pallas not in ("levels-kernel",
-                                                 "levels-interpret")
-                              and bool(np.all(p._tips_set))
-                              and not bool(np.any(p._tips_clv_set)))
+        tips_codes_ok = (bool(np.all(p._tips_set))
+                         and not bool(np.any(p._tips_clv_set)))
+        # dense-math fused kernel over POOLED-storage partitions: on TPU,
+        # recomputing duplicate class columns in VMEM is ~7x cheaper than
+        # permuting compressed ones through the pool kernel (measured at
+        # 246x4465: 0.23 ms dense-fused vs 1.65 ms pool), so repeats
+        # partitions keep the compressed buffers (the memory win) but
+        # EVALUATE through the dense kernel, which never materializes
+        # inner CLVs anyway. pallas='pool'/'pool-interpret' forces the
+        # pooled compute path (minimal VMEM; the fp64/XLA fallback).
+        self.repeats_dense_fused = (
+            self.repeats_mode and want_fused and on_target
+            and fused_core_ok and mesh is None and tips_codes_ok)
+        if self.repeats_dense_fused:
+            self.repeats_mode = False
+            self._clv_stub = jnp.zeros(
+                (1, p.rate_cats, p.states, p.sites_padded), jnp.float32)
+            self._sc_stub = jnp.zeros((3, p.sites_padded), jnp.int32)
+        self._fused_wanted = ((want_fused and eligible and on_target
+                               and not self.repeats_mode
+                               and pallas not in ("levels-kernel",
+                                                  "levels-interpret")
+                               and tips_codes_ok)
+                              or self.repeats_dense_fused)
         self._levelk_wanted = (want_levelk and levelk_ok and on_target
                                and not self.repeats_mode)
         # pooled-repeats Pallas kernel: fp32, per-site scalers, no mesh
         # (the class pools are global, not site-sharded)
         self._repeats_pallas_wanted = (
-            self.repeats_mode and want_fused and on_target
+            self.repeats_mode and (want_fused or want_pool) and on_target
             and p.dtype == jnp.float32 and not p.rate_scalers
             and mesh is None)
         self.fused_mesh = mesh
@@ -851,8 +892,13 @@ class TreeEngine:
                     "(set_tip_clv) after this fused-kernel engine was "
                     "built; rebuild the TreeEngine (it will fall back "
                     "to a non-fused path)")
-            codes = jnp.asarray(ops_fused.tip_code_matrix(p))
             mesh = getattr(p, "mesh", None)
+            if mesh is None:
+                grain = ops_fused.kernel_grain(p.states)
+                pad_to = -(-p.sites_padded // grain) * grain
+            else:
+                pad_to = 0     # sharded axis must keep the partition width
+            codes = jnp.asarray(ops_fused.tip_code_matrix(p, pad_to=pad_to))
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 codes = jax.device_put(
@@ -909,6 +955,15 @@ class TreeEngine:
                 self.fused_slots = n_slots
                 self.valid = None
                 ops = (jnp.asarray(table), self._tip_codes())
+            elif self.repeats_dense_fused:
+                # a schedule the kernel cannot run (partial traversal /
+                # missing scalers): a pooled partition has no dense
+                # buffers to fall back on — use the pooled compute path
+                self.repeats_dense_fused = False
+                self.repeats_mode = True
+                self._pack_topology(operations, branches, pmatrix_indices,
+                                    root)
+                return
         if not self.use_fused and self._levelk_wanted:
             self.use_levelkernel = True
             ops = ops_pallas.pack_pallas_levels(
@@ -950,6 +1005,16 @@ class TreeEngine:
         self._pack_topology(operations, branches, pmatrix_indices,
                             tree.vroot)
 
+    def _dense_bufs(self):
+        """(clv, scaler) operands for the dense eval programs. A pooled
+        (repeats_dense_fused) partition has no dense buffers — a 1-row
+        stub provides the shapes; the fused kernel never reads it and the
+        scatter-back is skipped (fused_scatter=False)."""
+        if self.repeats_dense_fused:
+            return self._clv_stub, self._sc_stub
+        p = self.partition
+        return p.clv, p.scale_buffer
+
     def loglikelihood(self, branches=None) -> float:
         """Full-traversal logL. `branches`, if given, must be in
         PMATRIX-INDEX order (the engine's storage order) — traversal-ordered
@@ -977,8 +1042,9 @@ class TreeEngine:
                 edge_params=self.edge_params)
             p.clv_flat, p.sc_flat, p.pmatrix = clv_flat, sc_flat, pmatrix
             return float(total), np.asarray(per)
+        clv0, sc0 = self._dense_bufs()
         total, per, clv, scaler, pmatrix = _fused_loglikelihood(
-            p.clv, p.scale_buffer, *self._model_args(),
+            clv0, sc0, *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
             p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
             valid=self.valid, levels=self.levels,
@@ -986,8 +1052,11 @@ class TreeEngine:
             pallas_interpret=self.pallas_interpret,
             asc_type=self.asc_type, n_real=self.n_real,
             fused_slots=self.fused_slots, edge_params=self.edge_params,
-            fused_mesh=self.fused_mesh if self.use_fused else None)
-        p.clv, p.scale_buffer, p.pmatrix = clv, scaler, pmatrix
+            fused_mesh=self.fused_mesh if self.use_fused else None,
+            fused_scatter=not self.repeats_dense_fused)
+        p.pmatrix = pmatrix
+        if not self.repeats_dense_fused:
+            p.clv, p.scale_buffer = clv, scaler
         return float(total), np.asarray(per)
 
     def apply_branches_to_tree(self, tree) -> None:
@@ -1091,7 +1160,7 @@ class TreeEngine:
             ops_k = jax.tree.map(lambda *xs: jnp.stack(xs), *packed)
             fused_slots = 0
         totals = _fused_multi_topology(
-            p.clv, p.scale_buffer, *self._model_args(),
+            *self._dense_bufs(), *self._model_args(),
             jnp.asarray(np.stack(blens), p.dtype), ops_k,
             jnp.asarray(np.asarray(roots, dtype=np.int32)),
             *self._site_args(), p.scale_threshold, p.scale_factor,
@@ -1122,7 +1191,7 @@ class TreeEngine:
             p.clv_flat, p.sc_flat = clv_flat, sc_flat
             return float(total), float(d1), float(d2)
         total, d1, d2, branches, clv, scaler = _fused_newton_loop(
-            jnp.asarray(k), p.clv, p.scale_buffer, *self._model_args(),
+            jnp.asarray(k), *self._dense_bufs(), *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
             p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
             valid=self.valid, levels=self.levels,
@@ -1130,9 +1199,11 @@ class TreeEngine:
             pallas_interpret=self.pallas_interpret,
             asc_type=self.asc_type, n_real=self.n_real,
             fused_slots=self.fused_slots, edge_params=self.edge_params,
-            fused_mesh=self.fused_mesh if self.use_fused else None)
+            fused_mesh=self.fused_mesh if self.use_fused else None,
+            fused_scatter=not self.repeats_dense_fused)
         self.branches = branches
-        p.clv, p.scale_buffer = clv, scaler
+        if not self.repeats_dense_fused:
+            p.clv, p.scale_buffer = clv, scaler
         return float(total), float(d1), float(d2)
 
     def loglikelihood_loop(self, k: int) -> float:
@@ -1153,7 +1224,7 @@ class TreeEngine:
             p.clv_flat, p.sc_flat = clv_flat, sc_flat
             return float(acc)
         acc, _, _ = _fused_loglikelihood_loop(
-            jnp.asarray(k), p.clv, p.scale_buffer, *self._model_args(),
+            jnp.asarray(k), *self._dense_bufs(), *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
             p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
             valid=self.valid, levels=self.levels,
@@ -1161,7 +1232,8 @@ class TreeEngine:
             pallas_interpret=self.pallas_interpret,
             asc_type=self.asc_type, n_real=self.n_real,
             fused_slots=self.fused_slots, edge_params=self.edge_params,
-            fused_mesh=self.fused_mesh if self.use_fused else None)
+            fused_mesh=self.fused_mesh if self.use_fused else None,
+            fused_scatter=not self.repeats_dense_fused)
         return float(acc)
 
     def newton_step(self):
@@ -1171,7 +1243,7 @@ class TreeEngine:
         if self.repeats_mode:
             return self.newton_loop(1)
         total, d1, d2, branches, clv, scaler = _fused_newton_step(
-            p.clv, p.scale_buffer, *self._model_args(),
+            *self._dense_bufs(), *self._model_args(),
             self.branches, self.ops, self.root_idx, *self._site_args(),
             p.scale_threshold, p.scale_factor, rate_scalers=p.rate_scalers,
             valid=self.valid, levels=self.levels,
@@ -1179,7 +1251,9 @@ class TreeEngine:
             pallas_interpret=self.pallas_interpret,
             asc_type=self.asc_type, n_real=self.n_real,
             fused_slots=self.fused_slots, edge_params=self.edge_params,
-            fused_mesh=self.fused_mesh if self.use_fused else None)
+            fused_mesh=self.fused_mesh if self.use_fused else None,
+            fused_scatter=not self.repeats_dense_fused)
         self.branches = branches
-        p.clv, p.scale_buffer = clv, scaler
+        if not self.repeats_dense_fused:
+            p.clv, p.scale_buffer = clv, scaler
         return float(total), float(d1), float(d2)

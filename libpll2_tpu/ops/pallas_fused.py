@@ -434,12 +434,23 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
     return clv_p, clv_c, scp[0, 0], scc[0, 0]
 
 
-def tip_code_matrix(partition) -> np.ndarray:
-    """int32 state-bitmask matrix [tips, sites_padded] for the kernel:
-    real sites carry the decoded charmap masks, synthetic asc columns the
-    single-state masks, padded columns 0 (-> zero CLVs, weight 0)."""
+def kernel_grain(states: int) -> int:
+    """Site-width grain the kernel wants: 1024 enables the plane layout
+    for small alphabets (site axis viewed as [8, S/8] with 128-lane
+    tiles), 128 is the lane minimum for the row layout."""
+    return 1024 if states < 16 else 128
+
+
+def tip_code_matrix(partition, pad_to: int = 0) -> np.ndarray:
+    """int32 state-bitmask matrix [tips, max(sites_padded, pad_to)] for
+    the kernel: real sites carry the decoded charmap masks, synthetic asc
+    columns the single-state masks, padded columns 0 (-> zero CLVs; the
+    engine slices kernel outputs back to sites_padded, so pads never
+    reach the likelihood). Partitions are NOT required to be 128-aligned
+    (real alignments never are) — the kernel pads internally."""
     p = partition
-    codes = np.zeros((p.tips, p.sites_padded), dtype=np.int32)
+    width = max(p.sites_padded, pad_to)
+    codes = np.zeros((p.tips, width), dtype=np.int32)
     codes[:, :p.sites] = p.tip_states[:, :p.sites].astype(np.int64) \
         .astype(np.int32)
     if p.asc_extra:

@@ -271,3 +271,32 @@ def test_fused_plane_layout_engine_end_to_end():
     assert e_pl.use_fused
     np.testing.assert_allclose(e_pl.loglikelihood(),
                                e_xla.loglikelihood(), rtol=1e-6)
+
+
+def test_fused_unaligned_sites():
+    """Real alignments are never lane-aligned: at sites=999 the fused
+    kernel pads its tip-code matrix to the lane grain internally and the
+    engine slices the root rows back — logL, per-site output and a
+    Newton loop must match the XLA scan path (and via it, the oracle)."""
+    tree = random_utree([f"t{i}" for i in range(18)], seed=33)
+    sites = 999
+    headers, seqs = simulate_alignment(tree, sites, FREQS, SUBST,
+                                       alpha=0.8, seed=33)
+    part_f = _build(tree, headers, seqs, sites)
+    eng_f = TreeEngine(part_f, tree, pallas="interpret")
+    assert eng_f.use_fused, "unaligned sites must stay fused-eligible"
+    lk_f, per_f = eng_f.loglikelihood_persite()
+
+    part_x = _build(tree, headers, seqs, sites)
+    eng_x = TreeEngine(part_x, tree, pallas=False)
+    lk_x, per_x = eng_x.loglikelihood_persite()
+    np.testing.assert_allclose(lk_f, lk_x, rtol=2e-6)
+    np.testing.assert_allclose(per_f, per_x, rtol=2e-5, atol=1e-4)
+
+    # loop + newton paths run through the padded kernel too
+    acc = eng_f.loglikelihood_loop(3)
+    np.testing.assert_allclose(acc, 3 * lk_f, rtol=2e-6)
+    lkn, d1, d2 = eng_f.newton_loop(3)
+    lknx, d1x, d2x = eng_x.newton_loop(3)
+    np.testing.assert_allclose(lkn, lknx, rtol=2e-6)
+    np.testing.assert_allclose(d1, d1x, rtol=1e-3, atol=1e-2)

@@ -81,7 +81,7 @@ def test_engine_repeats_pallas_interpret_matches_xla():
     part_x, tree_x = build()
     part_k, tree_k = build()
     eng_x = TreeEngine(part_x, tree_x, pallas=False)
-    eng_k = TreeEngine(part_k, tree_k, pallas='interpret')
+    eng_k = TreeEngine(part_k, tree_k, pallas='pool-interpret')
     assert eng_k.use_repeats_pallas
     lk_x, lk_k = eng_x.loglikelihood(), eng_k.loglikelihood()
     np.testing.assert_allclose(lk_k, lk_x, rtol=2e-6)

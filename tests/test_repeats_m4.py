@@ -299,3 +299,56 @@ def test_repeats_with_asc_bias(asc_name, ref_attr, needs_weights):
         part2.set_asc_state_weights(weights)
     eng = TreeEngine(part2, tree, pallas=False)
     np.testing.assert_allclose(eng.loglikelihood(), lk_ref, rtol=1e-10)
+
+
+def test_repeats_dense_fused_engine():
+    """A repeats partition keeps POOLED (compressed) storage but the
+    engine evaluates through the dense fused kernel (recomputing
+    duplicate class columns in VMEM is far cheaper on TPU than permuting
+    compressed ones). logL / per-site / Newton must match the pooled
+    compute path."""
+    from libpll2_tpu import TreeEngine
+    tree, headers, seqs = _simulated(seed=91)
+    part_pool = _build(tree, headers, seqs, repeats=True)
+    eng_pool = TreeEngine(part_pool, tree, pallas=False)
+    assert eng_pool.repeats_mode and not eng_pool.repeats_dense_fused
+    lk_pool, per_pool = eng_pool.loglikelihood_persite()
+
+    import jax.numpy as jnp
+    tree_f, headers_f, seqs_f = _simulated(seed=91)
+    by_f = dict(zip(headers_f, seqs_f))
+    part_f = Partition(tree_f.tip_count, tree_f.inner_count, 4, N_SITES, 1,
+                       tree_f.edge_count, 4, tree_f.inner_count,
+                       site_repeats=True, dtype=jnp.float32)
+    for tip in tree_f.tips():
+        part_f.set_tip_states(tip.clv_index, maps.map_nt, by_f[tip.label])
+    part_f.set_frequencies(0, FREQS)
+    part_f.set_subst_params(0, SUBST)
+    part_f.set_category_rates(compute_gamma_cats(0.8, 4))
+    eng_f = TreeEngine(part_f, tree_f, pallas="interpret")
+    assert eng_f.repeats_dense_fused and eng_f.use_fused
+    assert not eng_f.repeats_mode
+    # no DENSE buffers exist (the memory win stays; the pooled buffers
+    # are not even materialized until the step-by-step API needs them)
+    assert part_f.clv is None
+    assert part_f.repeats is not None
+    lk_f, per_f = eng_f.loglikelihood_persite()
+    np.testing.assert_allclose(lk_f, lk_pool, rtol=2e-6)
+    np.testing.assert_allclose(per_f, per_pool, rtol=2e-5, atol=1e-4)
+
+    # loops + Newton run through the stub-buffer path
+    acc = eng_f.loglikelihood_loop(3)
+    np.testing.assert_allclose(acc, 3 * lk_f, rtol=2e-6)
+    lkn, d1, d2 = eng_f.newton_loop(3)
+    lknp, d1p, d2p = eng_pool.newton_loop(3)
+    np.testing.assert_allclose(lkn, lknp, rtol=2e-6)
+    np.testing.assert_allclose(d1, d1p, rtol=1e-3, atol=1e-2)
+
+    # batched candidate scoring agrees with single evaluation
+    from libpll2_tpu.trees import create_operations, traverse
+    ops, br, pidx = create_operations(traverse(tree_f.vroot))
+    vr = tree_f.vroot
+    cand = [(ops, br, pidx, (vr.clv_index, vr.scaler_index,
+             vr.back.clv_index, vr.back.scaler_index, vr.pmatrix_index))]
+    scores = eng_f.evaluate_topologies(cand)
+    np.testing.assert_allclose(scores[0], eng_f.loglikelihood(), rtol=2e-6)
