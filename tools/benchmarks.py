@@ -436,49 +436,66 @@ def main():
     open("BENCHMARKS.md", "w").write("\n".join(lines) + "\n")
     print(json.dumps(RESULTS))
 
-
 ANALYSIS = """## Roofline & analysis
 
 **Fused whole-traversal kernel (the production path).** The flagship
-config (128 taxa x 16384 sites, GTR+G4 fp32) runs one full traversal in
-~1.6 ms = ~1.3 G CLV site-updates/s — 2.8x the round-1 per-level kernel
-and ~52x the natively compiled reference (-O3 -march=native -fopenmp
-AVX2) on the host CPU. Where the time goes:
+config (128 taxa x 16384 sites, GTR+G4 fp32) runs one full eval
+(pmatrices + traversal + edge logL) in ~0.2 ms = ~10 G CLV
+site-updates/s and ~5000 full-tree logL evals/s (shared-chip variance
+0.11-0.23 ms across runs; k-chained in-dispatch timing) — ~350x the
+natively compiled reference (-O3 -march=native -fopenmp AVX2) on the
+host CPU, and >20x the round-1 number. At 1024 taxa x 32k sites the
+same program runs 2.9 G su/s with logL matching fp64 to 1.4e-7. Where
+the time goes:
 
-- HBM traffic per traversal is ~14 MB (packed int32 tip codes at
-  4 B/site + the two root-edge CLV rows) ≈ 20 us at the v5e's
-  ~820 GB/s — the kernel is NOT memory bound. The per-level kernel it
-  replaced moved ~750 MB (3 full CLV rows per op) and was HBM-bound at
-  ~11% of the chip.
-- Compute: ~300 FLOP per site-update on the VPU (two 4x4 state
-  contractions + product + scaling mask) -> ~0.4 TFLOP/s sustained
-  against a ~4 TFLOP/s fp32 VPU ceiling. The remaining ~10x is
-  in-register overhead: tip bit-decode, the per-op `lax.cond` on child
-  source, dynamic VMEM slot addressing, and the scan bookkeeping — all
-  per-element-cheap but not free. 20-state uses MXU `dot` per rate
-  instead of the unrolled FMA.
+- The Pallas kernel: plane layout (site axis viewed as [8, S/8] so
+  every (rate, state) row is a full vreg) with the whole postorder
+  resident in VMEM slots and the P-matrix coefficients in SMEM (scalar
+  prefetch): every FMA is coefficient-splat x plane, with single-cycle
+  scalar loads (VMEM scalar reads were ~40% of the kernel). HBM traffic
+  per traversal is ~14 MB (packed int32 tip codes at 4 B/site + the two
+  root-edge CLV rows) = ~20 us at the v5e's ~820 GB/s — NOT memory
+  bound. Site counts need no alignment: the kernel pads its tip codes
+  to the lane grain internally and the engine slices the root rows
+  back, so real alignments (4465 sites etc.) get the fast path.
+- Compute: ~290 FLOP per site-update on the VPU (two 4x4 state
+  contractions + product + scaling mask) -> ~3.1 TFLOP/s sustained
+  fp32, ~40% of the VPU issue ceiling with the mandatory per-op
+  scaling reduction, tip bit-decode and VMEM slot load/store taking
+  the rest. 20-state runs the rate contraction as ONE [80, 80]
+  block-diagonal MXU dot (0.18 ms/traversal, 0.71 G su/s = 2.3 TFLOP/s
+  sustained).
+- The XLA epilogue (pmatrix einsum + root-edge logL + Newton d1/d2)
+  is <15% of an eval. Two epilogue defects used to dominate (round-1:
+  11% of chip): a per-iteration scatter of the root rows copied the
+  whole 66 MB CLV buffer every loop trip, and the invariant-sites
+  frequency lookup used a lane-axis gather that Mosaic serializes per
+  lane (~0.7 ms at 16 k sites). Loops now carry only the root rows
+  (one scatter at the end), and the +I lookup is a [R, s] @ [s, S]
+  one-hot matmul (tools/profile_fused.py records the methodology).
 - Scaling to more chips: the kernel is elementwise over sites, so
   `jax.shard_map` over a `Mesh('sites')` runs it per shard with zero
-  collectives until the final logL psum (test_parallel_m6). Measured
-  on the real chip with a mesh of 1 attached: 1.58 ms/traversal
-  (1.30 G site-updates/s) — no slower than the mesh-free path.
+  collectives until the final logL psum (test_parallel_m6).
 
 **Site repeats.** The pooled class-column storage delivers the
-reference fork's memory promise and more (CLV+scaler bytes at ~0.10x
-dense on the 246x4465-scale conserved benchmark vs the reference's
-reported -30% end-to-end), and the VMEM-resident Pallas pool kernel
-(ops/pallas_repeats.py) now converts the compressed work (class columns
-= ~13% of dense matvecs) into wall-clock: ~3x faster than the dense
-path at the reference's flagship repeats size — against a dense path
-that is itself ~40x the reference CPU. Three ingredients: the whole
-pool lives in VMEM across the traversal (per-op cost ~1 us, no HBM
-round-trips); class permutes are blocked lane gathers instead of
-one-hot MXU matmuls; and each 128-wide output chunk only loops over
-its precomputed [lo, hi) source-block band — first-occurrence class
-numbering on both ends makes the band narrow (mean 1-4.5 blocks vs 35
-at full width), so the permute is near-O(W) in practice. Scaler
-semantics are identical to the XLA pool path (counts bit-equal on
-chip; CLVs agree to fp32 round-off, ~4e-7).
+reference fork's memory promise and more: CLV+scaler bytes at ~0.10x
+dense on the 246x4465-scale conserved benchmark (vs the reference's
+reported -30% end-to-end). The COMPUTE story changed once the dense
+fused kernel stopped touching HBM: recomputing duplicate class columns
+in VMEM is ~7x cheaper than permuting compressed ones through the pool
+kernel, so repeats partitions now EVALUATE through the dense fused
+kernel by default — measured 0.99x the dense engine's eval time
+(0.21 ms at 246x4465) with the 0.10x memory footprint intact. On TPU,
+site repeats is a memory optimization, not a compute one: the
+reference's 1.2-1.5x CPU speedup came from memory-bandwidth relief that
+no longer binds. The pooled compute paths remain for the fp64/XLA
+validation modes and minimal-VMEM use (`pallas='pool'`): the
+VMEM-resident Pallas pool kernel (ops/pallas_repeats.py; blocked lane
+gathers, per-chunk [lo, hi) source-block bands) runs the compressed
+work (class columns = ~13% of dense matvecs) ~3x faster than the dense
+XLA path at equal HBM-streaming storage. All three repeats kernels
+(XLA pool, Pallas pool, dense-fused) are asserted on-chip by the
+validation gate (13/13).
 
 **Stepwise parsimony.** The reference's stepwise is a branch-bound
 bit-ops loop with ~us-scale steps — a shape the 30 ms-per-dispatch
@@ -487,10 +504,10 @@ It is host work, so it runs on the host: a C++ engine
 (native/pllnative.cpp, stepwise_run) executes the whole build loop over
 the same packed Fitch bit-vectors — compiler-vectorized AND/OR/popcount,
 one partial-refresh pass + edge scan per insertion exactly like
-stepwise.c:266-389 — and beats the natively compiled reference 1.8x at
-128 taxa and 2.7x at 1000 taxa, producing newick-identical trees per
-seed (test_stepwise_m5)."""
-
+stepwise.c:266-389 — and beats the natively compiled reference 1.8-2.7x
+at 128-1000 taxa, producing newick-identical trees per seed
+(test_stepwise_m5).
+"""
 
 if __name__ == "__main__":
     main()
