@@ -227,6 +227,12 @@ def main():
         git = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                              capture_output=True, text=True,
                              timeout=10).stdout.strip()
+        wt = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+                            capture_output=True, text=True, timeout=10)
+        if wt.stdout.strip():
+            # results produced by uncommitted code: mark the provenance
+            # (also makes bench.py's certificate-reuse diff fail closed)
+            git += "-dirty"
     except Exception:
         git = ""
     summary = {"device": payload["platform"], "cases": len(results),

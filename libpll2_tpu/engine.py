@@ -791,11 +791,14 @@ class TreeEngine:
         self._levelk_wanted = (want_levelk and levelk_ok and on_target
                                and not self.repeats_mode)
         # pooled-repeats Pallas kernel: fp32, per-site scalers, no mesh
-        # (the class pools are global, not site-sharded)
+        # (the class pools are global, not site-sharded). Keyed on the
+        # partition's STORAGE, not repeats_mode: a dense-fused engine that
+        # falls back to pooled mode (unfusable schedule) must still be
+        # able to pick the pool kernel.
         self._repeats_pallas_wanted = (
-            self.repeats_mode and (want_fused or want_pool) and on_target
-            and p.dtype == jnp.float32 and not p.rate_scalers
-            and mesh is None)
+            p.repeats is not None and (want_fused or want_pool)
+            and on_target and p.dtype == jnp.float32
+            and not p.rate_scalers and mesh is None)
         self.fused_mesh = mesh
         self.levels = level_schedule
         self.params_index = params_index
@@ -1072,6 +1075,45 @@ class TreeEngine:
                     seen.add(id(h.back))
                     h.length = h.back.length = float(blen[h.pmatrix_index])
 
+    def _evaluate_topologies_pooled(self, candidates) -> np.ndarray:
+        """Candidate scoring over pooled storage: class schedules are
+        topology-dependent data of varying shapes, so candidates score
+        one dispatch each, then the engine's own schedule is restored."""
+        p = self.partition
+        out = np.zeros(len(candidates))
+        for i, (operations, branches, pmatrix_indices, root) in \
+                enumerate(candidates):
+            ri = list(root) if isinstance(root, (tuple, list)) else [
+                root.clv_index, root.scaler_index,
+                root.back.clv_index, root.back.scaler_index,
+                root.pmatrix_index]
+            buckets, root_cols, mat = self._pack_repeats(
+                operations, tuple(ri))
+            blen = np.zeros(p.prob_matrices)
+            blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
+            margs = list(self._model_args())
+            if self._edge_params_host is not None:
+                # heterotachy: THIS candidate's root edge's model
+                # drives the freqs/eigen mixing, exactly as
+                # set_topology + loglikelihood would compute
+                rm = int(self._edge_params_host[ri[4]])
+                margs[7] = self._rep(jnp.asarray(
+                    [rm] * p.rate_cats, np.int32))
+            total, _, _, _, _ = _repeats_loglikelihood(
+                p.clv_flat, p.sc_flat, *margs,
+                jnp.asarray(blen, p.dtype), buckets, root_cols, mat,
+                *self._site_args(), p.scale_threshold, p.scale_factor,
+                rate_scalers=p.rate_scalers,
+                asc_type=self.asc_type, n_real=self.n_real,
+                use_pallas=self.use_repeats_pallas,
+                pallas_interpret=self.pallas_interpret,
+                edge_params=self.edge_params)
+            out[i] = float(total)
+        if getattr(self, "_repeats_pack_args", None) is not None:
+            self.ops, self._root_cols, self._root_mat = \
+                self._pack_repeats(*self._repeats_pack_args)
+        return out
+
     def evaluate_topologies(self, candidates) -> np.ndarray:
         """logL for each (operations, branches, pmatrix_indices, root)
         candidate tuple, all in one dispatch (see _fused_multi_topology).
@@ -1082,41 +1124,7 @@ class TreeEngine:
         if k == 0:
             return np.zeros(0)
         if self.repeats_mode:
-            # class schedules are topology-dependent data of varying
-            # shapes: score candidates one dispatch each, then restore
-            # the engine's own schedule
-            out = np.zeros(k)
-            for i, (operations, branches, pmatrix_indices, root) in \
-                    enumerate(candidates):
-                ri = list(root) if isinstance(root, (tuple, list)) else [
-                    root.clv_index, root.scaler_index,
-                    root.back.clv_index, root.back.scaler_index,
-                    root.pmatrix_index]
-                buckets, root_cols, mat = self._pack_repeats(
-                    operations, tuple(ri))
-                blen = np.zeros(p.prob_matrices)
-                blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
-                margs = list(self._model_args())
-                if self._edge_params_host is not None:
-                    # heterotachy: THIS candidate's root edge's model
-                    # drives the freqs/eigen mixing, exactly as
-                    # set_topology + loglikelihood would compute
-                    rm = int(self._edge_params_host[ri[4]])
-                    margs[7] = self._rep(jnp.asarray(
-                        [rm] * p.rate_cats, np.int32))
-                total, _, _, _, _ = _repeats_loglikelihood(
-                    p.clv_flat, p.sc_flat, *margs,
-                    jnp.asarray(blen, p.dtype), buckets, root_cols, mat,
-                    *self._site_args(), p.scale_threshold, p.scale_factor,
-                    rate_scalers=p.rate_scalers,
-                    asc_type=self.asc_type, n_real=self.n_real,
-                    use_pallas=self.use_repeats_pallas,
-                    pallas_interpret=self.pallas_interpret,
-                    edge_params=self.edge_params)
-                out[i] = float(total)
-            self.ops, self._root_cols, self._root_mat = \
-                self._pack_repeats(*self._repeats_pack_args)
-            return out
+            return self._evaluate_topologies_pooled(candidates)
         w = 1
         while w < k:
             w *= 2
@@ -1152,6 +1160,11 @@ class TreeEngine:
             # variation does not trigger fresh kernel compiles
             fused_slots = max(-(-fused_slots // 4) * 4, self.fused_slots)
             ops_k = (jnp.asarray(np.stack(fused_tables)), self._tip_codes())
+        elif self.repeats_dense_fused:
+            # the scan fallback needs dense buffers a pooled partition
+            # does not have: score each candidate through the pooled
+            # engine path instead (one dispatch each)
+            return self._evaluate_topologies_pooled(candidates)
         else:
             for ci in range(w):
                 operations = candidates[min(ci, k - 1)][0]

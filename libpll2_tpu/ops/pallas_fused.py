@@ -352,7 +352,8 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
     e, r, s = pmatrix.shape[0], rates, states
     rs = rates * states
     if planes is None:
-        planes = states < 16 and sites % 1024 == 0
+        planes = (states < PLANE_STATES_MAX
+                  and sites % kernel_grain(states) == 0)
     if planes:
         # plane layout: site axis viewed as [8, sites/8] so every
         # (rate, state) row is a full vreg plane (the reshape is a pure
@@ -434,11 +435,17 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
     return clv_p, clv_c, scp[0, 0], scc[0, 0]
 
 
+PLANE_STATES_MAX = 16       # plane layout for alphabets below this
+PLANE_GRAIN = 1024          # sites per plane-layout tile grain (8 x 128)
+
+
 def kernel_grain(states: int) -> int:
-    """Site-width grain the kernel wants: 1024 enables the plane layout
-    for small alphabets (site axis viewed as [8, S/8] with 128-lane
-    tiles), 128 is the lane minimum for the row layout."""
-    return 1024 if states < 16 else 128
+    """Site-width grain the kernel wants: PLANE_GRAIN enables the plane
+    layout for small alphabets (site axis viewed as [8, S/8] with
+    128-lane tiles), 128 is the lane minimum for the row layout. Owns
+    the same predicate fused_traversal uses to pick the layout — pad to
+    this grain and the fast layout is guaranteed."""
+    return PLANE_GRAIN if states < PLANE_STATES_MAX else 128
 
 
 def tip_code_matrix(partition, pad_to: int = 0) -> np.ndarray:

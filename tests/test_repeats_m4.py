@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 import oracle
-from libpll2_tpu import Partition, compute_gamma_cats
+from libpll2_tpu import Operation, Partition, compute_gamma_cats
 from libpll2_tpu.io import maps
 from libpll2_tpu.trees import create_operations, random_utree, traverse
 from libpll2_tpu.utils.simulate import simulate_alignment
@@ -352,3 +352,44 @@ def test_repeats_dense_fused_engine():
              vr.back.clv_index, vr.back.scaler_index, vr.pmatrix_index))]
     scores = eng_f.evaluate_topologies(cand)
     np.testing.assert_allclose(scores[0], eng_f.loglikelihood(), rtol=2e-6)
+
+
+def test_repeats_dense_fused_unfusable_candidate():
+    """evaluate_topologies on a dense-fused repeats engine must fall back
+    to the pooled per-candidate scorer when a candidate's op list cannot
+    run on the fused kernel (regression: the scan fallback ran over the
+    1-row stub buffers and returned NaN for the whole batch)."""
+    import jax.numpy as jnp
+    from libpll2_tpu import TreeEngine
+    from libpll2_tpu.trees import create_operations, traverse
+
+    tree, headers, seqs = _simulated(seed=97)
+    by = dict(zip(headers, seqs))
+    part = Partition(tree.tip_count, tree.inner_count, 4, N_SITES, 1,
+                     tree.edge_count, 4, tree.inner_count,
+                     site_repeats=True, dtype=jnp.float32)
+    for tip in tree.tips():
+        part.set_tip_states(tip.clv_index, maps.map_nt, by[tip.label])
+    part.set_frequencies(0, FREQS)
+    part.set_subst_params(0, SUBST)
+    part.set_category_rates(compute_gamma_cats(0.8, 4))
+    eng = TreeEngine(part, tree, pallas="interpret")
+    assert eng.repeats_dense_fused
+    lk = eng.loglikelihood()
+
+    ops, br, pidx = create_operations(traverse(tree.vroot))
+    vr = tree.vroot
+    ri = (vr.clv_index, vr.scaler_index, vr.back.clv_index,
+          vr.back.scaler_index, vr.pmatrix_index)
+    # an unfusable candidate: strip the scaler from one op (the kernel
+    # requires a scaler per inner op and rejects the schedule)
+    bad = list(ops)
+    o = bad[0]
+    bad[0] = Operation(o.parent_clv_index, -1, o.child1_clv_index,
+                       o.child1_matrix_index, o.child1_scaler_index,
+                       o.child2_clv_index, o.child2_matrix_index,
+                       o.child2_scaler_index)
+    scores = eng.evaluate_topologies([(ops, br, pidx, ri),
+                                      (bad, br, pidx, ri)])
+    assert np.isfinite(scores[0]), scores
+    np.testing.assert_allclose(scores[0], lk, rtol=2e-6)

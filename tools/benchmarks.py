@@ -242,8 +242,10 @@ def bench_repeats():
     # engine level: repeats partitions EVALUATE through the dense fused
     # kernel by default (compressed storage, dense math) — the memory win
     # should now come at ~zero eval-speed cost vs a dense partition
-    ed = TreeEngine(make(False)[0], make(False)[1])
-    er = TreeEngine(make(True)[0], make(True)[1])
+    part_d, tree_d = make(False)
+    part_r, tree_r = make(True)
+    ed = TreeEngine(part_d, tree_d)
+    er = TreeEngine(part_r, tree_r)
     dt_d = device_time(ed)
     dt_r = device_time(er)
     record("repeats_engine_vs_dense", dt_d / dt_r, "x",
