@@ -834,12 +834,15 @@ class TreeEngine:
 
     @property
     def use_repeats_pallas(self) -> bool:
-        """True when the pooled-repeats VMEM kernel is active: the whole
+        """True when the pooled-repeats VMEM kernel is active: the engine
+        must be in pooled compute mode (not dense-fused) and the whole
         class-column pool (CLV + scaler rows) must fit the kernel's VMEM
         budget alongside its per-bucket scratch."""
-        if not self._repeats_pallas_wanted:
+        if not (self._repeats_pallas_wanted and self.repeats_mode):
             return False
         p = self.partition
+        if p.clv_flat is None:       # pools not materialized yet
+            return False
         rs = p.rate_cats * p.states
         T = p.clv_flat.shape[2]
         T2 = p.sc_flat.shape[-1]
