@@ -229,9 +229,12 @@ def main():
                              timeout=10).stdout.strip()
         wt = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
                             capture_output=True, text=True, timeout=10)
-        if wt.stdout.strip():
-            # results produced by uncommitted code: mark the provenance
-            # (also makes bench.py's certificate-reuse diff fail closed)
+        touched = [l[3:] for l in wt.stdout.splitlines()
+                   if l[3:].startswith("libpll2_tpu/")
+                   or l[3:] == "bench_validate.py"]
+        if touched:
+            # results produced by uncommitted validated code: mark the
+            # provenance (bench.py's reuse diff then fails closed)
             git += "-dirty"
     except Exception:
         git = ""
