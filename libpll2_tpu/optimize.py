@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import Dict, Iterable
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,10 +108,14 @@ def maximize_loglikelihood(engine: TreeEngine,
                            steps: int = 200,
                            learning_rate: float = 0.02,
                            tol: float = 1e-6,
-                           patience: int = 25):
+                           patience: int = 25,
+                           chunk: int = 25):
     """Adam ascent on logL over the selected parameter groups.
 
-    Stops early only after `patience` consecutive steps without a
+    Runs `chunk` Adam steps per device dispatch (a `lax.scan` over the
+    update — on a tunneled TPU a host-driven per-step loop pays tens of
+    ms of latency per step; the early-stop check runs between chunks).
+    Stops only after `patience` consecutive steps without a
     tol-improvement of the best logL (Adam is non-monotone, so a single
     flat step must not terminate). Returns (final logL, params, history);
     the best-seen parameters are applied back to the engine/partition.
@@ -118,34 +124,54 @@ def maximize_loglikelihood(engine: TreeEngine,
 
     fn, params = make_loglikelihood_fn(engine, optimize)
     loss = jax.jit(lambda q: -fn(q))
-    grad = jax.jit(jax.value_and_grad(lambda q: -fn(q)))
+    grad = jax.value_and_grad(lambda q: -fn(q))
     opt = optax.adam(learning_rate)
     state = opt.init(params)
+    chunk = max(1, min(chunk, steps, patience))
 
-    @jax.jit
-    def step(params, state):
-        value, g = grad(params)
-        updates, state = opt.update(g, state)
-        return optax.apply_updates(params, updates), state, -value
+    @partial(jax.jit, static_argnames=("n",))
+    def run_chunk(params, state, n):
+        def body(carry, _):
+            params, state = carry
+            value, g = grad(params)
+            updates, state = opt.update(g, state)
+            params = optax.apply_updates(params, updates)
+            # lks[i] is logL AT the pre-update params; params_hist[i] is
+            # the params AFTER update i (tiny pytrees — stacking them
+            # keeps exact best-params tracking across the chunk)
+            return (params, state), (-value, params)
+        (params, state), (lks, hist) = jax.lax.scan(
+            body, (params, state), None, length=n)
+        return params, state, lks, hist
 
     history = []
     best = -np.inf
     best_params = params
     stale = 0
-    for i in range(steps):
-        params, state, lk = step(params, state)
-        lk = float(lk)
-        history.append(lk)
-        if lk > best + tol:
-            best = lk
-            best_params = params
-            stale = 0
-        else:
-            stale += 1
-            if stale >= patience:
-                break
+    done = 0
+    while done < steps and stale < patience:
+        entry = params
+        n = min(chunk, steps - done)
+        params, state, lks, hist = run_chunk(params, state, n)
+        lks = np.asarray(lks, dtype=np.float64)
+        history.extend(lks.tolist())
+        done += n
+        for i, lk in enumerate(lks):
+            if lk > best + tol:
+                best = float(lk)
+                # params that PRODUCED lks[i]: entry for i=0, else the
+                # result of update i-1
+                best_params = entry if i == 0 else jax.tree.map(
+                    lambda a: a[i - 1], hist)
+                stale = 0
+            else:
+                stale += 1
 
-    final = float(-loss(best_params))
+    # the final params were never evaluated inside the scan: consider them
+    final_candidates = [best_params, params]
+    finals = [float(-loss(q)) for q in final_candidates]
+    best_params = final_candidates[int(np.argmax(finals))]
+    final = max(finals)
     _apply(engine, best_params)
     return final, best_params, history
 
