@@ -120,9 +120,22 @@ def maximize_loglikelihood(engine: TreeEngine,
     flat step must not terminate). Returns (final logL, params, history);
     the best-seen parameters are applied back to the engine/partition.
     """
+    fn, params = make_loglikelihood_fn(engine, optimize)
+    final, best_params, history = adam_ascent(
+        fn, params, steps=steps, learning_rate=learning_rate, tol=tol,
+        patience=patience, chunk=chunk)
+    _apply(engine, best_params)
+    return final, best_params, history
+
+
+def adam_ascent(fn, params, steps: int = 200, learning_rate: float = 0.02,
+                tol: float = 1e-6, patience: int = 25, chunk: int = 25):
+    """Chunked-scan Adam ascent on a differentiable scalar fn(params);
+    returns (best logL, best params, per-step history). The engine-aware
+    wrapper is maximize_loglikelihood; PartitionedEngine.maximize reuses
+    this loop over a joint multi-partition objective."""
     import optax
 
-    fn, params = make_loglikelihood_fn(engine, optimize)
     loss = jax.jit(lambda q: -fn(q))
     grad = jax.value_and_grad(lambda q: -fn(q))
     opt = optax.adam(learning_rate)
@@ -172,7 +185,6 @@ def maximize_loglikelihood(engine: TreeEngine,
     finals = [float(-loss(q)) for q in final_candidates]
     best_params = final_candidates[int(np.argmax(finals))]
     final = max(finals)
-    _apply(engine, best_params)
     return final, best_params, history
 
 

@@ -63,3 +63,61 @@ class PartitionedEngine:
                 e.branches = e.branches.at[mat].set(
                     jnp.asarray(new_len, e.partition.dtype))
         return total, d1, d2
+
+    def make_joint_loglikelihood_fn(self, optimize=("branches",)):
+        """(fn, params0): fn(params) = sum of per-partition logL,
+        differentiable. Parameter keys: `log_branches` is SHARED across
+        partitions when linked (the RAxML-NG "linked branch lengths"
+        partitioned model); per-partition model parameters are namespaced
+        `p{i}:log_subst` / `p{i}:freq_logits`. Engines must be built with
+        pallas=False (the differentiable XLA path)."""
+        from .optimize import make_loglikelihood_fn
+
+        fns = []
+        params = {}
+        for i, e in enumerate(self.engines):
+            fi, pi = make_loglikelihood_fn(e, optimize)
+            fns.append(fi)
+            for k, v in pi.items():
+                if k == "log_branches" and self.linked:
+                    params.setdefault("log_branches", v)
+                else:
+                    params[f"p{i}:{k}"] = v
+
+        linked = self.linked
+
+        def fn(q):
+            total = 0.0
+            for i, fi in enumerate(fns):
+                qi = {}
+                for k in ("log_subst", "freq_logits", "log_branches"):
+                    if f"p{i}:{k}" in q:
+                        qi[k] = q[f"p{i}:{k}"]
+                if linked and "log_branches" in q:
+                    qi["log_branches"] = q["log_branches"]
+                total = total + fi(qi)
+            return total
+
+        return fn, params
+
+    def maximize(self, optimize=("branches",), steps: int = 200,
+                 learning_rate: float = 0.02, tol: float = 1e-6,
+                 patience: int = 25, chunk: int = 25):
+        """Joint Adam ascent over all partitions: shared (linked) branch
+        lengths + per-partition model parameters, the standard partitioned
+        analysis (consumers' linked-branches mode). Applies the best
+        parameters back to every engine/partition; returns
+        (total logL, params, history)."""
+        from .optimize import _apply, adam_ascent
+
+        fn, params = self.make_joint_loglikelihood_fn(optimize)
+        final, best, history = adam_ascent(
+            fn, params, steps=steps, learning_rate=learning_rate,
+            tol=tol, patience=patience, chunk=chunk)
+        for i, e in enumerate(self.engines):
+            qi = {k.split(":", 1)[1]: v for k, v in best.items()
+                  if k.startswith(f"p{i}:")}
+            if self.linked and "log_branches" in best:
+                qi["log_branches"] = best["log_branches"]
+            _apply(e, qi)
+        return final, best, history

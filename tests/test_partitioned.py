@@ -9,6 +9,9 @@ from libpll2_tpu.partitioned import PartitionedEngine
 from libpll2_tpu.trees import random_utree
 from libpll2_tpu.utils import simulate_alignment
 
+FREQS = [0.3, 0.2, 0.2, 0.3]
+SUBST = [1, 2.2, 0.8, 1.1, 2.6, 1]
+
 
 def _parts(tree, n_parts=3):
     out = []
@@ -48,3 +51,84 @@ def test_partitioned_linked_newton_improves():
     # linked: every engine carries the same root branch length
     lens = {float(e.branches[int(e.root_idx[4])]) for e in pe.engines}
     assert len(lens) == 1
+
+
+def test_partitioned_joint_maximize_matches_concatenated():
+    """Joint optimization with linked branches and ONE shared model must
+    find the same optimum as optimizing the concatenated alignment as a
+    single partition (the objectives are mathematically identical)."""
+    from libpll2_tpu.optimize import maximize_loglikelihood
+
+    tree = random_utree([f"t{i}" for i in range(10)], seed=71)
+    h1, s1 = simulate_alignment(tree, 300, FREQS, SUBST, alpha=0.9,
+                                seed=71)
+    h2, s2 = simulate_alignment(tree, 200, FREQS, SUBST, alpha=0.9,
+                                seed=72)
+
+    def build(seqs_by_label, sites):
+        part = Partition(tree.tip_count, tree.inner_count, 4, sites, 1,
+                         tree.edge_count, 4, tree.inner_count)
+        for t in tree.tips():
+            part.set_tip_states(t.clv_index, maps.map_nt,
+                                seqs_by_label[t.label])
+        part.set_frequencies(0, FREQS)
+        part.set_subst_params(0, SUBST)
+        part.set_category_rates(compute_gamma_cats(0.9, 4))
+        return part
+
+    by1, by2 = dict(zip(h1, s1)), dict(zip(h2, s2))
+    pe = PartitionedEngine([build(by1, 300), build(by2, 200)], tree,
+                           linked=True, pallas=False)
+    lk0 = pe.loglikelihood()
+    fn, params = pe.make_joint_loglikelihood_fn(("branches",))
+    np.testing.assert_allclose(float(fn(params)), lk0, rtol=1e-10)
+
+    final, best, hist = pe.maximize(("branches",), steps=120,
+                                    learning_rate=0.05)
+    assert final > lk0 + 1.0
+    # every engine carries the SAME (linked) optimized branch lengths
+    b0 = np.asarray(pe.engines[0].branches)
+    b1 = np.asarray(pe.engines[1].branches)
+    np.testing.assert_allclose(b0, b1, rtol=1e-12)
+    np.testing.assert_allclose(pe.loglikelihood(), final, rtol=1e-9)
+
+    # concatenated single-partition reference optimum
+    cat = {k: by1[k] + by2[k] for k in by1}
+    part_c = build(cat, 500)
+    eng_c = TreeEngine(part_c, tree, pallas=False)
+    final_c, _, _ = maximize_loglikelihood(eng_c, ("branches",),
+                                           steps=120, learning_rate=0.05)
+    np.testing.assert_allclose(final, final_c, rtol=1e-6)
+
+
+def test_partitioned_per_partition_models():
+    """Per-partition subst/freqs optimize independently while branches
+    stay linked; the joint objective improves and applies back."""
+    tree = random_utree([f"t{i}" for i in range(8)], seed=81)
+    h1, s1 = simulate_alignment(tree, 256, [0.4, 0.1, 0.1, 0.4],
+                                [1, 4, 1, 1, 4, 1], alpha=0.9, seed=81)
+    h2, s2 = simulate_alignment(tree, 256, [0.1, 0.4, 0.4, 0.1],
+                                [2, 1, 2, 2, 1, 2], alpha=0.9, seed=82)
+
+    def build(h, s):
+        by = dict(zip(h, s))
+        part = Partition(tree.tip_count, tree.inner_count, 4, 256, 1,
+                         tree.edge_count, 4, tree.inner_count)
+        for t in tree.tips():
+            part.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+        part.set_frequencies(0, [0.25] * 4)
+        part.set_subst_params(0, [1, 1.2, 0.9, 1.1, 1.3, 1.0])
+        part.set_category_rates(compute_gamma_cats(0.9, 4))
+        return part
+
+    pe = PartitionedEngine([build(h1, s1), build(h2, s2)], tree,
+                           linked=True, pallas=False)
+    lk0 = pe.loglikelihood()
+    final, best, _ = pe.maximize(("branches", "subst", "freqs"),
+                                 steps=150, learning_rate=0.05)
+    assert final > lk0 + 5.0
+    # models diverged toward their partitions' truths
+    f0 = pe.engines[0].partition.frequencies[0]
+    f1 = pe.engines[1].partition.frequencies[0]
+    assert f0[0] > f0[1] and f1[1] > f1[0]
+    np.testing.assert_allclose(pe.loglikelihood(), final, rtol=1e-9)
