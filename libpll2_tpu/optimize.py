@@ -310,3 +310,100 @@ def _apply(engine: TreeEngine, params: Dict[str, jnp.ndarray]) -> None:
     if "log_subst" in params or "freq_logits" in params:
         for m in range(p.rate_matrices):
             p.update_eigen(m)
+
+
+def _brent_minimize(f, lo, hi, tol=1e-4, max_iter=60):
+    """Scalar bounded minimization (Brent). Self-contained so the library
+    carries no scipy dependency on its hot paths."""
+    gold = 0.3819660112501051
+    a, b = lo, hi
+    x = w = v = a + gold * (b - a)
+    fx = fw = fv = f(x)
+    d = e = 0.0
+    for _ in range(max_iter):
+        m = 0.5 * (a + b)
+        tol1 = tol * abs(x) + 1e-10
+        if abs(x - m) <= 2 * tol1 - 0.5 * (b - a):
+            break
+        use_golden = True
+        if abs(e) > tol1:
+            r = (x - w) * (fx - fv)
+            q = (x - v) * (fx - fw)
+            p = (x - v) * q - (x - w) * r
+            q = 2 * (q - r)
+            if q > 0:
+                p = -p
+            q = abs(q)
+            if (abs(p) < abs(0.5 * q * e) and p > q * (a - x)
+                    and p < q * (b - x)):
+                e, d = d, p / q          # parabolic step
+                u = x + d
+                if u - a < 2 * tol1 or b - u < 2 * tol1:
+                    d = tol1 if x < m else -tol1
+                use_golden = False
+        if use_golden:
+            e = (b if x < m else a) - x
+            d = gold * e
+        u = x + (d if abs(d) >= tol1 else (tol1 if d > 0 else -tol1))
+        fu = f(u)
+        if fu <= fx:
+            if u < x:
+                b = x
+            else:
+                a = x
+            v, w, x = w, x, u
+            fv, fw, fx = fw, fx, fu
+        else:
+            if u < x:
+                a = u
+            else:
+                b = u
+            if fu <= fw or w == x:
+                v, w = w, u
+                fv, fw = fw, fu
+            elif fu <= fv or v == x or v == w:
+                v, fv = u, fu
+    return x, fx
+
+
+def optimize_gamma_shape(engine: TreeEngine, lo: float = 0.02,
+                         hi: float = 100.0, tol: float = 1e-4,
+                         mode: int = C.GAMMA_RATES_MEAN):
+    """Brent optimization of the Gamma shape alpha (the consumers'
+    PLL-style one-dimensional Brent over category rates; the AS91
+    discretization is host code, so alpha is not reachable by jax.grad).
+    Each trial is ONE device eval at re-discretized rates. Applies the
+    best alpha's rates to the partition; returns (best alpha, logL)."""
+    from .ops.gamma import compute_gamma_cats as _cats
+    p = engine.partition
+    R = p.rate_cats
+    if R < 2:
+        raise C.PllError(C.ERROR_PARAM_INVALID,
+                         "gamma shape needs >= 2 rate categories")
+
+    def neg(alpha):
+        p.set_category_rates(_cats(float(alpha), R, mode))
+        return -engine.loglikelihood()
+
+    # log-scale search: alpha spans orders of magnitude
+    x, fx = _brent_minimize(lambda t: neg(np.exp(t)),
+                            np.log(lo), np.log(hi), tol=tol)
+    alpha = float(np.exp(x))
+    p.set_category_rates(_cats(alpha, R, mode))
+    return alpha, -fx
+
+
+def optimize_pinv(engine: TreeEngine, lo: float = 1e-6, hi: float = 0.99,
+                  tol: float = 1e-5, params_index: int = 0):
+    """Brent optimization of the invariant-sites proportion (+I). Each
+    trial is one device eval; applies the best pinv; returns
+    (best pinv, logL)."""
+    p = engine.partition
+
+    def neg(pinv):
+        p.update_invariant_sites_proportion(params_index, float(pinv))
+        return -engine.loglikelihood()
+
+    x, fx = _brent_minimize(neg, lo, hi, tol=tol)
+    p.update_invariant_sites_proportion(params_index, float(x))
+    return float(x), -fx

@@ -140,3 +140,65 @@ def test_newton_all_branches_matches_gradient_optimum(data):
     lk_newton = newton_optimize_branches(part, tree, [0] * 4, passes=3)
     assert lk_newton > lk0 + 1.0
     assert lk_newton >= lk_grad - 0.5
+
+
+def test_optimize_gamma_shape_recovers_truth():
+    """Brent over alpha recovers the generating shape (within the
+    statistical wobble of a finite alignment) and beats neighboring
+    alphas; scipy's bounded Brent agrees with the self-contained one."""
+    from libpll2_tpu.optimize import optimize_gamma_shape
+    from libpll2_tpu.trees import random_utree
+    from libpll2_tpu.utils import simulate_alignment
+    from libpll2_tpu.io import maps
+
+    true_alpha = 0.6
+    tree = random_utree([f"t{i}" for i in range(12)], seed=5)
+    headers, seqs = simulate_alignment(tree, 2000, [0.3, 0.2, 0.2, 0.3],
+                                       [1, 2.2, 0.8, 1.1, 2.6, 1],
+                                       alpha=true_alpha, seed=5)
+    by = dict(zip(headers, seqs))
+    part = Partition(tree.tip_count, tree.inner_count, 4, 2000, 1,
+                     tree.edge_count, 4, tree.inner_count)
+    for t in tree.tips():
+        part.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+    part.set_frequencies(0, [0.3, 0.2, 0.2, 0.3])
+    part.set_subst_params(0, [1, 2.2, 0.8, 1.1, 2.6, 1])
+    part.set_category_rates(compute_gamma_cats(2.0, 4))   # start far off
+    eng = TreeEngine(part, tree, pallas=False)
+    alpha, lk = optimize_gamma_shape(eng)
+    assert 0.3 < alpha < 1.2, alpha
+    # the optimum beats nearby alphas
+    for trial in (alpha * 0.7, alpha * 1.4):
+        part.set_category_rates(compute_gamma_cats(trial, 4))
+        assert eng.loglikelihood() < lk + 1e-6
+    # restore + verify the applied optimum is reproducible
+    part.set_category_rates(compute_gamma_cats(alpha, 4))
+    np.testing.assert_allclose(eng.loglikelihood(), lk, rtol=1e-10)
+
+
+def test_optimize_pinv():
+    from libpll2_tpu.optimize import optimize_pinv
+    from libpll2_tpu.trees import random_utree
+    from libpll2_tpu.utils import simulate_alignment
+    from libpll2_tpu.io import maps
+
+    tree = random_utree([f"t{i}" for i in range(10)], seed=9)
+    headers, seqs = simulate_alignment(tree, 800, [0.25] * 4,
+                                       [1, 2, 1, 1, 2, 1], alpha=0.9,
+                                       seed=9)
+    # inject truly invariant columns (a +I signal)
+    seqs = ["A" * 200 + s[200:] for s in seqs]
+    by = dict(zip(headers, seqs))
+    part = Partition(tree.tip_count, tree.inner_count, 4, 800, 1,
+                     tree.edge_count, 4, tree.inner_count)
+    for t in tree.tips():
+        part.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+    part.set_frequencies(0, [0.25] * 4)
+    part.set_subst_params(0, [1, 2, 1, 1, 2, 1])
+    part.set_category_rates(compute_gamma_cats(0.9, 4))
+    eng = TreeEngine(part, tree, pallas=False)
+    lk0 = eng.loglikelihood()
+    pinv, lk = optimize_pinv(eng)
+    assert 0.05 < pinv < 0.6, pinv
+    assert lk > lk0 + 1.0
+    np.testing.assert_allclose(eng.loglikelihood(), lk, rtol=1e-10)
