@@ -14,11 +14,12 @@ from .engine import TreeEngine
 from . import checkpoint
 from .partitioned import PartitionedEngine
 from .bootstrap import bootstrap_loglikelihoods
+from . import modelselect
 
 __all__ = [
     "constants", "AscBias", "PllError",
     "Operation", "Partition", "pack_operations",
     "compute_gamma_cats", "TreeEngine", "checkpoint",
-    "PartitionedEngine", "bootstrap_loglikelihoods",
+    "PartitionedEngine", "bootstrap_loglikelihoods", "modelselect",
 ]
 __version__ = "0.1.0"

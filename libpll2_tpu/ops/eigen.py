@@ -89,6 +89,41 @@ def update_eigen(subst_params: np.ndarray, freqs: np.ndarray) -> EigenSystem:
     return EigenSystem(eigenvals, evecs, inv_evecs)
 
 
+def _eigh_degenerate_safe(a):
+    """jnp.linalg.eigh with a gradient that is well-defined at REPEATED
+    eigenvalues. Named DNA models have structurally degenerate spectra
+    (K80/HKY: the transversion eigenvalue has multiplicity 2), where the
+    standard eigh JVP's 1/(lambda_j - lambda_i) factors produce NaN. For
+    any downstream function invariant under rotations of a degenerate
+    eigenspace — P(t) = E diag(exp(lambda t)) E^-1 is — the cross-terms
+    within the degenerate block contribute nothing, so masking them
+    yields the correct gradient.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.custom_jvp
+    def eigh(a):
+        return jnp.linalg.eigh(a)
+
+    @eigh.defjvp
+    def eigh_jvp(primals, tangents):
+        (a,), (da,) = primals, tangents
+        w, v = jnp.linalg.eigh(a)
+        da = (da + jnp.swapaxes(da, -1, -2)) / 2
+        vt_da_v = jnp.swapaxes(v, -1, -2) @ da @ v
+        dw = jnp.diagonal(vt_da_v, axis1=-2, axis2=-1)
+        diff = w[..., None, :] - w[..., :, None]
+        scale = jnp.max(jnp.abs(w), axis=(-1,), keepdims=True)[..., None]
+        degenerate = jnp.abs(diff) <= 1e-9 * jnp.maximum(scale, 1e-30)
+        f = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0,
+                                                       diff))
+        dv = v @ (f * vt_da_v)
+        return (w, v), (dw, dv)
+
+    return eigh(a)
+
+
 def update_eigen_jax(subst_params, freqs):
     """Differentiable on-device eigendecomposition (batched over a leading
     axis): same math as update_eigen but in jnp with `jnp.linalg.eigh`, so
@@ -118,7 +153,7 @@ def update_eigen_jax(subst_params, freqs):
     mean = jnp.sum(freqs * -diag, axis=1)
     s = s / mean[:, None, None]
 
-    w, v = jnp.linalg.eigh(s)
+    w, v = _eigh_degenerate_safe(s)
     sqrt_f = jnp.sqrt(freqs)
     evecs = jnp.swapaxes(v, 1, 2) * sqrt_f[:, None, :]
     inv_evecs = v / sqrt_f[:, :, None]

@@ -37,7 +37,8 @@ from .ops import eigen as ops_eigen
 
 
 def _build_params(engine: TreeEngine,
-                  optimize: Iterable[str]) -> Dict[str, jnp.ndarray]:
+                  optimize: Iterable[str],
+                  subst_template=None) -> Dict[str, jnp.ndarray]:
     p = engine.partition
     d = p.dtype
     params: Dict[str, jnp.ndarray] = {}
@@ -45,9 +46,20 @@ def _build_params(engine: TreeEngine,
         blen = jnp.maximum(engine.branches, C.OPT_MIN_BRANCH_LEN)
         params["log_branches"] = jnp.log(blen).astype(d)
     if "subst" in optimize:
-        rates = np.maximum(p.subst_params, 1e-6)
-        rates = rates / rates[:, -1:]
-        params["log_subst"] = jnp.asarray(np.log(rates[:, :-1]), d)
+        if subst_template is not None:
+            n_free = int(np.max(subst_template))
+            if n_free > 0:
+                # start away from the all-rates-equal point: jnp.linalg
+                # .eigh's gradient is undefined at repeated eigenvalues
+                # (exactly-symmetric models), and a zero init IS that
+                # degenerate point
+                init = np.linspace(0.08, 0.25, n_free)
+                params["log_subst"] = jnp.asarray(
+                    np.tile(init, (p.rate_matrices, 1)), d)
+        else:
+            rates = np.maximum(p.subst_params, 1e-6)
+            rates = rates / rates[:, -1:]
+            params["log_subst"] = jnp.asarray(np.log(rates[:, :-1]), d)
     if "freqs" in optimize:
         params["freq_logits"] = jnp.asarray(np.log(
             np.maximum(p.frequencies, 1e-10)), d)
@@ -55,15 +67,27 @@ def _build_params(engine: TreeEngine,
 
 
 def make_loglikelihood_fn(engine: TreeEngine,
-                          optimize: Iterable[str] = ("branches",)):
+                          optimize: Iterable[str] = ("branches",),
+                          subst_template=None):
     """Returns (fn, params0): fn(params) -> logL, differentiable.
 
-    Only the XLA execution paths are differentiable; the engine may use
-    Pallas for plain evaluation, but optimization always runs levels/scan.
+    `subst_template` (int array over the upper-triangle rate slots) ties
+    exchangeability rates into classes for NESTED substitution models:
+    class 0 is pinned to rate 1, classes 1..n map to free log-rates —
+    e.g. DNA HKY is [0, 1, 0, 0, 1, 0] (one free transition/transversion
+    ratio), GTR is [1, 2, 3, 4, 5, 0]. Only the XLA execution paths are
+    differentiable; the engine may use Pallas for plain evaluation, but
+    optimization always runs levels/scan.
     """
     p = engine.partition
     d = p.dtype
     optimize = tuple(optimize)
+    if subst_template is not None:
+        subst_template = np.asarray(subst_template, np.int32)
+        if subst_template.shape != (p.subst_params.shape[1],):
+            raise C.PllError(C.ERROR_PARAM_INVALID,
+                             "subst_template must cover every rate slot")
+        tmpl = jnp.asarray(subst_template)
     if engine.use_pallas:
         # rebuild XLA-path op tables for the differentiable program
         raise ValueError("build the TreeEngine with pallas=False for "
@@ -78,14 +102,28 @@ def make_loglikelihood_fn(engine: TreeEngine,
     site_args = engine._site_args()
     clv0, sc0 = p.clv, p.scale_buffer
 
+    def expand_subst(params):
+        if "log_subst" not in params:
+            if subst_template is not None:
+                # all classes pinned (e.g. JC/F81): every rate is 1
+                return jnp.ones_like(base_subst)
+            return base_subst
+        if subst_template is not None:
+            # class 0 pinned to 1; classes 1..n are free log-rates
+            full = jnp.concatenate(
+                [jnp.ones((p.rate_matrices, 1), d),
+                 jnp.exp(params["log_subst"])], axis=1)
+            return full[:, tmpl]
+        return jnp.concatenate(
+            [jnp.exp(params["log_subst"]),
+             jnp.ones_like(params["log_subst"][:, :1])], axis=1)
+
     def fn(params: Dict[str, jnp.ndarray]):
         freqs = (jax.nn.softmax(params["freq_logits"], axis=-1)
                  if "freq_logits" in params else base_freqs)
-        if "log_subst" in params or "freq_logits" in params:
-            subst = (jnp.concatenate(
-                [jnp.exp(params["log_subst"]),
-                 jnp.ones_like(params["log_subst"][:, :1])], axis=1)
-                if "log_subst" in params else base_subst)
+        if ("log_subst" in params or "freq_logits" in params
+                or subst_template is not None):
+            subst = expand_subst(params)
             ev, evecs, inv_evecs = ops_eigen.update_eigen_jax(subst, freqs)
         else:
             ev, inv_evecs, evecs = base_eigen
@@ -100,7 +138,7 @@ def make_loglikelihood_fn(engine: TreeEngine,
             n_real=engine.n_real)
         return total
 
-    return fn, _build_params(engine, optimize)
+    return fn, _build_params(engine, optimize, subst_template)
 
 
 def maximize_loglikelihood(engine: TreeEngine,
@@ -109,7 +147,8 @@ def maximize_loglikelihood(engine: TreeEngine,
                            learning_rate: float = 0.02,
                            tol: float = 1e-6,
                            patience: int = 25,
-                           chunk: int = 25):
+                           chunk: int = 25,
+                           subst_template=None):
     """Adam ascent on logL over the selected parameter groups.
 
     Runs `chunk` Adam steps per device dispatch (a `lax.scan` over the
@@ -120,11 +159,12 @@ def maximize_loglikelihood(engine: TreeEngine,
     flat step must not terminate). Returns (final logL, params, history);
     the best-seen parameters are applied back to the engine/partition.
     """
-    fn, params = make_loglikelihood_fn(engine, optimize)
+    fn, params = make_loglikelihood_fn(engine, optimize,
+                                       subst_template=subst_template)
     final, best_params, history = adam_ascent(
         fn, params, steps=steps, learning_rate=learning_rate, tol=tol,
         patience=patience, chunk=chunk)
-    _apply(engine, best_params)
+    _apply(engine, best_params, subst_template=subst_template)
     return final, best_params, history
 
 
@@ -291,14 +331,20 @@ def newton_optimize_branches(partition, tree, params_indices,
     return logl
 
 
-def _apply(engine: TreeEngine, params: Dict[str, jnp.ndarray]) -> None:
+def _apply(engine: TreeEngine, params: Dict[str, jnp.ndarray],
+           subst_template=None) -> None:
     p = engine.partition
     if "log_branches" in params:
         engine.branches = jnp.exp(params["log_branches"]).astype(p.dtype)
     if "log_subst" in params:
-        subst = np.concatenate(
-            [np.exp(np.asarray(params["log_subst"], np.float64)),
-             np.ones((p.rate_matrices, 1))], axis=1)
+        free = np.exp(np.asarray(params["log_subst"], np.float64))
+        if subst_template is not None:
+            full = np.concatenate(
+                [np.ones((p.rate_matrices, 1)), free], axis=1)
+            subst = full[:, np.asarray(subst_template, np.int32)]
+        else:
+            subst = np.concatenate(
+                [free, np.ones((p.rate_matrices, 1))], axis=1)
         for m in range(p.rate_matrices):
             p.set_subst_params(m, subst[m])
     if "freq_logits" in params:
