@@ -158,3 +158,65 @@ def _iter_unodes(root: UNode):
         for r in ring:
             if r.back is not None:
                 stack.append(r.back)
+
+
+def tree_bipartitions(tree: UTree):
+    """Non-trivial bipartitions as a set of frozensets of tip labels
+    (each internal edge splits the taxa; the side not containing the
+    lexicographically smallest label canonicalizes the split)."""
+    all_labels = frozenset(t.label for t in tree.tips())
+    anchor = min(all_labels)
+    splits = set()
+
+    def tips_below(h):
+        """Tip labels on the far side of half-edge h."""
+        if h.back.is_tip():
+            return {h.back.label}
+        out = set()
+        stack = [h.back]
+        while stack:
+            node = stack.pop()
+            for nh in node.ring():
+                if nh is node:
+                    continue
+                if nh.back.is_tip():
+                    out.add(nh.back.label)
+                else:
+                    stack.append(nh.back)
+        return out
+
+    seen = set()
+    for node in tree.nodes():
+        if node.is_tip():
+            continue
+        for h in node.ring():
+            if h.back is None or h.back.is_tip() or id(h) in seen \
+                    or id(h.back) in seen:
+                continue
+            seen.add(id(h)), seen.add(id(h.back))
+            side = frozenset(tips_below(h))
+            if anchor in side:
+                side = all_labels - side
+            if 1 < len(side) < len(all_labels) - 1:
+                splits.add(side)
+    return splits
+
+
+def rf_distance(tree_a: UTree, tree_b: UTree,
+                normalized: bool = False) -> float:
+    """Robinson-Foulds distance between two unrooted trees over the same
+    taxa: the symmetric difference of their non-trivial bipartition sets
+    (the standard topology metric consumers report; one NNI move changes
+    exactly one bipartition, so adjacent topologies are at RF 2)."""
+    la = {t.label for t in tree_a.tips()}
+    lb = {t.label for t in tree_b.tips()}
+    if la != lb:
+        from .. import constants as C
+        raise C.PllError(C.ERROR_PARAM_INVALID,
+                         "trees must share an identical taxon set")
+    sa, sb = tree_bipartitions(tree_a), tree_bipartitions(tree_b)
+    rf = len(sa ^ sb)
+    if not normalized:
+        return float(rf)
+    denom = len(sa) + len(sb)
+    return rf / denom if denom else 0.0

@@ -308,3 +308,32 @@ def test_newton_branch_optimization_converges():
                                           root.pmatrix_index, pidx)
     assert lk1 >= lk0 - 1e-9
     ref.destroy()
+
+
+def test_rf_distance():
+    """RF properties: identity 0; one NNI move changes exactly one
+    bipartition (RF 2); disjoint caterpillar vs balanced-ish trees are
+    far; the normalized metric is in [0, 1]."""
+    from libpll2_tpu import constants as C
+    from libpll2_tpu.trees import random_utree, rf_distance
+    from libpll2_tpu.trees.utils import utree_clone
+    from libpll2_tpu.trees import moves
+
+    labels = [f"t{i}" for i in range(12)]
+    t1 = random_utree(labels, seed=3)
+    assert rf_distance(t1, t1) == 0.0
+    t2 = utree_clone(t1)
+    edge = next(h for n in t2.nodes() if not n.is_tip()
+                for h in n.ring()
+                if h.back is not None and not h.back.is_tip())
+    moves.nni(edge, C.UTREE_MOVE_NNI_LEFT, None)
+    assert rf_distance(t1, t2) == 2.0
+    t3 = random_utree(labels, seed=99)
+    d = rf_distance(t1, t3)
+    dn = rf_distance(t1, t3, normalized=True)
+    assert d >= 2.0 and 0.0 < dn <= 1.0
+    # mismatched taxon sets are rejected
+    t4 = random_utree([f"x{i}" for i in range(12)], seed=3)
+    import pytest
+    with pytest.raises(C.PllError):
+        rf_distance(t1, t4)
