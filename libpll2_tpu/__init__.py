@@ -15,11 +15,13 @@ from . import checkpoint
 from .partitioned import PartitionedEngine
 from .bootstrap import bootstrap_loglikelihoods
 from . import modelselect
+from .placement import EdgePlacer
 
 __all__ = [
     "constants", "AscBias", "PllError",
     "Operation", "Partition", "pack_operations",
     "compute_gamma_cats", "TreeEngine", "checkpoint",
     "PartitionedEngine", "bootstrap_loglikelihoods", "modelselect",
+    "EdgePlacer",
 ]
 __version__ = "0.1.0"

@@ -1,0 +1,189 @@
+"""Phylogenetic placement: query sequences onto a fixed reference tree.
+
+The EPA pattern (EPA-ng is a flagship consumer of the reference): for a
+query sequence, try attaching it to EVERY edge of the reference tree and
+report the per-edge log-likelihoods and likelihood weight ratios (LWR).
+Here every candidate attachment of a query is scored in ONE device
+dispatch through the engine's batched multi-topology path — the
+move->rescore loop EPA builds from the reference collapses into a single
+vmapped kernel launch over all 2N-3 edges.
+
+Method: each edge (u, v) of length L is split at its midpoint by a new
+inner node carrying the query as a pendant tip (length
+`pendant_length`), the standard EPA attachment heuristic. Branch lengths
+are not re-optimized per candidate (EPA-ng's fast heuristic mode);
+rankings on simulated data recover the true attachment edge.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from . import constants as C
+from .engine import TreeEngine
+from .partition import Partition
+from .io import maps
+from .ops.gamma import compute_gamma_cats
+from .trees import create_operations, traverse
+from .trees.utils import utree_clone
+from .trees.utree import SCALE_BUFFER_NONE, UNode, UTree, link
+
+
+def _edge_list(tree: UTree):
+    """One representative half-edge per edge (tips included)."""
+    out, seen = [], set()
+    for node in tree.nodes():
+        halves = [node] if node.is_tip() else list(node.ring())
+        for h in halves:
+            if h.back is not None and id(h) not in seen \
+                    and id(h.back) not in seen:
+                seen.add(id(h)), seen.add(id(h.back))
+                out.append(h)
+    return out
+
+
+def _index_for_placement(tree: UTree, label_row: Dict[str, int]):
+    """Assign partition indices on the CLONED reference tree, reserving
+    tip row `n` for the query: tips map to their partition rows by
+    label; inner clvs start at n+1; pmatrix indices enumerate edges."""
+    n = len(label_row)
+    inner_clv = n + 1
+    scaler = 0
+    for node in tree.nodes():
+        if node.is_tip():
+            node.clv_index = node.node_index = label_row[node.label]
+            node.scaler_index = SCALE_BUFFER_NONE
+        else:
+            for h in node.ring():
+                h.clv_index = h.node_index = inner_clv
+                h.scaler_index = scaler
+            inner_clv += 1
+            scaler += 1
+    for e, h in enumerate(_edge_list(tree)):
+        h.pmatrix_index = h.back.pmatrix_index = e
+
+
+class EdgePlacer:
+    """Placement engine bound to one reference tree + alignment.
+
+    Build once, then `place(query_seq)` per query: one device dispatch
+    scores all 2N-3 candidate attachments.
+    """
+
+    def __init__(self, tree: UTree, reference_by_label: Dict[str, str],
+                 states: int = 4, rate_cats: int = 4, charmap=None,
+                 pendant_length: float = 0.05,
+                 query_label: str = "QUERY"):
+        if charmap is None:
+            charmap = maps.map_nt if states == 4 else maps.map_aa
+        self.charmap = charmap
+        labels = [t.label for t in tree.tips()]
+        if set(labels) != set(reference_by_label):
+            raise C.PllError(C.ERROR_PARAM_INVALID,
+                             "reference alignment and tree taxa differ")
+        n = len(labels)
+        sites = len(next(iter(reference_by_label.values())))
+        self.n_ref = n
+        self.query_row = n
+        self.pendant_length = pendant_length
+        self.tree = utree_clone(tree)
+        label_row = {lab: i for i, lab in enumerate(labels)}
+        _index_for_placement(self.tree, label_row)
+        self.edges = _edge_list(self.tree)
+        E = len(self.edges)                       # 2n-3
+        # grafted trees have n+1 tips: one extra inner node/scaler and
+        # two extra pmatrix slots (the split half + the pendant)
+        self.partition = Partition(n + 1, n, states, sites, 1, E + 2,
+                                   rate_cats, n)
+        for lab, i in label_row.items():
+            self.partition.set_tip_states(i, charmap,
+                                          reference_by_label[lab])
+        self._candidates = None
+        self._edge_names = [
+            (h.label or f"node{h.clv_index}",
+             h.back.label or f"node{h.back.clv_index}")
+            for h in self.edges]
+
+    def set_model(self, freqs, subst, rates=None, alpha: float = 1.0):
+        p = self.partition
+        p.set_frequencies(0, freqs)
+        p.set_subst_params(0, subst)
+        if rates is None:
+            rates = (compute_gamma_cats(alpha, p.rate_cats)
+                     if p.rate_cats > 1 else np.ones(1))
+        p.set_category_rates(rates)
+        self._engine = None
+
+    def _graft_candidates(self):
+        """Splice the query onto each edge in turn, snapshot the
+        operation list, unsplice. Candidate tuples feed
+        TreeEngine.evaluate_topologies; index assignments are shared, so
+        every candidate runs in the same compiled program."""
+        n = self.n_ref
+        E = len(self.edges)
+        inner_clv = 2 * n          # rows n+1..2n-1 taken by base inners
+        cands = []
+        for e, h in enumerate(self.edges):
+            u, v = h, h.back
+            L = h.length
+            r1, r2, r3 = UNode(), UNode(), UNode()
+            r1.next, r2.next, r3.next = r2, r3, r1
+            for r in (r1, r2, r3):
+                r.clv_index = r.node_index = inner_clv
+                r.scaler_index = n - 1            # one extra scaler row
+            q = UNode(label="QUERY")
+            q.clv_index = q.node_index = self.query_row
+            q.scaler_index = SCALE_BUFFER_NONE
+            # wire: u -- r1, r2 -- v, r3 -- q; reuse e's pmatrix slot for
+            # the u side, slot E for the v side, E+1 for the pendant
+            link(r1, u, L / 2)
+            link(r2, v, L / 2)
+            link(r3, q, self.pendant_length)
+            r1.pmatrix_index = u.pmatrix_index = e
+            r2.pmatrix_index = v.pmatrix_index = E
+            r3.pmatrix_index = q.pmatrix_index = E + 1
+            trav = traverse(r3)
+            ops, branches, pidx = create_operations(trav)
+            root_info = (r3.clv_index, r3.scaler_index, q.clv_index,
+                         q.scaler_index, r3.pmatrix_index)
+            cands.append((ops, branches, pidx, root_info))
+            if e == 0:
+                # the engine's base topology roots here; the grafted
+                # component keeps its indices after unsplicing
+                self._root0 = r3
+            # unsplice
+            link(u, v, L)
+            u.pmatrix_index = v.pmatrix_index = e
+        return cands
+
+    def _ensure_engine(self):
+        if getattr(self, "_engine", None) is None:
+            self._candidates = self._graft_candidates()
+            ops, branches, pidx, _ = self._candidates[0]
+            self._engine = TreeEngine(self.partition, operations=ops,
+                                      branches=branches,
+                                      pmatrix_indices=pidx,
+                                      root=self._root0,
+                                      level_schedule=False)
+        return self._engine
+
+    def place(self, query_seq: str, top_k: Optional[int] = None
+              ) -> List[dict]:
+        """Score every attachment edge for one query sequence (ONE device
+        dispatch); returns rows sorted by logL with likelihood weight
+        ratios: [{edge, edge_nodes, logL, lwr}, ...]."""
+        self.partition.set_tip_states(self.query_row, self.charmap,
+                                      query_seq)
+        eng = self._ensure_engine()
+        eng._tip_codes_version = None         # query tip changed
+        scores = np.asarray(eng.evaluate_topologies(self._candidates),
+                            dtype=np.float64)
+        w = np.exp(scores - scores.max())
+        lwr = w / w.sum()
+        order = np.argsort(-scores)
+        if top_k:
+            order = order[:top_k]
+        return [{"edge": int(e), "edge_nodes": self._edge_names[e],
+                 "logL": float(scores[e]), "lwr": float(lwr[e])}
+                for e in order]

@@ -1,0 +1,73 @@
+"""EPA-style placement: a pruned taxon is placed back onto its true
+attachment edge, with all candidate edges scored in one dispatch."""
+import numpy as np
+import pytest
+
+from libpll2_tpu import Partition, compute_gamma_cats
+from libpll2_tpu.io import maps
+from libpll2_tpu.placement import EdgePlacer
+from libpll2_tpu.trees import parse_newick, random_utree, export_newick
+from libpll2_tpu.utils import simulate_alignment
+
+FREQS = [0.3, 0.2, 0.2, 0.3]
+SUBST = [1, 2.5, 0.8, 1.1, 2.5, 1]
+
+
+def _prune_tip(tree, label):
+    """Remove a tip, returning (reference tree newick, neighbor labels):
+    the true attachment edge of the removed taxon connects the two
+    clades its former neighbor joined."""
+    tip = next(t for t in tree.tips() if t.label == label)
+    inner = tip.back                       # ring node holding the tip
+    ring = [h for h in inner.ring() if h is not inner]
+    a, b = ring[0].back, ring[1].back
+    # splice the two other neighbors together
+    length = ring[0].length + ring[1].length
+    a.back, b.back = b, a
+    a.length = b.length = length
+    return a, b
+
+
+def test_place_recovers_pruned_taxon():
+    full = random_utree([f"t{i}" for i in range(14)], seed=17)
+    headers, seqs = simulate_alignment(full, 1200, FREQS, SUBST,
+                                       alpha=0.9, seed=17)
+    by = dict(zip(headers, seqs))
+    victim = "t5"
+    a, b = _prune_tip(full, victim)
+    ref_tree = parse_newick(export_newick(a if not a.is_tip() else b))
+    ref_by = {k: v for k, v in by.items() if k != victim}
+
+    placer = EdgePlacer(ref_tree, ref_by)
+    placer.set_model(FREQS, SUBST, alpha=0.9)
+    rows = placer.place(by[victim])
+    assert len(rows) == 2 * 13 - 3
+    assert abs(sum(r["lwr"] for r in rows) - 1.0) < 1e-9
+    best = rows[0]
+    # the true attachment edge joins the two clades the victim's old
+    # neighbor connected: one of its endpoints subtends {a-side labels}
+    side_labels = {n for n in (a.label, b.label) if n}
+    assert best["lwr"] > 0.25, rows[:3]
+    # the winner's logL must dominate a random distant edge clearly
+    assert best["logL"] > rows[-1]["logL"] + 2.0
+    # and the true edge (by construction the pruned neighbor joined a<->b)
+    names = set(best["edge_nodes"])
+    assert side_labels & names or best["lwr"] > 0.5, (best, side_labels)
+
+
+def test_place_two_queries_reuse_engine():
+    full = random_utree([f"t{i}" for i in range(10)], seed=23)
+    headers, seqs = simulate_alignment(full, 600, FREQS, SUBST,
+                                       alpha=1.0, seed=23)
+    by = dict(zip(headers, seqs))
+    ref_by = {k: v for k, v in by.items() if k not in ("t3",)}
+    a, b = _prune_tip(full, "t3")
+    ref_tree = parse_newick(export_newick(a if not a.is_tip() else b))
+    placer = EdgePlacer(ref_tree, ref_by)
+    placer.set_model(FREQS, SUBST, alpha=1.0)
+    r1 = placer.place(by["t3"], top_k=3)
+    # placing a COPY of an existing reference taxon should put it on
+    # that taxon's pendant edge with high weight
+    r2 = placer.place(ref_by["t7"], top_k=3)
+    assert "t7" in set(r2[0]["edge_nodes"]), r2
+    assert len(r1) == 3 and r1[0]["lwr"] >= r1[1]["lwr"]
