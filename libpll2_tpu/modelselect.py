@@ -62,18 +62,18 @@ def _fit(engine, optimize, subst_template, steps, learning_rate,
          opt_alpha, rounds: int = 2):
     """Alternate gradient ascent (branches + free rates + freqs) with
     Brent over the Gamma shape; two rounds recover e.g. HKY's kappa to
-    ~1% of truth on simulated data."""
+    ~1% of truth on simulated data. Returns (logL, alpha or None)."""
     from .optimize import maximize_loglikelihood, optimize_gamma_shape
 
-    lk = None
+    lk, alpha = None, None
     for _ in range(rounds if opt_alpha else 1):
         lk, _, _ = maximize_loglikelihood(engine, optimize, steps=steps,
                                           learning_rate=learning_rate,
                                           patience=60,
                                           subst_template=subst_template)
         if opt_alpha:
-            _, lk = optimize_gamma_shape(engine)
-    return lk
+            alpha, lk = optimize_gamma_shape(engine)
+    return lk, alpha
 
 
 def select_dna_model(tree, sequences_by_label: Dict[str, str],
@@ -87,6 +87,8 @@ def select_dna_model(tree, sequences_by_label: Dict[str, str],
     dicts sorted best-first; each carries model/logL/k/AIC/AICc/BIC and
     the fitted alpha/freqs/subst. k counts branches + free rates +
     (states-1 if frequencies are estimated) + (1 if rate_cats > 1)."""
+    if criterion not in ("AIC", "AICc", "BIC"):
+        raise ValueError("criterion must be AIC, AICc or BIC")
     sites = len(next(iter(sequences_by_label.values())))
     results = []
     for name in models:
@@ -103,12 +105,12 @@ def select_dna_model(tree, sequences_by_label: Dict[str, str],
             groups.append("subst")
         if spec["est_freqs"]:
             groups.append("freqs")
-        lk = _fit(eng, tuple(groups), tmpl, steps, learning_rate,
-                  opt_alpha=rate_cats > 1)
+        lk, alpha = _fit(eng, tuple(groups), tmpl, steps, learning_rate,
+                         opt_alpha=rate_cats > 1)
         k = (tree.edge_count + n_free
              + (3 if spec["est_freqs"] else 0)
              + (1 if rate_cats > 1 else 0))
-        row = {"model": name, **_criteria(lk, k, sites),
+        row = {"model": name, **_criteria(lk, k, sites), "alpha": alpha,
                "freqs": np.asarray(part.frequencies[0]).tolist(),
                "subst": np.asarray(part.subst_params[0]).tolist()}
         results.append(row)
@@ -124,6 +126,8 @@ def select_aa_model(tree, sequences_by_label: Dict[str, str],
     frequencies; branches by gradient, Gamma shape by Brent) by the
     information criterion. `models` defaults to all 20 single-matrix
     empirical models. k counts branches + (1 if rate_cats > 1)."""
+    if criterion not in ("AIC", "AICc", "BIC"):
+        raise ValueError("criterion must be AIC, AICc or BIC")
     from .models import AA_MODEL_NAMES, load_aa_model
 
     if models is None:
@@ -135,8 +139,9 @@ def select_aa_model(tree, sequences_by_label: Dict[str, str],
                                 rate_cats, maps.map_aa)
         load_aa_model(part, name)
         eng = TreeEngine(part, tree, pallas=False)
-        lk = _fit(eng, ("branches",), None, steps, learning_rate,
-                  opt_alpha=rate_cats > 1)
+        lk, alpha = _fit(eng, ("branches",), None, steps, learning_rate,
+                         opt_alpha=rate_cats > 1)
         k = tree.edge_count + (1 if rate_cats > 1 else 0)
-        results.append({"model": name, **_criteria(lk, k, sites)})
+        results.append({"model": name, **_criteria(lk, k, sites),
+                        "alpha": alpha})
     return sorted(results, key=lambda r: r[criterion])

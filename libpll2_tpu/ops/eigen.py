@@ -89,6 +89,11 @@ def update_eigen(subst_params: np.ndarray, freqs: np.ndarray) -> EigenSystem:
     return EigenSystem(eigenvals, evecs, inv_evecs)
 
 
+import jax as _jax
+import jax.numpy as _jnp
+
+
+@_jax.custom_jvp
 def _eigh_degenerate_safe(a):
     """jnp.linalg.eigh with a gradient that is well-defined at REPEATED
     eigenvalues. Named DNA models have structurally degenerate spectra
@@ -99,29 +104,28 @@ def _eigh_degenerate_safe(a):
     within the degenerate block contribute nothing, so masking them
     yields the correct gradient.
     """
-    import jax
-    import jax.numpy as jnp
+    return _jnp.linalg.eigh(a)
 
-    @jax.custom_jvp
-    def eigh(a):
-        return jnp.linalg.eigh(a)
 
-    @eigh.defjvp
-    def eigh_jvp(primals, tangents):
-        (a,), (da,) = primals, tangents
-        w, v = jnp.linalg.eigh(a)
-        da = (da + jnp.swapaxes(da, -1, -2)) / 2
-        vt_da_v = jnp.swapaxes(v, -1, -2) @ da @ v
-        dw = jnp.diagonal(vt_da_v, axis1=-2, axis2=-1)
-        diff = w[..., None, :] - w[..., :, None]
-        scale = jnp.max(jnp.abs(w), axis=(-1,), keepdims=True)[..., None]
-        degenerate = jnp.abs(diff) <= 1e-9 * jnp.maximum(scale, 1e-30)
-        f = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0,
-                                                       diff))
-        dv = v @ (f * vt_da_v)
-        return (w, v), (dw, dv)
-
-    return eigh(a)
+@_eigh_degenerate_safe.defjvp
+def _eigh_degenerate_safe_jvp(primals, tangents):
+    (a,), (da,) = primals, tangents
+    w, v = _jnp.linalg.eigh(a)
+    da = (da + _jnp.swapaxes(da, -1, -2)) / 2
+    vt_da_v = _jnp.swapaxes(v, -1, -2) @ da @ v
+    dw = _jnp.diagonal(vt_da_v, axis1=-2, axis2=-1)
+    diff = w[..., None, :] - w[..., :, None]
+    scale = _jnp.max(_jnp.abs(w), axis=(-1,), keepdims=True)[..., None]
+    # structurally repeated eigenvalues separate by ~eps(dtype) in the
+    # computed spectrum, so the mask width must track the dtype: a fixed
+    # fp64-sized window (1e-9) never fires in fp32 and the 1/diff factor
+    # amplifies fp32 rounding noise instead of suppressing it
+    tol = 1e3 * _jnp.finfo(a.dtype).eps
+    degenerate = _jnp.abs(diff) <= tol * _jnp.maximum(scale, 1e-30)
+    f = _jnp.where(degenerate, 0.0,
+                   1.0 / _jnp.where(degenerate, 1.0, diff))
+    dv = v @ (f * vt_da_v)
+    return (w, v), (dw, dv)
 
 
 def update_eigen_jax(subst_params, freqs):

@@ -47,15 +47,24 @@ def _build_params(engine: TreeEngine,
         params["log_branches"] = jnp.log(blen).astype(d)
     if "subst" in optimize:
         if subst_template is not None:
-            n_free = int(np.max(subst_template))
+            tmpl = np.asarray(subst_template, np.int32)
+            n_free = int(tmpl.max())
             if n_free > 0:
-                # start away from the all-rates-equal point: jnp.linalg
-                # .eigh's gradient is undefined at repeated eigenvalues
-                # (exactly-symmetric models), and a zero init IS that
-                # degenerate point
-                init = np.linspace(0.08, 0.25, n_free)
-                params["log_subst"] = jnp.asarray(
-                    np.tile(init, (p.rate_matrices, 1)), d)
+                # warm-start each class from the partition's CURRENT
+                # rates (a second optimization round must not restart
+                # from scratch); fall back to a small spread when the
+                # rates sit at the all-equal point — eigh's gradient is
+                # degenerate exactly there
+                cur = np.maximum(np.asarray(p.subst_params, np.float64),
+                                 1e-9)
+                base = np.array([cur[:, tmpl == 0].mean(axis=1)]).T
+                init = np.stack(
+                    [np.log(cur[:, tmpl == c].mean(axis=1) / base[:, 0])
+                     for c in range(1, n_free + 1)], axis=1)
+                flat = np.abs(init) < 1e-3
+                init[flat] = np.tile(np.linspace(0.08, 0.25, n_free),
+                                     (p.rate_matrices, 1))[flat]
+                params["log_subst"] = jnp.asarray(init, d)
         else:
             rates = np.maximum(p.subst_params, 1e-6)
             rates = rates / rates[:, -1:]
@@ -118,13 +127,22 @@ def make_loglikelihood_fn(engine: TreeEngine,
             [jnp.exp(params["log_subst"]),
              jnp.ones_like(params["log_subst"][:, :1])], axis=1)
 
+    params0 = _build_params(engine, optimize, subst_template)
+    model_varies = "log_subst" in params0 or "freq_logits" in params0
+    if subst_template is not None and not model_varies:
+        # e.g. JC with fixed frequencies: the tied model is a constant —
+        # decompose once instead of per optimizer step inside the scan
+        tmpl_eigen = ops_eigen.update_eigen_jax(expand_subst({}),
+                                                base_freqs)
+
     def fn(params: Dict[str, jnp.ndarray]):
         freqs = (jax.nn.softmax(params["freq_logits"], axis=-1)
                  if "freq_logits" in params else base_freqs)
-        if ("log_subst" in params or "freq_logits" in params
-                or subst_template is not None):
+        if model_varies:
             subst = expand_subst(params)
             ev, evecs, inv_evecs = ops_eigen.update_eigen_jax(subst, freqs)
+        elif subst_template is not None:
+            ev, evecs, inv_evecs = tmpl_eigen
         else:
             ev, inv_evecs, evecs = base_eigen
         branches = (jnp.exp(params["log_branches"])
@@ -138,7 +156,7 @@ def make_loglikelihood_fn(engine: TreeEngine,
             n_real=engine.n_real)
         return total
 
-    return fn, _build_params(engine, optimize, subst_template)
+    return fn, params0
 
 
 def maximize_loglikelihood(engine: TreeEngine,

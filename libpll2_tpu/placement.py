@@ -86,6 +86,7 @@ class EdgePlacer:
         sites = len(next(iter(reference_by_label.values())))
         self.n_ref = n
         self.query_row = n
+        self.query_label = query_label
         self.pendant_length = pendant_length
         self.tree = utree_clone(tree)
         label_row = {lab: i for i, lab in enumerate(labels)}
@@ -132,7 +133,7 @@ class EdgePlacer:
             for r in (r1, r2, r3):
                 r.clv_index = r.node_index = inner_clv
                 r.scaler_index = n - 1            # one extra scaler row
-            q = UNode(label="QUERY")
+            q = UNode(label=self.query_label)
             q.clv_index = q.node_index = self.query_row
             q.scaler_index = SCALE_BUFFER_NONE
             # wire: u -- r1, r2 -- v, r3 -- q; reuse e's pmatrix slot for
@@ -176,7 +177,6 @@ class EdgePlacer:
         self.partition.set_tip_states(self.query_row, self.charmap,
                                       query_seq)
         eng = self._ensure_engine()
-        eng._tip_codes_version = None         # query tip changed
         scores = np.asarray(eng.evaluate_topologies(self._candidates),
                             dtype=np.float64)
         w = np.exp(scores - scores.max())

@@ -71,3 +71,49 @@ def test_place_two_queries_reuse_engine():
     r2 = placer.place(ref_by["t7"], top_k=3)
     assert "t7" in set(r2[0]["edge_nodes"]), r2
     assert len(r1) == 3 and r1[0]["lwr"] >= r1[1]["lwr"]
+
+
+def test_placement_logl_matches_oracle():
+    """Per-edge placement logL equals the reference library evaluating
+    the identical grafted tree (CLAUDE.md numeric parity rule)."""
+    import oracle
+    if not oracle.available():
+        pytest.skip("reference not available")
+    full = random_utree([f"t{i}" for i in range(9)], seed=29)
+    headers, seqs = simulate_alignment(full, 400, FREQS, SUBST,
+                                       alpha=0.8, seed=29)
+    by = dict(zip(headers, seqs))
+    a, b = _prune_tip(full, "t2")
+    ref_tree = parse_newick(export_newick(a if not a.is_tip() else b))
+    ref_by = {k: v for k, v in by.items() if k != "t2"}
+
+    placer = EdgePlacer(ref_tree, ref_by, pendant_length=0.07)
+    placer.set_model(FREQS, SUBST, alpha=0.8)
+    rows = placer.place(by["t2"])
+    by_edge = {r["edge"]: r["logL"] for r in rows}
+
+    # drive the reference through the SAME candidate operation lists
+    n = placer.n_ref
+    E = len(placer.edges)
+    sites = len(next(iter(ref_by.values())))
+    ref = oracle.OraclePartition(n + 1, n, 4, sites, 1, E + 2, 4, n)
+    labels = [t.label for t in placer.tree.tips()]
+    for i, lab in enumerate(labels):
+        ref.set_tip_states(i, "nt", ref_by[lab])
+    ref.set_tip_states(n, "nt", by["t2"])
+    ref.set_frequencies(0, FREQS)
+    ref.set_subst_params(0, SUBST)
+    ref.set_category_rates(compute_gamma_cats(0.8, 4))
+    pidx = [0] * 4
+    for e in (0, E // 2, E - 1):
+        ops, branches, pmat_idx, ri = placer._candidates[e]
+        ref.update_prob_matrices(pidx, pmat_idx, branches)
+        ref.update_partials([(o.parent_clv_index, o.parent_scaler_index,
+                              o.child1_clv_index, o.child1_matrix_index,
+                              o.child1_scaler_index, o.child2_clv_index,
+                              o.child2_matrix_index, o.child2_scaler_index)
+                             for o in ops])
+        lk_ref = ref.edge_loglikelihood(ri[0], ri[1], ri[2], ri[3], ri[4],
+                                        pidx)
+        np.testing.assert_allclose(by_edge[e], lk_ref, rtol=1e-9)
+    ref.destroy()
