@@ -384,6 +384,39 @@ def bench_spr():
            f"{dt_first:.1f} s ({accepted} moves, logL {lk:.1f})")
 
 
+def bench_placement():
+    log("[4d] EPA-style placement (100-taxon reference, 1024 sites)")
+    from libpll2_tpu import EdgePlacer
+    from libpll2_tpu.trees import export_newick, parse_newick
+
+    full = random_utree([f"t{i}" for i in range(101)], seed=23)
+    freqs = [0.3, 0.2, 0.2, 0.3]
+    subst = np.array([1, 2, 1, 1, 2, 1.0])
+    headers, seqs = simulate_alignment(full, 1024, freqs, subst,
+                                       alpha=0.9, seed=23)
+    by = dict(zip(headers, seqs))
+    victim = "t100"
+    tip = next(t for t in full.tips() if t.label == victim)
+    ring = [h for h in tip.back.ring() if h is not tip.back]
+    a, b = ring[0].back, ring[1].back
+    a.back, b.back = b, a
+    a.length = b.length = ring[0].length + ring[1].length
+    ref_tree = parse_newick(export_newick(a if not a.is_tip() else b))
+    ref_by = {k: v for k, v in by.items() if k != victim}
+    placer = EdgePlacer(ref_tree, ref_by)
+    placer.set_model(freqs, subst, alpha=0.9)
+    rows = placer.place(by[victim])          # compile
+    n_edges = len(rows)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        placer.place(by[victim])
+        best = min(best, time.perf_counter() - t0)
+    record("placement_queries_per_sec", 1 / best, "queries/s",
+           f"{n_edges} candidate edges scored per query in one dispatch "
+           f"({best*1e3:.0f} ms/query incl. tip upload)")
+
+
 def bench_stepwise():
     sizes = [(48, 1024)] if QUICK else [(128, 1024), (1000, 1024)]
     for n, sites in sizes:
@@ -421,6 +454,7 @@ def main():
     bench_repeats()
     bench_newton_sweep()
     bench_spr()
+    bench_placement()
     bench_stepwise()
 
     lines = ["# BENCHMARKS — measured results",
