@@ -117,3 +117,39 @@ def test_placement_logl_matches_oracle():
                                         pidx)
         np.testing.assert_allclose(by_edge[e], lk_ref, rtol=1e-9)
     ref.destroy()
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("mode", ["fallback", "fused"])
+def test_place_batch_matches_place(mode):
+    """Batched (query x edge) grid scoring equals per-query placement —
+    through the fused kernel (fp32, interpret) and through the fp64
+    fallback loop."""
+    import jax.numpy as jnp
+
+    full = random_utree([f"t{i}" for i in range(10)], seed=43)
+    headers, seqs = simulate_alignment(full, 512, FREQS, SUBST,
+                                       alpha=0.9, seed=43)
+    by = dict(zip(headers, seqs))
+    a, b = _prune_tip(full, "t6")
+    ref_tree = parse_newick(export_newick(a if not a.is_tip() else b))
+    ref_by = {k: v for k, v in by.items() if k != "t6"}
+
+    kw = (dict(dtype=jnp.float32, pallas="interpret")
+          if mode == "fused" else {})
+    placer = EdgePlacer(ref_tree, ref_by, **kw)
+    placer.set_model(FREQS, SUBST, alpha=0.9)
+    single = placer.place(by["t6"])
+    if mode == "fused":
+        assert placer._engine.use_fused
+    queries = {"t6": by["t6"], "t6b": by["t6"]}
+    batch = placer.place_batch(queries, chunk=2)
+    np.testing.assert_allclose(
+        [r["logL"] for r in batch["t6"]],
+        [r["logL"] for r in single], rtol=1e-5)
+    assert batch["t6"][0]["edge"] == single[0]["edge"]
+    np.testing.assert_allclose(
+        [r["logL"] for r in batch["t6b"]],
+        [r["logL"] for r in batch["t6"]], rtol=1e-12)

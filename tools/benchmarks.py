@@ -405,16 +405,23 @@ def bench_placement():
     ref_by = {k: v for k, v in by.items() if k != victim}
     placer = EdgePlacer(ref_tree, ref_by)
     placer.set_model(freqs, subst, alpha=0.9)
-    rows = placer.place(by[victim])          # compile
+    rows = placer.place(by[victim])          # compile single path
     n_edges = len(rows)
+    rng2 = np.random.default_rng(1)
+    Q = 32
+    queries = {f"q{i}": "".join(rng2.choice(list("ACGT"), size=1024))
+               for i in range(Q)}
+    queries["q0"] = by[victim]
+    placer.place_batch(queries, chunk=16)    # compile batch path
     best = float("inf")
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        placer.place(by[victim])
+        placer.place_batch(queries, chunk=16)
         best = min(best, time.perf_counter() - t0)
-    record("placement_queries_per_sec", 1 / best, "queries/s",
-           f"{n_edges} candidate edges scored per query in one dispatch "
-           f"({best*1e3:.0f} ms/query incl. tip upload)")
+    record("placement_queries_per_sec", Q / best, "queries/s",
+           f"batched: {Q} queries x {n_edges} edges "
+           f"({Q * n_edges} placements) in {best:.2f} s; single-query "
+           f"place() is dispatch-bound at ~9/s")
 
 
 def bench_stepwise():
