@@ -833,6 +833,23 @@ class TreeEngine:
         return self.use_fused or self.use_levelkernel
 
     @property
+    def execution_path(self) -> str:
+        """Which compute path this engine actually selected — eligibility
+        checks (fp32, per-site scalers, tips from state codes, mesh
+        alignment) downgrade SILENTLY, so inspect this when performance
+        looks wrong. One of: repeats-dense-fused, fused, levels-kernel,
+        pool-pallas, pool, levels, scan."""
+        if self.repeats_dense_fused:
+            return "repeats-dense-fused"
+        if self.use_fused:
+            return "fused"
+        if self.use_levelkernel:
+            return "levels-kernel"
+        if self.repeats_mode:
+            return "pool-pallas" if self.use_repeats_pallas else "pool"
+        return "levels" if self.levels else "scan"
+
+    @property
     def use_repeats_pallas(self) -> bool:
         """True when the pooled-repeats VMEM kernel is active: the engine
         must be in pooled compute mode (not dense-fused) and the whole

@@ -122,3 +122,45 @@ def test_encode_msa_illegal_byte_is_pll_error():
         # decode_states path via set_tip_states
         _, part = _setup(repeats=False)
         part.set_tip_states(0, maps.map_nt, "A" * (N_SITES - 1) + "\xff")
+
+
+def test_execution_path_introspection():
+    """TreeEngine.execution_path names the selected compute path — the
+    eligibility downgrades are silent, so this is the diagnostic."""
+    import jax.numpy as jnp
+    from libpll2_tpu import Partition, TreeEngine, compute_gamma_cats
+    from libpll2_tpu.io import maps
+    from libpll2_tpu.trees import random_utree
+    from libpll2_tpu.utils import simulate_alignment
+
+    tree = random_utree([f"t{i}" for i in range(8)], seed=61)
+    headers, seqs = simulate_alignment(tree, 256, [0.25] * 4,
+                                       [1, 2, 1, 1, 2, 1], alpha=0.9,
+                                       seed=61)
+    by = dict(zip(headers, seqs))
+
+    def build(dtype=None, repeats=False):
+        part = Partition(tree.tip_count, tree.inner_count, 4, 256, 1,
+                         tree.edge_count, 4, tree.inner_count,
+                         dtype=dtype, site_repeats=repeats)
+        for t in tree.tips():
+            part.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+        part.set_frequencies(0, [0.25] * 4)
+        part.set_subst_params(0, [1, 2, 1, 1, 2, 1])
+        part.set_category_rates(compute_gamma_cats(0.9, 4))
+        return part
+
+    assert TreeEngine(build(), tree, pallas=False).execution_path \
+        == "levels"
+    assert TreeEngine(build(), tree, pallas=False,
+                      level_schedule=False).execution_path == "scan"
+    assert TreeEngine(build(jnp.float32), tree,
+                      pallas="interpret").execution_path == "fused"
+    assert TreeEngine(build(repeats=True), tree,
+                      pallas=False).execution_path == "pool"
+    assert TreeEngine(build(jnp.float32, repeats=True), tree,
+                      pallas="interpret").execution_path \
+        == "repeats-dense-fused"
+    assert TreeEngine(build(jnp.float32, repeats=True), tree,
+                      pallas="pool-interpret").execution_path \
+        == "pool-pallas"
