@@ -5,5 +5,6 @@ from .random_tree import random_alignment, random_newick, random_utree
 from .rtree import RNode, RTree
 from .utree import UNode, UTree, compile_levels, create_operations, traverse
 from .svg import SvgAttrib, export_svg
-from .utils import (check_integrity, graph_clone, rf_distance,
-                    rtree_unroot, tree_bipartitions, utree_clone)
+from .utils import (check_integrity, edge_support, graph_clone,
+                    majority_rule_consensus, rf_distance, rtree_unroot,
+                    tree_bipartitions, utree_clone)

@@ -220,3 +220,36 @@ def rf_distance(tree_a: UTree, tree_b: UTree,
         return float(rf)
     denom = len(sa) + len(sb)
     return rf / denom if denom else 0.0
+
+
+def edge_support(tree: UTree, replicate_trees) -> dict:
+    """Bootstrap support per non-trivial bipartition of `tree`: the
+    fraction of replicate trees containing the same split (what
+    consumers annotate onto internal edges after a bootstrap search).
+    Returns {bipartition(frozenset of labels): support in [0, 1]}."""
+    target = tree_bipartitions(tree)
+    counts = {s: 0 for s in target}
+    reps = list(replicate_trees)
+    for rt in reps:
+        for s in tree_bipartitions(rt) & target:
+            counts[s] += 1
+    n = max(len(reps), 1)
+    return {s: c / n for s, c in counts.items()}
+
+
+def majority_rule_consensus(trees, threshold: float = 0.5):
+    """Majority-rule consensus: the set of bipartitions appearing in more
+    than `threshold` of the input trees (threshold 0.5 guarantees the
+    splits are pairwise compatible). Returns a list of
+    (bipartition, support) sorted by support, descending — the split set
+    consumers feed into consensus-tree construction and reporting."""
+    trees = list(trees)
+    if not trees:
+        return []
+    counts: dict = {}
+    for t in trees:
+        for s in tree_bipartitions(t):
+            counts[s] = counts.get(s, 0) + 1
+    n = len(trees)
+    out = [(s, c / n) for s, c in counts.items() if c / n > threshold]
+    return sorted(out, key=lambda kv: -kv[1])

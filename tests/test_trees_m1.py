@@ -337,3 +337,37 @@ def test_rf_distance():
     import pytest
     with pytest.raises(C.PllError):
         rf_distance(t1, t4)
+
+
+def test_consensus_and_support():
+    """Majority-rule consensus and bootstrap edge support from
+    bipartition counting: identical replicates give support 1.0 on every
+    split; one divergent replicate lowers exactly the splits it breaks;
+    >0.5 splits are pairwise compatible by construction."""
+    from libpll2_tpu import constants as C
+    from libpll2_tpu.trees import (edge_support, majority_rule_consensus,
+                                   random_utree, tree_bipartitions)
+    from libpll2_tpu.trees import moves
+    from libpll2_tpu.trees.utils import utree_clone
+
+    labels = [f"t{i}" for i in range(10)]
+    base = random_utree(labels, seed=13)
+    reps = [utree_clone(base) for _ in range(4)]
+    # perturb one replicate by an NNI
+    edge = next(h for n in reps[-1].nodes() if not n.is_tip()
+                for h in n.ring()
+                if h.back is not None and not h.back.is_tip())
+    moves.nni(edge, C.UTREE_MOVE_NNI_LEFT, None)
+
+    sup = edge_support(base, reps)
+    assert set(sup) == tree_bipartitions(base)
+    vals = sorted(sup.values())
+    assert vals[-1] == 1.0 and vals[0] == 0.75     # one NNI breaks 1 split
+    assert sum(v < 1.0 for v in sup.values()) == 1
+
+    cons = majority_rule_consensus(reps)
+    splits = [s for s, _ in cons]
+    assert set(splits) <= tree_bipartitions(base) | \
+        tree_bipartitions(reps[-1])
+    # every consensus split supported by > half the replicates
+    assert all(c > 0.5 for _, c in cons)
