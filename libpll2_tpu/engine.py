@@ -1082,6 +1082,54 @@ class TreeEngine:
             p.clv, p.scale_buffer = clv, scaler
         return float(total), np.asarray(per)
 
+    def site_rate_posteriors(self):
+        """Empirical-Bayes per-site Gamma-category posteriors and
+        posterior-mean site rates across the root edge (the consumers'
+        per-site rate output). Returns (posteriors [R, sites_padded],
+        site_rates [sites_padded]) as numpy arrays; synthetic asc/pad
+        columns carry whatever the math gives and should be ignored."""
+        p = self.partition
+        margs = self._model_args()
+        (eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+         rate_weights, freqs, pidx) = margs
+        if self.repeats_mode:
+            self.loglikelihood()
+            pc, psc, cc, csc = self._root_cols
+            clv_p = jnp.take(p.clv_flat, pc, axis=2)
+            clv_c = jnp.take(p.clv_flat, cc, axis=2)
+            sc_p = jnp.take(p.sc_flat, psc, axis=-1)
+            sc_c = jnp.take(p.sc_flat, csc, axis=-1)
+            pm_root = jnp.take(p.pmatrix, self._root_mat, axis=0)
+        elif self.repeats_dense_fused:
+            # pooled storage has no dense rows: one no-scatter eval
+            # returns the root rows directly
+            _, _, rows, _, pmatrix = _fused_loglikelihood(
+                *self._dense_bufs(), *margs, self.branches, self.ops,
+                self.root_idx, *self._site_args(), p.scale_threshold,
+                p.scale_factor, rate_scalers=p.rate_scalers,
+                pallas_interpret=self.pallas_interpret,
+                asc_type=self.asc_type, n_real=self.n_real,
+                fused_slots=self.fused_slots,
+                edge_params=self.edge_params, fused_scatter=False)
+            clv_p, clv_c, sc_p, sc_c = rows
+            pm_root = jnp.take(pmatrix, self.root_idx[4], axis=0)
+        else:
+            self.loglikelihood()       # refresh the root rows
+            ri = self.root_idx
+            clv_p = jnp.take(p.clv, ri[0], axis=0)
+            clv_c = jnp.take(p.clv, ri[2], axis=0)
+            # scaler index -1 (a tip) wraps to the last row, which the
+            # partition guarantees to be all-zero (SCALE_BUFFER_NONE)
+            sc_p = jnp.take(p.scale_buffer, ri[1], axis=0)
+            sc_c = jnp.take(p.scale_buffer, ri[3], axis=0)
+            pm_root = jnp.take(p.pmatrix, ri[4], axis=0)
+        post, site_rate = ops_likelihood.rate_posteriors(
+            clv_p, clv_c, sc_p, sc_c, pm_root, freqs, prop_invar,
+            rates, rate_weights, pidx,
+            scale_threshold=p.scale_threshold,
+            rate_scalers=p.rate_scalers)
+        return np.asarray(post), np.asarray(site_rate)
+
     def apply_branches_to_tree(self, tree) -> None:
         """Write the engine's (possibly optimized) branch lengths back onto
         the tree's half-edges, keyed by pmatrix index."""

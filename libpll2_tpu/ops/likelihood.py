@@ -287,3 +287,40 @@ def node_ancestral(clv_node: jnp.ndarray,           # [R, s, S]
                      f, preferred_element_type=dtype,
                      precision=jax.lax.Precision.HIGHEST)   # [S, s]
     return anc / jnp.sum(anc, axis=1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold'))
+def rate_posteriors(clv_parent, clv_child, pscaler, cscaler,
+                    pmatrix,                 # [R, s, s] root edge
+                    freqs, prop_invar, rates, rate_weights, params_idx,
+                    scale_threshold: float = 2.0 ** -256,
+                    rate_scalers: bool = False):
+    """Empirical-Bayes per-site rate-category posteriors across the root
+    edge: posterior[r, s] = w_r L_r(s) / sum_q w_q L_q(s), plus the
+    posterior-mean site rate (the consumers' per-site rate output).
+    Per-site scalers cancel in the ratio; per-rate scalers enter through
+    the capped relative factors. +I mass is folded into the mean as rate
+    0 with weight pinv (Gamma categories scaled by 1/(1-pinv) exactly as
+    the likelihood computes them)."""
+    dtype = clv_parent.dtype
+    f = freqs[params_idx].astype(dtype)                     # [R, s]
+    pinv = prop_invar[params_idx].astype(dtype)             # [R]
+
+    termb = jnp.einsum('rjk,rks->rjs', pmatrix, clv_child,
+                       preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+    term_r = jnp.einsum('rjs,rj->rs', clv_parent * termb, f,
+                        preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)  # [R, S]
+
+    sc = pscaler + cscaler
+    if rate_scalers:
+        cap = _cap_table(scale_threshold, dtype)   # relative factors only
+        _, rate_factor = _site_scalings(sc, True, cap)
+        term_r = term_r * rate_factor          # per-site part cancels
+    w = rate_weights[:, None].astype(dtype) * (1.0 - pinv)[:, None]
+    weighted = jnp.maximum(w * term_r, 0.0)                 # [R, S]
+    total = jnp.sum(weighted, axis=0, keepdims=True)        # [1, S]
+    post = weighted / jnp.maximum(total, jnp.finfo(dtype).tiny)
+    site_rate = jnp.sum(post * rates[:, None].astype(dtype), axis=0)
+    return post, site_rate

@@ -46,3 +46,68 @@ def test_node_ancestral_repeats_matches_dense():
     np.testing.assert_allclose(a_rep, a_dense, rtol=1e-10, atol=1e-14)
     ref_d.destroy()
     ref_r.destroy()
+
+
+def test_site_rate_posteriors():
+    """Per-site rate posteriors validated against an independent
+    computation: L_r(s) from R separate single-category evaluations,
+    posterior = softmax over log(w_r) + lnl_r(s). Also checks fast and
+    pooled engines agree."""
+    import jax.numpy as jnp
+    from libpll2_tpu import Partition, TreeEngine, compute_gamma_cats
+    from libpll2_tpu.io import maps
+    from libpll2_tpu.trees import random_utree
+    from libpll2_tpu.utils import simulate_alignment
+
+    FREQS = [0.3, 0.2, 0.2, 0.3]
+    SUBST = [1, 2.5, 0.8, 1.1, 2.5, 1]
+    tree = random_utree([f"t{i}" for i in range(10)], seed=51)
+    headers, seqs = simulate_alignment(tree, 300, FREQS, SUBST,
+                                       alpha=0.5, seed=51)
+    by = dict(zip(headers, seqs))
+    rates = compute_gamma_cats(0.5, 4)
+
+    def build(rate_set, repeats=False, dtype=None):
+        part = Partition(tree.tip_count, tree.inner_count, 4, 300, 1,
+                         tree.edge_count, len(rate_set),
+                         tree.inner_count, site_repeats=repeats,
+                         dtype=dtype)
+        for t in tree.tips():
+            part.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+        part.set_frequencies(0, FREQS)
+        part.set_subst_params(0, SUBST)
+        part.set_category_rates(rate_set)
+        return part
+
+    eng = TreeEngine(build(rates), tree, pallas=False)
+    post, site_rate = eng.site_rate_posteriors()
+    assert post.shape[0] == 4
+    np.testing.assert_allclose(post[:, :300].sum(axis=0), 1.0, rtol=1e-9)
+
+    # independent reference: per-category likelihoods via 4 single-rate
+    # evaluations (w_r = 1/4 each in the mixture)
+    lnls = []
+    for r in rates:
+        e1 = TreeEngine(build(np.array([r])), tree, pallas=False)
+        _, per = e1.loglikelihood_persite()
+        lnls.append(np.asarray(per)[:300])     # weights are all 1
+    lnls = np.stack(lnls)                      # log L_r(s)
+    ref = np.exp(lnls - lnls.max(axis=0))
+    ref = ref / ref.sum(axis=0)
+    np.testing.assert_allclose(post[:, :300], ref, rtol=1e-6, atol=1e-10)
+
+    # the pooled-repeats engine gives identical posteriors
+    eng_r = TreeEngine(build(rates, repeats=True), tree, pallas=False)
+    post_r, _ = eng_r.site_rate_posteriors()
+    np.testing.assert_allclose(post_r[:, :300], post[:, :300], rtol=1e-9)
+
+    # the dense-fused-over-pooled engine path (fp32) agrees too
+    eng_f = TreeEngine(build(rates, repeats=True, dtype=jnp.float32),
+                       tree, pallas="interpret")
+    assert eng_f.repeats_dense_fused
+    post_f, _ = eng_f.site_rate_posteriors()
+    np.testing.assert_allclose(post_f[:, :300], post[:, :300],
+                               rtol=5e-4, atol=1e-5)
+
+    # sanity: mean site rate near 1 (Gamma normalization)
+    assert 0.5 < site_rate[:300].mean() < 1.5
