@@ -316,3 +316,38 @@ def _place_scores(codes_q,            # [Q, tips, S_pad] int32
 
     _, grid = jax.lax.scan(edge_step, None, (blens_k, tables_k, roots_k))
     return grid.T                                   # [Q, E]
+
+
+def _jplace_subtree(h) -> str:
+    """Newick of the subtree behind half-edge h with {edge} annotations
+    (each edge carries its candidate index exactly once)."""
+    b = h.back
+    e = h.pmatrix_index
+    if b.is_tip():
+        return f"{b.label}:{b.length:.6f}{{{e}}}"
+    parts = ",".join(_jplace_subtree(r) for r in list(b.ring())[1:])
+    return f"({parts}){b.label or ''}:{b.length:.6f}{{{e}}}"
+
+
+def to_jplace(placer: EdgePlacer, results: Dict[str, List[dict]],
+              top_k: int = 7) -> dict:
+    """Serialize placements into the jplace v3 interchange format (what
+    EPA-ng emits; consumed by gappa/iTOL): the reference tree's edges are
+    annotated {edge_num} matching the placer's candidate indices, and
+    each query carries its top_k placements with logL, LWR, distal
+    (midpoint) and pendant lengths. json.dumps the result to write a
+    .jplace file."""
+    root = placer.tree.vroot
+    tree = "(" + ",".join(_jplace_subtree(r) for r in root.ring()) + ");"
+    placements = []
+    for name, rows in results.items():
+        p = [[r["edge"], r["logL"], r["lwr"],
+              placer.edges[r["edge"]].length / 2.0,
+              placer.pendant_length] for r in rows[:top_k]]
+        placements.append({"p": p, "n": [name]})
+    return {"tree": tree,
+            "placements": placements,
+            "fields": ["edge_num", "likelihood", "like_weight_ratio",
+                       "distal_length", "pendant_length"],
+            "version": 3,
+            "metadata": {"software": "libpll2_tpu"}}

@@ -153,3 +153,34 @@ def test_place_batch_matches_place(mode):
     np.testing.assert_allclose(
         [r["logL"] for r in batch["t6b"]],
         [r["logL"] for r in batch["t6"]], rtol=1e-12)
+
+
+def test_jplace_export():
+    """jplace v3 output: every edge annotated exactly once with its
+    candidate index; placements reference valid edges; round-trips
+    through json."""
+    import json
+    import re
+    from libpll2_tpu.placement import to_jplace
+
+    full = random_utree([f"t{i}" for i in range(8)], seed=3)
+    headers, seqs = simulate_alignment(full, 256, FREQS, SUBST,
+                                       alpha=0.9, seed=3)
+    by = dict(zip(headers, seqs))
+    a, b = _prune_tip(full, "t1")
+    ref_tree = parse_newick(export_newick(a if not a.is_tip() else b))
+    ref_by = {k: v for k, v in by.items() if k != "t1"}
+    placer = EdgePlacer(ref_tree, ref_by)
+    placer.set_model(FREQS, SUBST, alpha=0.9)
+    res = {"t1": placer.place(by["t1"])}
+    jp = json.loads(json.dumps(to_jplace(placer, res, top_k=3)))
+    edges = [int(x) for x in re.findall(r"\{(\d+)\}", jp["tree"])]
+    n_edges = len(placer.edges)
+    assert sorted(edges) == list(range(n_edges))
+    assert jp["version"] == 3 and len(jp["placements"]) == 1
+    p = jp["placements"][0]["p"]
+    assert len(p) == 3
+    for edge_num, lnl, lwr, distal, pendant in p:
+        assert 0 <= edge_num < n_edges
+        assert np.isfinite(lnl) and 0 <= lwr <= 1
+        assert distal >= 0 and pendant == placer.pendant_length
