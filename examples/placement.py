@@ -14,21 +14,12 @@ import time
 sys.path.insert(0, ".")
 
 from libpll2_tpu import EdgePlacer
-from libpll2_tpu.trees import export_newick, parse_newick, random_utree
+from libpll2_tpu.trees import (export_newick, parse_newick, prune_tip,
+                               random_utree)
 from libpll2_tpu.utils import simulate_alignment
 
 FREQS = [0.3, 0.2, 0.2, 0.3]
 SUBST = [1.0, 2.5, 0.8, 1.1, 2.5, 1.0]
-
-
-def prune(tree, label):
-    tip = next(t for t in tree.tips() if t.label == label)
-    inner = tip.back
-    ring = [h for h in inner.ring() if h is not inner]
-    a, b = ring[0].back, ring[1].back
-    a.back, b.back = b, a
-    a.length = b.length = ring[0].length + ring[1].length
-    return a if not a.is_tip() else b
 
 
 def main(seed=11):
@@ -38,9 +29,8 @@ def main(seed=11):
                                        alpha=0.9, seed=seed)
     by = dict(zip(headers, seqs))
     queries = ["t4", "t11", "t19"]
-    keep = full
     for q in queries:
-        keep_node = prune(keep, q)
+        keep_node = prune_tip(full, q)
     ref_tree = parse_newick(export_newick(keep_node))
     ref_by = {k: v for k, v in by.items() if k not in queries}
 

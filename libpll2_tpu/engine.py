@@ -1083,11 +1083,13 @@ class TreeEngine:
         return float(total), np.asarray(per)
 
     def site_rate_posteriors(self):
-        """Empirical-Bayes per-site Gamma-category posteriors and
+        """Empirical-Bayes per-site rate-category posteriors and
         posterior-mean site rates across the root edge (the consumers'
-        per-site rate output). Returns (posteriors [R, sites_padded],
-        site_rates [sites_padded]) as numpy arrays; synthetic asc/pad
-        columns carry whatever the math gives and should be ignored."""
+        per-site rate output). Returns (posteriors [R+1, sites_padded],
+        site_rates [sites_padded]) as numpy arrays — the last category is
+        the +I invariant class (all-zero when pinv = 0); synthetic
+        asc/pad columns carry whatever the math gives and should be
+        ignored."""
         p = self.partition
         margs = self._model_args()
         (eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
@@ -1125,7 +1127,7 @@ class TreeEngine:
             pm_root = jnp.take(p.pmatrix, ri[4], axis=0)
         post, site_rate = ops_likelihood.rate_posteriors(
             clv_p, clv_c, sc_p, sc_c, pm_root, freqs, prop_invar,
-            rates, rate_weights, pidx,
+            rates, rate_weights, pidx, self._site_args()[1],
             scale_threshold=p.scale_threshold,
             rate_scalers=p.rate_scalers)
         return np.asarray(post), np.asarray(site_rate)

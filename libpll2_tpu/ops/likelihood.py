@@ -293,15 +293,20 @@ def node_ancestral(clv_node: jnp.ndarray,           # [R, s, S]
 def rate_posteriors(clv_parent, clv_child, pscaler, cscaler,
                     pmatrix,                 # [R, s, s] root edge
                     freqs, prop_invar, rates, rate_weights, params_idx,
+                    invariant,               # [S] int (-1 = variable)
                     scale_threshold: float = 2.0 ** -256,
                     rate_scalers: bool = False):
     """Empirical-Bayes per-site rate-category posteriors across the root
-    edge: posterior[r, s] = w_r L_r(s) / sum_q w_q L_q(s), plus the
-    posterior-mean site rate (the consumers' per-site rate output).
-    Per-site scalers cancel in the ratio; per-rate scalers enter through
-    the capped relative factors. +I mass is folded into the mean as rate
-    0 with weight pinv (Gamma categories scaled by 1/(1-pinv) exactly as
-    the likelihood computes them)."""
+    edge, over the R Gamma categories PLUS the +I invariant category:
+
+        post[r, s]  = w_r (1-pinv) L_r(s) / Z(s)     r < R
+        post[R, s]  = pinv f(inv_state_s) / Z(s)     (0 when pinv = 0
+                                                      or site varies)
+
+    computed in log space so per-site scaling counts mix exactly with
+    the unscaled invariant term. Returns (post [R+1, S], site_rate [S])
+    where site_rate is the posterior mean (the invariant category is
+    rate 0) — the consumers' per-site rate output."""
     dtype = clv_parent.dtype
     f = freqs[params_idx].astype(dtype)                     # [R, s]
     pinv = prop_invar[params_idx].astype(dtype)             # [R]
@@ -314,13 +319,38 @@ def rate_posteriors(clv_parent, clv_child, pscaler, cscaler,
                         precision=jax.lax.Precision.HIGHEST)  # [R, S]
 
     sc = pscaler + cscaler
+    log_t = jnp.log(jnp.asarray(scale_threshold, dtype))
     if rate_scalers:
-        cap = _cap_table(scale_threshold, dtype)   # relative factors only
-        _, rate_factor = _site_scalings(sc, True, cap)
-        term_r = term_r * rate_factor          # per-site part cancels
+        site_sc = jnp.min(sc, axis=0)
+        rel = jnp.minimum(sc - site_sc[None, :], SCALE_RATE_MAXDIFF)
+        log_scale = (site_sc[None, :] + rel).astype(dtype) * log_t
+    else:
+        log_scale = sc[None, :].astype(dtype) * log_t       # [1, S]
+
     w = rate_weights[:, None].astype(dtype) * (1.0 - pinv)[:, None]
-    weighted = jnp.maximum(w * term_r, 0.0)                 # [R, S]
-    total = jnp.sum(weighted, axis=0, keepdims=True)        # [1, S]
-    post = weighted / jnp.maximum(total, jnp.finfo(dtype).tiny)
-    site_rate = jnp.sum(post * rates[:, None].astype(dtype), axis=0)
+    log_var = (jnp.log(jnp.maximum(w, jnp.finfo(dtype).tiny))
+               + jnp.log(jnp.maximum(term_r, 0.0)) + log_scale)  # [R, S]
+
+    # invariant category: pinv * f(inv_state) at constant-capable sites
+    inv_ok = invariant >= 0
+    inv_state = jnp.maximum(invariant, 0)
+    onehot = (inv_state[None, :] ==
+              jnp.arange(f.shape[1])[:, None]).astype(dtype)
+    inv_freq = jnp.sum((f * pinv[:, None] *
+                        rate_weights[:, None].astype(dtype)) @ onehot,
+                       axis=0)                              # [S]
+    log_inv = jnp.where(inv_ok & (inv_freq > 0),
+                        jnp.log(jnp.maximum(inv_freq,
+                                            jnp.finfo(dtype).tiny)),
+                        -jnp.inf)
+
+    logs = jnp.concatenate([log_var, log_inv[None, :]], axis=0)
+    peak = jnp.max(logs, axis=0, keepdims=True)
+    peak = jnp.where(jnp.isfinite(peak), peak, 0.0)
+    expd = jnp.exp(logs - peak)
+    post = expd / jnp.maximum(jnp.sum(expd, axis=0, keepdims=True),
+                              jnp.finfo(dtype).tiny)
+    cat_rates = jnp.concatenate([rates.astype(dtype),
+                                 jnp.zeros((1,), dtype)])
+    site_rate = jnp.sum(post * cat_rates[:, None], axis=0)
     return post, site_rate

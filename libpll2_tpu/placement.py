@@ -208,8 +208,8 @@ class EdgePlacer:
                               max(-(-slots // 4) * 4, 4))
         return self._batch_inputs
 
-    def place_batch(self, query_seqs: Dict[str, str], chunk: int = 8
-                    ) -> Dict[str, List[dict]]:
+    def place_batch(self, query_seqs: Dict[str, str], chunk: int = 8,
+                    top_k: Optional[int] = None) -> Dict[str, List[dict]]:
         """Place MANY queries at once: all (query x edge) attachments in
         one device dispatch per `chunk` queries (vmap over queries x
         vmap over edges through the fused kernel) — on a tunneled TPU
@@ -220,8 +220,11 @@ class EdgePlacer:
         eng = self._ensure_engine()
         fb = self._fused_batch_inputs() if eng.use_fused else None
         labels = list(query_seqs)
+        if not labels:
+            return {}
         if fb is None:
-            return {lab: self.place(query_seqs[lab]) for lab in labels}
+            return {lab: self.place(query_seqs[lab], top_k=top_k)
+                    for lab in labels}
         tables_k, blens_k, roots_k, n_slots = fb
         p = self.partition
 
@@ -238,24 +241,23 @@ class EdgePlacer:
 
         margs = eng._model_args()
         sargs = eng._site_args()
-        out = np.zeros((len(labels), tables_k.shape[0]))
-        for q0 in range(0, len(labels), chunk):
+        Q = len(labels)
+        # pad the query axis to a multiple of `chunk`: a short final
+        # chunk would recompile the whole scan+kernel program (minutes
+        # through the tunneled-TPU toolchain) for one odd shape
+        q_pad = -(-Q // chunk) * chunk
+        if q_pad != Q:
+            codes_q = jnp.concatenate(
+                [codes_q, jnp.repeat(codes_q[-1:], q_pad - Q, axis=0)])
+        out = np.zeros((q_pad, tables_k.shape[0]))
+        for q0 in range(0, q_pad, chunk):
             out[q0:q0 + chunk] = np.asarray(_place_scores(
                 codes_q[q0:q0 + chunk], tables_k, blens_k, roots_k,
                 *margs, *sargs, p.scale_threshold, p.scale_factor,
                 fused_slots=n_slots,
                 pallas_interpret=eng.pallas_interpret))
-        results = {}
-        for qi, lab in enumerate(labels):
-            scores = out[qi]
-            w = np.exp(scores - scores.max())
-            lwr = w / w.sum()
-            order = np.argsort(-scores)
-            results[lab] = [
-                {"edge": int(e), "edge_nodes": self._edge_names[e],
-                 "logL": float(scores[e]), "lwr": float(lwr[e])}
-                for e in order]
-        return results
+        return {lab: self._rank_rows(out[qi], top_k)
+                for qi, lab in enumerate(labels)}
 
     def place(self, query_seq: str, top_k: Optional[int] = None
               ) -> List[dict]:
@@ -267,6 +269,9 @@ class EdgePlacer:
         eng = self._ensure_engine()
         scores = np.asarray(eng.evaluate_topologies(self._candidates),
                             dtype=np.float64)
+        return self._rank_rows(scores, top_k)
+
+    def _rank_rows(self, scores, top_k=None):
         w = np.exp(scores - scores.max())
         lwr = w / w.sum()
         order = np.argsort(-scores)

@@ -6,5 +6,5 @@ from .rtree import RNode, RTree
 from .utree import UNode, UTree, compile_levels, create_operations, traverse
 from .svg import SvgAttrib, export_svg
 from .utils import (check_integrity, edge_support, graph_clone,
-                    majority_rule_consensus, rf_distance, rtree_unroot,
-                    tree_bipartitions, utree_clone)
+                    majority_rule_consensus, prune_tip, rf_distance,
+                    rtree_unroot, tree_bipartitions, utree_clone)

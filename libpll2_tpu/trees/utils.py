@@ -230,7 +230,13 @@ def edge_support(tree: UTree, replicate_trees) -> dict:
     target = tree_bipartitions(tree)
     counts = {s: 0 for s in target}
     reps = list(replicate_trees)
+    labels = {t.label for t in tree.tips()}
     for rt in reps:
+        if {t.label for t in rt.tips()} != labels:
+            from .. import constants as C
+            raise C.PllError(C.ERROR_PARAM_INVALID,
+                             "replicate trees must share the target "
+                             "tree's taxon set")
         for s in tree_bipartitions(rt) & target:
             counts[s] += 1
     n = max(len(reps), 1)
@@ -253,3 +259,23 @@ def majority_rule_consensus(trees, threshold: float = 0.5):
     n = len(trees)
     out = [(s, c / n) for s, c in counts.items() if c / n > threshold]
     return sorted(out, key=lambda kv: -kv[1])
+
+
+def prune_tip(tree: UTree, label: str) -> UNode:
+    """Remove the named tip IN PLACE (the classic leaf-prune: the tip's
+    inner neighbor dissolves, its two other neighbors join with summed
+    branch length). Returns a surviving inner node to re-root/export
+    from. The tree object's counts become stale — re-parse the exported
+    newick for a consistent UTree."""
+    tip = next((t for t in tree.tips() if t.label == label), None)
+    if tip is None:
+        from .. import constants as C
+        raise C.PllError(C.ERROR_PARAM_INVALID,
+                         f"no tip labelled {label!r}")
+    inner = tip.back
+    ring = [h for h in inner.ring() if h is not inner]
+    a, b = ring[0].back, ring[1].back
+    length = ring[0].length + ring[1].length
+    a.back, b.back = b, a
+    a.length = b.length = length
+    return a if not a.is_tip() else b

@@ -81,8 +81,9 @@ def test_site_rate_posteriors():
 
     eng = TreeEngine(build(rates), tree, pallas=False)
     post, site_rate = eng.site_rate_posteriors()
-    assert post.shape[0] == 4
+    assert post.shape[0] == 5             # 4 Gamma cats + the +I class
     np.testing.assert_allclose(post[:, :300].sum(axis=0), 1.0, rtol=1e-9)
+    assert np.all(post[4, :300] == 0.0)   # pinv = 0: no invariant mass
 
     # independent reference: per-category likelihoods via 4 single-rate
     # evaluations (w_r = 1/4 each in the mixture)
@@ -94,12 +95,41 @@ def test_site_rate_posteriors():
     lnls = np.stack(lnls)                      # log L_r(s)
     ref = np.exp(lnls - lnls.max(axis=0))
     ref = ref / ref.sum(axis=0)
-    np.testing.assert_allclose(post[:, :300], ref, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(post[:4, :300], ref, rtol=1e-6,
+                               atol=1e-10)
 
     # the pooled-repeats engine gives identical posteriors
     eng_r = TreeEngine(build(rates, repeats=True), tree, pallas=False)
     post_r, _ = eng_r.site_rate_posteriors()
     np.testing.assert_allclose(post_r[:, :300], post[:, :300], rtol=1e-9)
+
+    # +I: the invariant class takes pinv*f(inv)/Z mass at constant-capable
+    # sites and the Gamma posteriors renormalize under (1-pinv)
+    part_i = build(rates)
+    part_i.update_invariant_sites_proportion(0, 0.3)
+    eng_i = TreeEngine(part_i, tree, pallas=False)
+    post_i, rate_i = eng_i.site_rate_posteriors()
+    np.testing.assert_allclose(post_i[:, :300].sum(axis=0), 1.0,
+                               rtol=1e-9)
+    inv_sites = np.asarray(part_i.invariant[:300]) >= 0
+    assert inv_sites.any()
+    assert np.all(post_i[4, :300][inv_sites] > 0)
+    assert np.all(post_i[4, :300][~inv_sites] == 0)
+    # independent check at one invariant-capable site; +I stretches the
+    # Gamma rates by 1/(1-pinv) inside the P-matrices, so the
+    # single-category reference evals must use the stretched rates
+    sidx = int(np.argmax(inv_sites))
+    state = int(part_i.invariant[sidx])
+    f = np.asarray(part_i.frequencies[0])
+    lr = []
+    for r in rates:
+        e1 = TreeEngine(build(np.array([r / 0.7])), tree, pallas=False)
+        _, per = e1.loglikelihood_persite()
+        lr.append(np.exp(np.asarray(per)[sidx]))
+    z = 0.25 * 0.7 * np.sum(lr) + 0.3 * f[state]
+    np.testing.assert_allclose(post_i[4, sidx], 0.3 * f[state] / z,
+                               rtol=1e-5)
+    assert rate_i[sidx] < site_rate[sidx] + 1e-9
 
     # the dense-fused-over-pooled engine path (fp32) agrees too
     eng_f = TreeEngine(build(rates, repeats=True, dtype=jnp.float32),

@@ -14,18 +14,11 @@ SUBST = [1, 2.5, 0.8, 1.1, 2.5, 1]
 
 
 def _prune_tip(tree, label):
-    """Remove a tip, returning (reference tree newick, neighbor labels):
-    the true attachment edge of the removed taxon connects the two
-    clades its former neighbor joined."""
-    tip = next(t for t in tree.tips() if t.label == label)
-    inner = tip.back                       # ring node holding the tip
-    ring = [h for h in inner.ring() if h is not inner]
-    a, b = ring[0].back, ring[1].back
-    # splice the two other neighbors together
-    length = ring[0].length + ring[1].length
-    a.back, b.back = b, a
-    a.length = b.length = length
-    return a, b
+    """prune_tip, returning both joined neighbors (the true attachment
+    edge of the removed taxon connects the two clades)."""
+    from libpll2_tpu.trees import prune_tip
+    node = prune_tip(tree, label)
+    return node, node.back
 
 
 def test_place_recovers_pruned_taxon():

@@ -389,6 +389,7 @@ def bench_placement():
     from libpll2_tpu import EdgePlacer
     from libpll2_tpu.trees import export_newick, parse_newick
 
+    from libpll2_tpu.trees import prune_tip
     full = random_utree([f"t{i}" for i in range(101)], seed=23)
     freqs = [0.3, 0.2, 0.2, 0.3]
     subst = np.array([1, 2, 1, 1, 2, 1.0])
@@ -396,12 +397,7 @@ def bench_placement():
                                        alpha=0.9, seed=23)
     by = dict(zip(headers, seqs))
     victim = "t100"
-    tip = next(t for t in full.tips() if t.label == victim)
-    ring = [h for h in tip.back.ring() if h is not tip.back]
-    a, b = ring[0].back, ring[1].back
-    a.back, b.back = b, a
-    a.length = b.length = ring[0].length + ring[1].length
-    ref_tree = parse_newick(export_newick(a if not a.is_tip() else b))
+    ref_tree = parse_newick(export_newick(prune_tip(full, victim)))
     ref_by = {k: v for k, v in by.items() if k != victim}
     placer = EdgePlacer(ref_tree, ref_by)
     placer.set_model(freqs, subst, alpha=0.9)
