@@ -97,10 +97,17 @@ def make_loglikelihood_fn(engine: TreeEngine,
             raise C.PllError(C.ERROR_PARAM_INVALID,
                              "subst_template must cover every rate slot")
         tmpl = jnp.asarray(subst_template)
-    if engine.use_pallas:
+    if engine.use_pallas or engine.repeats_dense_fused:
         # rebuild XLA-path op tables for the differentiable program
         raise ValueError("build the TreeEngine with pallas=False for "
                          "gradient optimization")
+    if p.clv is None:
+        raise C.PllError(
+            C.ERROR_PARAM_INVALID,
+            "gradient optimization runs over dense CLV buffers; pooled "
+            "site-repeats partitions are not differentiable — build the "
+            "partition without site_repeats (the fused engine keeps the "
+            "speed either way)")
     base_eigen = (jnp.asarray(p.eigenvals, d),
                   jnp.asarray(p.inv_eigenvecs, d),
                   jnp.asarray(p.eigenvecs, d))
@@ -265,6 +272,13 @@ def newton_smooth_all(engine: TreeEngine, tree, passes: int = 2,
     from .trees.utree import traverse as _traverse
 
     p = engine.partition
+    if p.clv is None:
+        raise C.PllError(
+            C.ERROR_PARAM_INVALID,
+            "newton_smooth_all needs dense CLV buffers (directional "
+            "'up' rows); pooled site-repeats partitions are not "
+            "supported — use newton_optimize_branches or a dense "
+            "partition")
     trav = _traverse(tree.vroot)
     operations, branches, pmatrix_indices = _create_ops(trav)
     steps, n_aux = branch_sweep.build_smoothing_schedule(

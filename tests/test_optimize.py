@@ -202,3 +202,34 @@ def test_optimize_pinv():
     assert 0.05 < pinv < 0.6, pinv
     assert lk > lk0 + 1.0
     np.testing.assert_allclose(eng.loglikelihood(), lk, rtol=1e-10)
+
+
+def test_pooled_partition_guards():
+    """Dense-buffer consumers reject pooled site-repeats partitions with
+    a clear error instead of an AttributeError on clv=None."""
+    import jax.numpy as jnp
+    from libpll2_tpu import constants as C
+    from libpll2_tpu.optimize import (make_loglikelihood_fn,
+                                      newton_smooth_all)
+    from libpll2_tpu.trees import random_utree
+    from libpll2_tpu.utils import simulate_alignment
+    from libpll2_tpu.io import maps
+
+    tree = random_utree([f"t{i}" for i in range(8)], seed=3)
+    headers, seqs = simulate_alignment(tree, 128, [0.25] * 4,
+                                       [1, 2, 1, 1, 2, 1], alpha=1.0,
+                                       seed=3)
+    by = dict(zip(headers, seqs))
+    part = Partition(tree.tip_count, tree.inner_count, 4, 128, 1,
+                     tree.edge_count, 4, tree.inner_count,
+                     site_repeats=True)
+    for t in tree.tips():
+        part.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+    part.set_frequencies(0, [0.25] * 4)
+    part.set_subst_params(0, [1, 2, 1, 1, 2, 1])
+    part.set_category_rates(compute_gamma_cats(1.0, 4))
+    eng = TreeEngine(part, tree, pallas=False)
+    with pytest.raises(C.PllError):
+        make_loglikelihood_fn(eng, ("branches",))
+    with pytest.raises(C.PllError):
+        newton_smooth_all(eng, tree)
