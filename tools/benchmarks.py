@@ -385,6 +385,8 @@ def bench_spr():
 
 
 def bench_placement():
+    if QUICK:
+        return
     log("[4d] EPA-style placement (100-taxon reference, 1024 sites)")
     from libpll2_tpu import EdgePlacer
     from libpll2_tpu.trees import export_newick, parse_newick
