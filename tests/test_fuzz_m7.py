@@ -46,8 +46,6 @@ def _draw_config(rng):
         cfg["asc"] = rng.choice([None, C.AscBias.LEWIS,
                                  C.AscBias.FELSENSTEIN,
                                  C.AscBias.STAMATAKIS])
-    if cfg["rate_scalers"]:
-        cfg["repeats"] = False       # pool scalers are per-site
     return cfg
 
 
