@@ -148,3 +148,72 @@ def test_fuzz_config_vs_oracle(seed):
     np.testing.assert_allclose(lk, lk_ref, rtol=1e-9, err_msg=msg)
     np.testing.assert_allclose(np.asarray(per)[:sites], per_ref[:sites],
                                rtol=1e-8, atol=1e-10, err_msg=msg)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_engine_paths(seed):
+    """Random configurations through every ELIGIBLE engine execution
+    path — scan, levels, fused (interpret), pool, pool-pallas
+    (interpret), repeats-dense-fused — must agree on logL and d1/d2
+    within dtype-justified tolerances."""
+    import jax.numpy as jnp
+    from libpll2_tpu import Partition, TreeEngine
+
+    rng = np.random.default_rng(3000 + seed)
+    n = int(rng.integers(6, 16))
+    sites = int(rng.integers(60, 400))
+    R = int(rng.choice([1, 2, 4]))
+    states = int(rng.choice([4, 4, 20]))
+    long_b = bool(rng.integers(0, 3) == 0)
+    tree = random_utree([f"t{i}" for i in range(n)], seed=seed)
+    if long_b:
+        for nd in tree.nodes():
+            for h in ([nd] if nd.is_tip() else list(nd.ring())):
+                if h.back is not None:
+                    h.length = h.length * 20.0
+    seqs = [_random_seq(rng, sites, states) for _ in range(n)]
+    freqs = rng.dirichlet(np.ones(states) * 8)
+    subst = rng.uniform(0.3, 2.5, size=states * (states - 1) // 2)
+    rates = (compute_gamma_cats(float(rng.uniform(0.2, 3.0)), R)
+             if R > 1 else np.ones(1))
+    charmap = maps.map_nt if states == 4 else maps.map_aa
+
+    def build(dtype=None, repeats=False):
+        part = Partition(n, n - 2, states, sites, 1, 2 * n - 3, R, n - 2,
+                         dtype=dtype, site_repeats=repeats)
+        for i, s in enumerate(seqs):
+            part.set_tip_states(i, charmap, s)
+        part.set_frequencies(0, freqs)
+        part.set_subst_params(0, subst)
+        part.set_category_rates(rates)
+        return part
+
+    engines = {
+        "scan": TreeEngine(build(), tree, pallas=False,
+                           level_schedule=False),
+        "levels": TreeEngine(build(), tree, pallas=False),
+        "fused": TreeEngine(build(jnp.float32), tree, pallas="interpret"),
+        "pool": TreeEngine(build(repeats=True), tree, pallas=False),
+        "pool-pallas": TreeEngine(build(jnp.float32, repeats=True), tree,
+                                  pallas="pool-interpret"),
+        "rdf": TreeEngine(build(jnp.float32, repeats=True), tree,
+                          pallas="interpret"),
+    }
+    ref_lk = None
+    msg = f"seed={seed} n={n} sites={sites} R={R} states={states}"
+    results = {}
+    for name, eng in engines.items():
+        lk, d1, d2 = eng.newton_step()
+        results[name] = (lk, d1, d2)
+        if name == "scan":
+            ref_lk = (lk, d1, d2)
+            continue
+        tol = 1e-9 if eng.partition.dtype == jnp.float64 else 5e-5
+        if np.isinf(ref_lk[0]):
+            assert np.isinf(lk) or eng.partition.dtype == jnp.float32, msg
+            continue
+        np.testing.assert_allclose(lk, ref_lk[0], rtol=tol,
+                                   err_msg=f"{name}: {msg}")
+        np.testing.assert_allclose(d1, ref_lk[1], rtol=max(tol * 100, 1e-7),
+                                   atol=abs(ref_lk[1]) * 1e-2 + 1e-2,
+                                   err_msg=f"{name}: {msg}")
