@@ -16,14 +16,12 @@ rankings on simulated data recover the true attachment edge.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
-
-import numpy as np
-
 from functools import partial
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import constants as C
 from .engine import TreeEngine, _fused_loglikelihood
