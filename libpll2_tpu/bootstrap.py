@@ -66,16 +66,15 @@ def bootstrap_loglikelihoods(engine, n_replicates: int, seed: int = 0,
     """logL of `n_replicates` bootstrap resamplings of the alignment, all
     from ONE tree evaluation + one [B, S] x [S] matmul. Returns
     (logls [B], weights [B, S])."""
-    import jax.numpy as jnp
-
     p = engine.partition
     lnl, log1m_base = persite_lnl(engine)
     if weights is None:
         weights = bootstrap_weights(
             np.asarray(p.pattern_weights)[:p.sites], n_replicates, seed)
     W = np.asarray(weights, dtype=np.float64)
-    logls = np.asarray(jnp.asarray(W, p.dtype) @ jnp.asarray(lnl, p.dtype),
-                       dtype=np.float64)
+    # host-side float64: the [B, S] reduction over thousands of sites on a
+    # TPU f32 dot (default bf16 pass) loses ~3 decimal digits per replicate
+    logls = W @ np.asarray(lnl, dtype=np.float64)
     if engine.asc_type == 1:
         # corr_r = -sum(w_r) * log(1-base)
         logls = logls - W.sum(axis=1) * log1m_base

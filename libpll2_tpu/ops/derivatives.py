@@ -118,7 +118,8 @@ def likelihood_derivatives(sumtable: jnp.ndarray,      # [R, s, S]
     inv_state = jnp.maximum(invariant, 0)
     onehot = (inv_state[None, :] ==
               jnp.arange(f.shape[1])[:, None]).astype(dtype)        # [s, S]
-    inv_freq = f @ onehot                                           # [R, S]
+    inv_freq = jnp.dot(f, onehot,
+                       precision=jax.lax.Precision.HIGHEST)         # [R, S]
     inv_lk = jnp.where(inv_ok[None, :] & (pinv[:, None] > 0),
                        inv_freq * pinv[:, None], 0.0)
     one_m_pinv = jnp.where(pinv > 0, 1.0 - pinv, 1.0)[None, :, None]

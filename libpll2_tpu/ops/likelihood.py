@@ -141,7 +141,10 @@ def _mix_rates(terma_r, rate_factor, freqs_r, pinv_r, rate_weights,
     # fused eval loop); the matmul is R*s*S MACs on the MXU
     onehot = (inv_state[None, :] ==
               jnp.arange(freqs_r.shape[1])[:, None]).astype(dtype)  # [s, S]
-    inv_freq = freqs_r @ onehot                             # [R, S]
+    # HIGHEST: the TPU f32 dot default is a bf16 pass that would round
+    # the selected frequencies to 8 mantissa bits
+    inv_freq = jnp.dot(freqs_r, onehot,
+                       precision=jax.lax.Precision.HIGHEST)  # [R, S]
     terminv = jnp.sum(jnp.where(inv_ok[None, :] & (pinv > 0),
                                 w * inv_freq * pinv, 0.0), axis=0)
     return terma, terminv
@@ -336,8 +339,9 @@ def rate_posteriors(clv_parent, clv_child, pscaler, cscaler,
     inv_state = jnp.maximum(invariant, 0)
     onehot = (inv_state[None, :] ==
               jnp.arange(f.shape[1])[:, None]).astype(dtype)
-    inv_freq = jnp.sum((f * pinv[:, None] *
-                        rate_weights[:, None].astype(dtype)) @ onehot,
+    inv_freq = jnp.sum(jnp.dot(f * pinv[:, None] *
+                               rate_weights[:, None].astype(dtype), onehot,
+                               precision=jax.lax.Precision.HIGHEST),
                        axis=0)                              # [S]
     log_inv = jnp.where(inv_ok & (inv_freq > 0),
                         jnp.log(jnp.maximum(inv_freq,

@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 VMEM_BUDGET = 10 * 1024 * 1024     # conservative per-core VMEM budget
+SMEM_BUDGET = 256 * 1024           # conservative scalar-prefetch budget
 
 
 def pack_fused_schedule(operations, n_tips: int, root_pair):
@@ -352,8 +353,15 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
     e, r, s = pmatrix.shape[0], rates, states
     rs = rates * states
     if planes is None:
+        # the plane kernel holds the FLAT P-matrix (plus the op table) in
+        # SMEM via scalar prefetch; SMEM is small and overflow fails the
+        # kernel compile with no fallback — large trees (~0.5 MB of
+        # coefficients at ~1000 DNA taxa) take the row layout, which keeps
+        # the P-matrix in VMEM
+        smem_bytes = (e * rs * s + table.shape[0] * 8) * 4
         planes = (states < PLANE_STATES_MAX
-                  and sites % kernel_grain(states) == 0)
+                  and sites % kernel_grain(states) == 0
+                  and smem_bytes <= SMEM_BUDGET)
     if planes:
         # plane layout: site axis viewed as [8, sites/8] so every
         # (rate, state) row is a full vreg plane (the reshape is a pure

@@ -49,6 +49,18 @@ def _build_params(engine: TreeEngine,
         if subst_template is not None:
             tmpl = np.asarray(subst_template, np.int32)
             n_free = int(tmpl.max())
+            # every class 0..n_free must be non-empty: class 0 is the
+            # pinned reference rate the others are expressed against, and
+            # an empty class's warm start would be the mean of an empty
+            # slice (silent NaN optimization)
+            missing = [c for c in range(n_free + 1)
+                       if not np.any(tmpl == c)]
+            if missing:
+                raise C.PllError(
+                    C.ERROR_PARAM_INVALID,
+                    f"subst_template must use every class id 0..{n_free} "
+                    f"at least once (class 0 is the pinned reference "
+                    f"rate); missing: {missing}")
             if n_free > 0:
                 # warm-start each class from the partition's CURRENT
                 # rates (a second optimization round must not restart
