@@ -53,14 +53,15 @@ def _scatter_root_rows(clv, scaler, root_idx, rows):
     return clv, scaler
 
 
-def _zero_root_rows(clv, sites):
+def _zero_root_rows(clv, sites, rate_scalers: bool = False):
     """fori_loop carry initializer matching the fused kernel's root-row
     outputs (f32 CLVs + int32 scalers, whatever the partition dtype)."""
     r, s = clv.shape[1], clv.shape[2]
+    sc_shape = (r, sites) if rate_scalers else (sites,)
     return (jnp.zeros((r, s, sites), jnp.float32),
             jnp.zeros((r, s, sites), jnp.float32),
-            jnp.zeros((sites,), jnp.int32),
-            jnp.zeros((sites,), jnp.int32))
+            jnp.zeros(sc_shape, jnp.int32),
+            jnp.zeros(sc_shape, jnp.int32))
 
 
 def _scatter_if_ran(k, clv, scaler, root_idx, rows):
@@ -111,15 +112,18 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                 eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
                 params_idx_rates, branches)
     if fused_slots > 0:
-        table, tip_codes = op_arrays
+        table, tip_codes, tip_clvs = (op_arrays if len(op_arrays) == 3
+                                      else op_arrays + (None,))
         p_clv, p_sc_i, c_clv, c_sc_i, mat = root_idx
 
-        def _traverse(codes, pm, tbl):
+        def _traverse(codes, pm, tbl, *ctips):
             return ops_fused.fused_traversal(
                 codes, pm, tbl,
                 rates=clv.shape[1], states=clv.shape[2],
                 n_slots=fused_slots, threshold=scale_threshold,
-                factor=scale_factor, interpret=pallas_interpret)
+                factor=scale_factor, interpret=pallas_interpret,
+                rate_scalers=rate_scalers,
+                tip_clvs=ctips[0] if ctips else None)
 
         with jax.named_scope("pll.fused_traversal"):
             if fused_mesh is not None:
@@ -130,24 +134,29 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                 from jax.sharding import PartitionSpec as P
 
                 sites_ax = P(None, "sites")
+                sc_ax = P(None, "sites") if rate_scalers else P("sites")
+                extra_in = (P(None, None, "sites"),) \
+                    if tip_clvs is not None else ()
+                extra_arg = (tip_clvs,) if tip_clvs is not None else ()
                 clv_p, clv_c, sc_p, sc_c = shard_map(
                     _traverse, mesh=fused_mesh,
-                    in_specs=(sites_ax, P(), P()),
+                    in_specs=(sites_ax, P(), P()) + extra_in,
                     out_specs=(P(None, None, "sites"),
                                P(None, None, "sites"),
-                               P("sites"), P("sites")),
+                               sc_ax, sc_ax),
                     check_vma=False,
-                )(tip_codes, pmatrix, table)
+                )(tip_codes, pmatrix, table, *extra_arg)
             else:
-                clv_p, clv_c, sc_p, sc_c = _traverse(tip_codes, pmatrix,
-                                                     table)
+                clv_p, clv_c, sc_p, sc_c = _traverse(
+                    tip_codes, pmatrix, table,
+                    *((tip_clvs,) if tip_clvs is not None else ()))
         # the kernel may run on a lane-grain-padded site axis; everything
         # downstream (pattern weights, partition buffers) uses the
         # partition's width — drop the pad columns here
         w = clv.shape[3]
         if clv_p.shape[-1] != w:
             clv_p, clv_c = clv_p[..., :w], clv_c[..., :w]
-            sc_p, sc_c = sc_p[:w], sc_c[:w]
+            sc_p, sc_c = sc_p[..., :w], sc_c[..., :w]
         with jax.named_scope("pll.edge_logl"):
             total, per = ops_likelihood.edge_loglikelihood(
                 clv_p, clv_c, sc_p, sc_c, jnp.take(pmatrix, mat, axis=0),
@@ -296,8 +305,9 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
     per-iteration scatter made XLA copy the whole (tens-of-MB) buffer
     every trip, costing ~2.3x the traversal kernel itself."""
     if fused_slots > 0:
-        table, codes = op_arrays
-        rows0 = _zero_root_rows(clv, clv.shape[3])
+        table, codes = op_arrays[0], op_arrays[1]
+        rest = op_arrays[2:]
+        rows0 = _zero_root_rows(clv, clv.shape[3], rate_scalers)
 
         def body(_, carry):
             acc, rows_prev = carry
@@ -307,7 +317,8 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
             total, _, rows, _, _ = _fused_loglikelihood(
                 clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                 prop_invar, rates, rate_weights, freqs, params_idx_rates,
-                branches, (table + dep, codes), root_idx, pattern_weights,
+                branches, (table + dep, codes) + rest, root_idx,
+                pattern_weights,
                 invariant, scale_threshold, scale_factor,
                 rate_scalers=rate_scalers, valid=valid, levels=levels,
                 use_pallas=use_pallas, pallas_interpret=pallas_interpret,
@@ -359,8 +370,7 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
     path carries root rows only; one scatter after the loop."""
     zero = jnp.zeros((), clv.dtype)
     if fused_slots > 0:
-        table, codes = op_arrays
-        rows0 = _zero_root_rows(clv, clv.shape[3])
+        rows0 = _zero_root_rows(clv, clv.shape[3], rate_scalers)
 
         def body(_, carry):
             rows_prev, branches, total, d1, d2 = carry
@@ -649,13 +659,15 @@ def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
         return edge_params[root_idx[4]]          # [R] candidate-root model
 
     if fused_slots > 0:
-        tables_k, tip_codes = ops_k
+        tables_k, tip_codes = ops_k[0], ops_k[1]
+        rest = ops_k[2:]
 
         def eval_one(branches, table, root_idx):
             total, _, _, _, _ = _fused_loglikelihood(
                 clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                 prop_invar, rates, rate_weights, freqs, _pidx(root_idx),
-                branches, (table, tip_codes), root_idx, pattern_weights,
+                branches, (table, tip_codes) + rest, root_idx,
+                pattern_weights,
                 invariant, scale_threshold, scale_factor,
                 rate_scalers=rate_scalers, asc_type=asc_type,
                 n_real=n_real, fused_slots=fused_slots,
@@ -747,14 +759,18 @@ class TreeEngine:
         # the fused whole-traversal kernel pads its tip-code matrix to
         # the lane grain internally and slices the root rows back, so
         # arbitrary (real-world) site counts are eligible; only the
-        # sharded path needs the partition itself to split evenly
-        fused_core_ok = (p.dtype == jnp.float32 and not p.rate_scalers
+        # sharded path needs the partition itself to split evenly.
+        # Per-rate scalers run fused too (one scaler plane per rate,
+        # rate blocks rescale independently) for up to 8 categories.
+        fused_core_ok = (p.dtype == jnp.float32
+                         and (not p.rate_scalers or p.rate_cats <= 8)
                          and (mesh is None
                               or p.sites_padded % (128 * mesh_n) == 0))
         eligible = fused_core_ok and p.repeats is None
-        # the per-level kernel has no shard_map path and operates on the
-        # partition buffers directly, so it keeps the alignment demand
-        levelk_ok = (eligible and mesh is None
+        # the per-level kernel has no shard_map path, no per-rate scaler
+        # mode, and operates on the partition buffers directly, so it
+        # keeps the alignment demand
+        levelk_ok = (eligible and mesh is None and not p.rate_scalers
                      and p.sites_padded % 128 == 0)
         on_target = (jax.default_backend() == "tpu" if pallas == "auto"
                      else True)
@@ -764,8 +780,11 @@ class TreeEngine:
         want_pool = pallas in ("pool", "pool-interpret")
         want_levelk = want_fused or pallas in ("levels-kernel",
                                                "levels-interpret")
-        tips_codes_ok = (bool(np.all(p._tips_set))
-                         and not bool(np.any(p._tips_clv_set)))
+        # every tip must be set — from state codes (bitmask decode in
+        # VMEM) or raw probabilities (set_tip_clv -> f32 rows streamed
+        # from HBM); the reference treats the latter as ordinary CLVs in
+        # every kernel (reference: /root/reference/src/pll.c:959-1024)
+        tips_codes_ok = bool(np.all(p._tips_set | p._tips_clv_set))
         # dense-math fused kernel over POOLED-storage partitions: on TPU,
         # recomputing duplicate class columns in VMEM is ~7x cheaper than
         # permuting compressed ones through the pool kernel (measured at
@@ -824,6 +843,7 @@ class TreeEngine:
         self.params_idx_rates = self._rep(
             jnp.asarray([params_index] * R, np.int32))
         self._tip_codes_version = None
+        self._packed_ctips = frozenset()
         self._pack_topology(operations, branches, pmatrix_indices, root)
         p._ensure_eigen([params_index])
 
@@ -831,6 +851,16 @@ class TreeEngine:
     def use_pallas(self) -> bool:
         """True when any Pallas CLV path (fused or per-level) is active."""
         return self.use_fused or self.use_levelkernel
+
+    @property
+    def ops(self):
+        """Execution-plan operands. On the fused path the tip operands
+        (bitmask codes + raw tip-CLV rows) are re-read through the
+        version-checked cache so tip setters after engine construction
+        take effect; the packed op table itself is topology state."""
+        if self.use_fused:
+            return self._ops + self._tip_codes()
+        return self._ops
 
     @property
     def execution_path(self) -> str:
@@ -902,19 +932,22 @@ class TreeEngine:
         return self._site_cache
 
     def _tip_codes(self):
-        """Device tip-bitmask matrix for the fused kernel, cached until a
-        tip setter bumps the partition's tip version. Under a mesh the
-        matrix is sharded on its SITE axis (dim 1)."""
+        """Device tip operands for the fused kernel — (bitmask codes,
+        raw tip-CLV rows or None) — cached until a tip setter bumps the
+        partition's tip version. Under a mesh both are sharded on their
+        SITE axis."""
         p = self.partition
         v = getattr(p, "_tip_version", 0)
         if self._tip_codes_version != v:
-            if bool(np.any(p._tips_clv_set)):
+            ctip_set = frozenset(np.flatnonzero(p._tips_clv_set).tolist())
+            if ctip_set != self._packed_ctips:
                 raise C.PllError(
                     C.ERROR_PARAM_INVALID,
-                    "a tip was overwritten with raw probabilities "
-                    "(set_tip_clv) after this fused-kernel engine was "
-                    "built; rebuild the TreeEngine (it will fall back "
-                    "to a non-fused path)")
+                    "the set of raw-probability tips (set_tip_clv) "
+                    "changed after this fused-kernel engine packed its "
+                    "schedule; rebuild the TreeEngine (or call "
+                    "set_topology) so the op table re-encodes which "
+                    "tips stream CLV rows")
             mesh = getattr(p, "mesh", None)
             if mesh is None:
                 grain = ops_fused.kernel_grain(p.states)
@@ -922,11 +955,16 @@ class TreeEngine:
             else:
                 pad_to = 0     # sharded axis must keep the partition width
             codes = jnp.asarray(ops_fused.tip_code_matrix(p, pad_to=pad_to))
+            ctips = ops_fused.tip_clv_matrix(p, pad_to=pad_to)
+            ctips = None if ctips is None else jnp.asarray(ctips)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 codes = jax.device_put(
                     codes, NamedSharding(mesh, P(None, "sites")))
-            self._tip_codes_cache = codes
+                if ctips is not None:
+                    ctips = jax.device_put(
+                        ctips, NamedSharding(mesh, P(None, None, "sites")))
+            self._tip_codes_cache = (codes, ctips)
             self._tip_codes_version = v
         return self._tip_codes_cache
 
@@ -954,7 +992,7 @@ class TreeEngine:
                   root.back.clv_index, root.back.scaler_index,
                   root.pmatrix_index)
             self._repeats_pack_args = (operations, ri)
-            self.ops, self._root_cols, self._root_mat = \
+            self._ops, self._root_cols, self._root_mat = \
                 self._pack_repeats(operations, ri)
             self.valid = None
             blen = np.zeros(p.prob_matrices)
@@ -970,14 +1008,27 @@ class TreeEngine:
                 p._model_version += 1     # refresh cached operands
             return
         if self._fused_wanted:
+            ctip_rows = None
+            if bool(np.any(p._tips_clv_set)):
+                ctip_rows = np.full(p.tips, -1, np.int32)
+                idxs = np.flatnonzero(p._tips_clv_set)
+                ctip_rows[idxs] = np.arange(len(idxs), dtype=np.int32)
             table, n_slots = ops_fused.pack_fused_schedule(
                 operations, p.tips,
-                (root.clv_index, root.back.clv_index))
+                (root.clv_index, root.back.clv_index),
+                clv_tip_rows=ctip_rows)
             if table is not None:
                 self.use_fused = True
                 self.fused_slots = n_slots
                 self.valid = None
-                ops = (jnp.asarray(table), self._tip_codes())
+                self._packed_ctips = frozenset(
+                    np.flatnonzero(p._tips_clv_set).tolist())
+                self._tip_codes_version = None    # re-derive tip operands
+                # tip operands are NOT baked into self.ops: the `ops`
+                # property re-reads them through the version-checked
+                # cache, so tip setters after engine construction take
+                # effect (placement loops, EPA queries)
+                ops = (jnp.asarray(table),)
             elif self.repeats_dense_fused:
                 # a schedule the kernel cannot run (partial traversal /
                 # missing scalers): a pooled partition has no dense
@@ -1003,7 +1054,7 @@ class TreeEngine:
             else:
                 ops = pack_operations(operations, scratch_clv=p.nodes)
                 self.valid = None
-        self.ops = jax.tree.map(self._rep, ops)
+        self._ops = jax.tree.map(self._rep, ops)
         # branch lengths stored in pmatrix-index order
         blen = np.zeros(p.prob_matrices)
         blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
@@ -1180,7 +1231,7 @@ class TreeEngine:
                 edge_params=self.edge_params)
             out[i] = float(total)
         if getattr(self, "_repeats_pack_args", None) is not None:
-            self.ops, self._root_cols, self._root_mat = \
+            self._ops, self._root_cols, self._root_mat = \
                 self._pack_repeats(*self._repeats_pack_args)
         return out
 
@@ -1215,8 +1266,14 @@ class TreeEngine:
                       root.pmatrix_index]
             roots.append(ri)
             if fused_tables is not None:
+                ctip_rows = None
+                if self._packed_ctips:
+                    ctip_rows = np.full(p.tips, -1, np.int32)
+                    idxs = np.flatnonzero(p._tips_clv_set)
+                    ctip_rows[idxs] = np.arange(len(idxs), dtype=np.int32)
                 table, n_slots = ops_fused.pack_fused_schedule(
-                    operations, p.tips, (ri[0], ri[2]))
+                    operations, p.tips, (ri[0], ri[2]),
+                    clv_tip_rows=ctip_rows)
                 if table is None:
                     fused_tables = None    # fall back to the scan path
                 else:
@@ -1229,7 +1286,8 @@ class TreeEngine:
             # round the shared slot count up so minor per-candidate
             # variation does not trigger fresh kernel compiles
             fused_slots = max(-(-fused_slots // 4) * 4, self.fused_slots)
-            ops_k = (jnp.asarray(np.stack(fused_tables)), self._tip_codes())
+            ops_k = ((jnp.asarray(np.stack(fused_tables)),)
+                     + self._tip_codes())
         elif self.repeats_dense_fused:
             # the scan fallback needs dense buffers a pooled partition
             # does not have: score each candidate through the pooled

@@ -47,20 +47,33 @@ VMEM_BUDGET = 10 * 1024 * 1024     # conservative per-core VMEM budget
 SMEM_BUDGET = 256 * 1024           # conservative scalar-prefetch budget
 
 
-def pack_fused_schedule(operations, n_tips: int, root_pair):
+def pack_fused_schedule(operations, n_tips: int, root_pair,
+                        clv_tip_rows=None):
     """Linear-scan register allocation of the postorder onto VMEM slots.
 
     Returns (table [n_ops+1, 8] int32, n_slots). Table rows per op:
       [parent_slot, l_is_tip, l_idx, m1, r_is_tip, r_idx, m2, has_scaler]
-    where l_idx/r_idx is a tip row (is_tip=1) or a slot id (is_tip=0).
-    The extra last row holds the root edge:
+    where l_idx/r_idx is a tip row (is_tip=1), a row into the raw
+    tip-CLV matrix (is_tip=2, pll_set_tip_clv tips), or a slot id
+    (is_tip=0). The extra last row holds the root edge:
       [p_is_tip, p_idx, c_is_tip, c_idx, 0, 0, 0, 0].
+
+    `clv_tip_rows`, if given, maps tip clv_index -> row in the kernel's
+    tip-CLV value matrix (or -1 for ordinary state-code tips) — the
+    reference treats set_tip_clv tips as ordinary CLVs in every kernel
+    (reference: /root/reference/src/pll.c:959-1024).
 
     Returns None when the list is not a plain full/partial postorder the
     kernel supports (an op consumes a CLV that was never produced, or an
     inner op lacks a scaler buffer).
     """
     root_p, root_c = root_pair
+
+    def tip_entry(c):
+        if clv_tip_rows is not None and clv_tip_rows[c] >= 0:
+            return 2, int(clv_tip_rows[c])
+        return 1, c
+
     last_use = {}
     for k, op in enumerate(operations):
         for c in (op.child1_clv_index, op.child2_clv_index):
@@ -83,8 +96,7 @@ def pack_fused_schedule(operations, n_tips: int, root_pair):
                 ((op.child1_clv_index, op.child1_matrix_index),
                  (op.child2_clv_index, op.child2_matrix_index))):
             if c < n_tips:
-                row[1 + 3 * pos] = 1
-                row[2 + 3 * pos] = c
+                row[1 + 3 * pos], row[2 + 3 * pos] = tip_entry(c)
             else:
                 if c not in slot_of:
                     return None, 0         # consumed before produced
@@ -109,7 +121,7 @@ def pack_fused_schedule(operations, n_tips: int, root_pair):
 
     def root_entry(c):
         if c < n_tips:
-            return 1, c
+            return tip_entry(c)
         if c not in slot_of:
             return None
         return 0, slot_of[c]
@@ -126,12 +138,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def fused_tile(sites: int, n_tips: int, n_slots: int, rates: int,
-               states: int) -> int:
+               states: int, n_ctips: int = 0) -> int:
     """Largest lane-aligned site tile that keeps all buffers in VMEM."""
     import os
     stride = _round_up(rates * states, 8)
-    # bytes per site column: tips block (x2 pipeline), slots, scalers, outs
-    per_col = (n_tips * 4 * 2 + n_slots * stride * 4 + n_slots * 8 * 4
+    # bytes per site column: tips block (x2 pipeline), raw tip-CLV rows
+    # (8-aligned stride, x2 pipeline), slots, scalers, outs
+    per_col = (n_tips * 4 * 2 + n_ctips * _round_up(states, 8) * 4 * 2
+               + n_slots * stride * 4 + n_slots * 8 * 4
                + (2 * stride + 2) * 4 * 2)
     t = (VMEM_BUDGET // per_col) // LANE * LANE
     forced = int(os.environ.get("PLL_PALLAS_TILE", "0"))
@@ -146,15 +160,17 @@ def fused_tile(sites: int, n_tips: int, n_slots: int, rates: int,
 
 
 def plane_tile(sites: int, n_tips: int, n_slots: int, rates: int,
-               states: int) -> int:
+               states: int, n_ctips: int = 0, sc_rows: int = 1) -> int:
     """Lane count C per grid step for the plane-layout kernel (the site
     axis is viewed as [8, sites/8]; one tile covers 8*C sites)."""
     import os
     rs = rates * states
-    # bytes per site column: tips (x2 pipeline), slot planes, slot
-    # scaler plane, root outs + scaler outs (x2 pipeline)
-    per_col = (n_tips * 4 * 2 + n_slots * rs * 4 + n_slots * 4
-               + (2 * rs + 2) * 4 * 2)
+    # bytes per site column: tips (x2 pipeline), raw tip-CLV rows (x2
+    # pipeline), slot planes, slot scaler planes, root outs + scaler
+    # outs (x2 pipeline)
+    per_col = (n_tips * 4 * 2 + n_ctips * states * 4 * 2
+               + n_slots * rs * 4 + n_slots * sc_rows * 4
+               + (2 * rs + 2 * sc_rows) * 4 * 2)
     cols = sites // 8
     c = (VMEM_BUDGET // (8 * per_col)) // LANE * LANE
     forced = int(os.environ.get("PLL_PALLAS_TILE", "0"))
@@ -169,14 +185,12 @@ def plane_tile(sites: int, n_tips: int, n_slots: int, rates: int,
 def _fused_kernel_planes(tbl_ref,      # [n_ops+1, 8] int32 (SMEM)
                          pmf_ref,      # [E*R*s*s] f32 (SMEM)
                          tips_ref,     # [n_tips, 8, C] int32
-                         outp_ref,     # [rs, 8, C]
-                         outc_ref,     # [rs, 8, C]
-                         scp_ref,      # [1, 8, C] int32
-                         scc_ref,      # [1, 8, C] int32
-                         clvbuf,       # VMEM [n_slots*rs, 8, C] f32
-                         scalbuf,      # VMEM [n_slots, 8, C] f32
-                         *, rates: int, states: int, threshold: float,
-                         factor: float, n_ops: int):
+                         *refs,        # ([ctips], outp, outc, scp, scc,
+                                       #  clvbuf, scalbuf)
+                         rates: int, states: int, threshold: float,
+                         factor: float, n_ops: int,
+                         rate_scalers: bool = False,
+                         has_ctips: bool = False):
     """Plane-layout variant for small alphabets: the site tile is viewed
     as an [8, C] vreg plane, so every (rate, state) row is a FULL (8,128)
     vector register and the state contraction is rates*states*states
@@ -184,12 +198,30 @@ def _fused_kernel_planes(tbl_ref,      # [n_ops+1, 8] int32 (SMEM)
     vector ops than the row-layout kernel's [states, T] slices, which
     waste 1 - states/8 of every register for DNA. The P-matrix entries
     live in SMEM (scalar prefetch) — every FMA coefficient is a scalar
-    splat, and VMEM scalar reads cost ~20% of the kernel."""
+    splat, and VMEM scalar reads cost ~20% of the kernel.
+
+    Scaler values are [sc_rows, 8, C] planes: one plane per slot in
+    per-site mode, `rates` planes in per-rate mode
+    (PLL_ATTRIB_RATE_SCALERS, reference core_partials.c:760-771) where
+    each rate block under- flows and rescales independently. `has_ctips`
+    adds a raw tip-CLV input ([n_ctips*s, 8, C] f32, is_tip == 2 rows):
+    set_tip_clv values replicated over rates, exactly the reference's
+    ordinary-CLV treatment of such tips (pll.c:959-1024)."""
+    if has_ctips:
+        (ctips_ref, outp_ref, outc_ref, scp_ref, scc_ref,
+         clvbuf, scalbuf) = refs
+    else:
+        outp_ref, outc_ref, scp_ref, scc_ref, clvbuf, scalbuf = refs
+        ctips_ref = None
     rs = rates * states
+    sc_rows = rates if rate_scalers else 1
     tile8 = tips_ref.shape[-2:]                        # (8, C)
     f32 = jnp.float32
     thresh = jnp.asarray(float(threshold), f32)
     fact = jnp.asarray(float(factor), f32)
+
+    def zero_sc():
+        return jnp.zeros((sc_rows,) + tile8, f32)
 
     def decode_tip(row):
         code = tips_ref[pl.ds(row, 1)][0]              # [8, C] int32
@@ -197,12 +229,25 @@ def _fused_kernel_planes(tbl_ref,      # [n_ops+1, 8] int32 (SMEM)
                         for j in range(states)])       # [s, 8, C]
         return jnp.concatenate([st] * rates, axis=0)   # [rs, 8, C]
 
+    def load_slot(idx):
+        return (clvbuf[pl.ds(idx * rs, rs)],
+                scalbuf[pl.ds(idx * sc_rows, sc_rows)])
+
     def load_child(is_tip, idx):
+        if ctips_ref is None:
+            return jax.lax.cond(
+                is_tip == 1,
+                lambda: (decode_tip(idx), zero_sc()),
+                lambda: load_slot(idx))
         return jax.lax.cond(
-            is_tip == 1,
-            lambda: (decode_tip(idx), jnp.zeros(tile8, f32)),
-            lambda: (clvbuf[pl.ds(idx * rs, rs)],
-                     scalbuf[pl.ds(idx, 1)][0]))
+            is_tip == 0,
+            lambda: load_slot(idx),
+            lambda: jax.lax.cond(
+                is_tip == 1,
+                lambda: (decode_tip(idx), zero_sc()),
+                lambda: (jnp.concatenate(
+                    [ctips_ref[pl.ds(idx * states, states)]] * rates,
+                    axis=0), zero_sc())))
 
     def matvecs(mat, child):
         """[rs, 8, C]: per (rate, state-row), sum_j P[r,i,j]*child[r,j]
@@ -224,13 +269,27 @@ def _fused_kernel_planes(tbl_ref,      # [n_ops+1, 8] int32 (SMEM)
         left, lsc = load_child(tbl_ref[i, 1], tbl_ref[i, 2])
         right, rsc = load_child(tbl_ref[i, 4], tbl_ref[i, 5])
         x = matvecs(tbl_ref[i, 3], left) * matvecs(tbl_ref[i, 6], right)
-        # max(x) < t form (see _fused_kernel); x is non-negative
-        small = jnp.max(x, axis=0) < thresh            # [8, C]
-        scale = small & (tbl_ref[i, 7] > 0)
-        x = x * jnp.where(scale, fact, f32(1.0))[None]
-        newsc = lsc + rsc + scale.astype(f32)          # [8, C]
+        has = tbl_ref[i, 7] > 0
+        if rate_scalers:
+            # each rate block scales independently (the robustness mode
+            # for deep trees: one underflowing rate cannot force the
+            # whole site down)
+            segs, counts = [], []
+            for r in range(rates):
+                seg = x[r * states:(r + 1) * states]
+                scale = (jnp.max(seg, axis=0) < thresh) & has  # [8, C]
+                segs.append(seg * jnp.where(scale, fact, f32(1.0))[None])
+                counts.append(scale.astype(f32))
+            x = jnp.concatenate(segs, axis=0)
+            newsc = lsc + rsc + jnp.stack(counts)      # [R, 8, C]
+        else:
+            # max(x) < t form (see _fused_kernel); x is non-negative
+            small = jnp.max(x, axis=0) < thresh        # [8, C]
+            scale = small & has
+            x = x * jnp.where(scale, fact, f32(1.0))[None]
+            newsc = lsc + rsc + scale.astype(f32)[None]  # [1, 8, C]
         clvbuf[pl.ds(pslot * rs, rs)] = x
-        scalbuf[pl.ds(pslot, 1)] = newsc[None]
+        scalbuf[pl.ds(pslot * sc_rows, sc_rows)] = newsc
         return 0
 
     jax.lax.fori_loop(0, n_ops, body, 0)
@@ -239,22 +298,30 @@ def _fused_kernel_planes(tbl_ref,      # [n_ops+1, 8] int32 (SMEM)
     outc, csc = load_child(tbl_ref[n_ops, 2], tbl_ref[n_ops, 3])
     outp_ref[...] = outp
     outc_ref[...] = outc
-    scp_ref[0] = psc.astype(jnp.int32)
-    scc_ref[0] = csc.astype(jnp.int32)
+    scp_ref[...] = psc.astype(jnp.int32)
+    scc_ref[...] = csc.astype(jnp.int32)
 
 
 def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
                   tips_ref,            # [n_tips, T] int32
                   pm_ref,              # [E, R, s, s] f32 (VMEM resident)
-                  outp_ref,            # [stride, T]
-                  outc_ref,            # [stride, T]
-                  scp_ref,             # [1, 1, T] int32
-                  scc_ref,             # [1, 1, T] int32
-                  clvbuf,              # VMEM [n_slots*stride, T] f32
-                  scalbuf,             # VMEM [n_slots*8, T] f32
-                  *, rates: int, states: int, stride: int,
+                  *refs,               # ([ctips], outp, outc, scp, scc,
+                                       #  clvbuf, scalbuf)
+                  rates: int, states: int, stride: int,
                   threshold: float, factor: float, n_ops: int,
-                  use_dot: bool):
+                  use_dot: bool, rate_scalers: bool = False,
+                  has_ctips: bool = False):
+    """Row-layout fused traversal. Scaler values are [8, T] blocks per
+    slot: per-site mode broadcasts one count into all 8 sublane rows;
+    per-rate mode (PLL_ATTRIB_RATE_SCALERS) keeps rate r's count in row
+    r (requires rates <= 8, checked by the caller). `has_ctips` adds a
+    raw tip-CLV input [n_ctips*s, T] f32 for is_tip == 2 table rows."""
+    if has_ctips:
+        (ctips_ref, outp_ref, outc_ref, scp_ref, scc_ref,
+         clvbuf, scalbuf) = refs
+    else:
+        outp_ref, outc_ref, scp_ref, scc_ref, clvbuf, scalbuf = refs
+        ctips_ref = None
     rs = rates * states
     tile = tips_ref.shape[-1]
     f32 = jnp.float32
@@ -263,22 +330,43 @@ def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
     thresh = jnp.asarray(float(threshold), f32)
     fact = jnp.asarray(float(factor), f32)
 
-    def decode_tip(row):
-        code = tips_ref[pl.ds(row, 1), :]                     # [1, T] int32
-        ind = jnp.concatenate(
-            [((code >> j) & 1).astype(f32) for j in range(states)], axis=0)
-        full = jnp.concatenate([ind] * rates, axis=0)         # [rs, T]
+    def pad_stride(full):
         if stride > rs:
             full = jnp.concatenate(
                 [full, jnp.zeros((stride - rs, tile), f32)], axis=0)
         return full
 
+    def decode_tip(row):
+        code = tips_ref[pl.ds(row, 1), :]                     # [1, T] int32
+        ind = jnp.concatenate(
+            [((code >> j) & 1).astype(f32) for j in range(states)], axis=0)
+        return pad_stride(jnp.concatenate([ind] * rates, axis=0))
+
+    def load_slot(idx):
+        return (clvbuf[pl.ds(idx * stride, stride), :],
+                scalbuf[pl.ds(idx * 8, 8), :])
+
+    # raw tip-CLV rows are stored at an 8-aligned stride: Mosaic requires
+    # sublane-dimension dynamic-slice starts to be provable multiples of 8
+    stride_c = _round_up(states, 8)
+
+    def load_ctip(idx):
+        block = ctips_ref[pl.ds(idx * stride_c, stride_c), :][:states]
+        return pad_stride(jnp.concatenate([block] * rates, axis=0))
+
     def load_child(is_tip, idx):
+        if ctips_ref is None:
+            return jax.lax.cond(
+                is_tip == 1,
+                lambda: (decode_tip(idx), jnp.zeros((8, tile), f32)),
+                lambda: load_slot(idx))
         return jax.lax.cond(
-            is_tip == 1,
-            lambda: (decode_tip(idx), jnp.zeros((8, tile), f32)),
-            lambda: (clvbuf[pl.ds(idx * stride, stride), :],
-                     scalbuf[pl.ds(idx * 8, 8), :]))
+            is_tip == 0,
+            lambda: load_slot(idx),
+            lambda: jax.lax.cond(
+                is_tip == 1,
+                lambda: (decode_tip(idx), jnp.zeros((8, tile), f32)),
+                lambda: (load_ctip(idx), jnp.zeros((8, tile), f32))))
 
     def matvecs(pm, child):
         """[rs, T] terms: per rate, P[r] @ child[r]."""
@@ -313,16 +401,31 @@ def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
         pml = pm_ref[pl.ds(tbl_ref[i, 3], 1)]                  # [1, R, s, s]
         pmr = pm_ref[pl.ds(tbl_ref[i, 6], 1)]
         x = matvecs(pml, left[:rs]) * matvecs(pmr, right[:rs])  # [rs, T]
-        # all(x < t) as an explicit f32 max-reduction: under x64 hosts
-        # Mosaic canonicalizes the all(cmp) form into an f64 min-reduce
-        # it cannot compile; max(x) < t is identical (x is non-negative)
-        small = jnp.max(x, axis=0) < thresh                     # [T]
-        scale = small & (tbl_ref[i, 7] > 0)
-        x = jnp.where(scale[None, :], x * fact, x)
+        has = tbl_ref[i, 7] > 0
+        if rate_scalers:
+            # rate blocks scale independently; row r of the [8, T] scaler
+            # block carries rate r's count, rows rates..7 stay zero
+            segs, counts = [], []
+            for r in range(rates):
+                seg = x[r * states:(r + 1) * states]
+                scale = (jnp.max(seg, axis=0) < thresh) & has   # [T]
+                segs.append(jnp.where(scale[None, :], seg * fact, seg))
+                counts.append(scale.astype(f32)[None, :])
+            if rates < 8:
+                counts.append(jnp.zeros((8 - rates, tile), f32))
+            x = jnp.concatenate(segs, axis=0)
+            newsc = lsc + rsc + jnp.concatenate(counts, axis=0)  # [8, T]
+        else:
+            # all(x < t) as an explicit f32 max-reduction: under x64 hosts
+            # Mosaic canonicalizes the all(cmp) form into an f64 min-reduce
+            # it cannot compile; max(x) < t is identical (x is non-negative)
+            small = jnp.max(x, axis=0) < thresh                 # [T]
+            scale = small & has
+            x = jnp.where(scale[None, :], x * fact, x)
+            newsc = lsc + rsc + scale.astype(f32)[None, :]      # [8, T]
         if stride > rs:
             x = jnp.concatenate(
                 [x, jnp.zeros((stride - rs, tile), f32)], axis=0)
-        newsc = lsc + rsc + scale.astype(f32)[None, :]          # [8, T]
         clvbuf[pl.ds(pslot * stride, stride), :] = x
         scalbuf[pl.ds(pslot * 8, 8), :] = newsc
         return 0
@@ -333,25 +436,40 @@ def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
     outc, csc = load_child(tbl_ref[n_ops, 2], tbl_ref[n_ops, 3])
     outp_ref[...] = outp
     outc_ref[...] = outc
-    scp_ref[0, 0] = psc[0].astype(jnp.int32)
-    scc_ref[0, 0] = csc[0].astype(jnp.int32)
+    if rate_scalers:
+        scp_ref[...] = psc.astype(jnp.int32)                   # [8, T]
+        scc_ref[...] = csc.astype(jnp.int32)
+    else:
+        scp_ref[0, 0] = psc[0].astype(jnp.int32)
+        scc_ref[0, 0] = csc[0].astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=('rates', 'states', 'n_slots',
                                    'threshold', 'factor', 'interpret',
-                                   'planes'))
+                                   'planes', 'rate_scalers'))
 def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
                     pmatrix: jnp.ndarray,     # [E, R, s, s] f32
                     table: jnp.ndarray,       # [n_ops+1, 8] int32
                     rates: int, states: int, n_slots: int,
                     threshold: float, factor: float,
-                    interpret: bool = False, planes=None):
+                    interpret: bool = False, planes=None,
+                    rate_scalers: bool = False,
+                    tip_clvs=None):           # [n_ctips, s, S] f32
     """One full postorder; returns (clv_p, clv_c, scaler_p, scaler_c) for
-    the root edge: CLVs [R, s, S] f32 and scalers [S] int32."""
+    the root edge: CLVs [R, s, S] f32; scalers [S] int32 (per-site mode)
+    or [R, S] int32 (rate_scalers mode, one count per rate category).
+    `tip_clvs` carries raw set_tip_clv probability rows (is_tip == 2 in
+    the table), rate-independent by reference semantics (pll.c:1063)."""
     n_tips, sites = tip_codes.shape
     n_ops = table.shape[0] - 1
     e, r, s = pmatrix.shape[0], rates, states
     rs = rates * states
+    sc_rows = rates if rate_scalers else 1
+    if rate_scalers and rates > 8:
+        raise ValueError("fused kernel per-rate scalers support at most "
+                         "8 rate categories")
+    n_ctips = 0 if tip_clvs is None else tip_clvs.shape[0]
+    has_ctips = n_ctips > 0
     if planes is None:
         # the plane kernel holds the FLAT P-matrix (plus the op table) in
         # SMEM via scalar prefetch; SMEM is small and overflow fails the
@@ -367,56 +485,89 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
         # (rate, state) row is a full vreg plane (the reshape is a pure
         # view — C-order [8, S/8] flattens back to site order)
         cols = sites // 8
-        c = plane_tile(sites, n_tips, n_slots, rates, states)
+        c = plane_tile(sites, n_tips, n_slots, rates, states,
+                       n_ctips=n_ctips, sc_rows=sc_rows)
+        in_specs = [
+            pl.BlockSpec((n_tips, 8, c), lambda j, tbl, pmf: (0, 0, j)),
+        ]
+        inputs = [tip_codes.reshape(n_tips, 8, cols)]
+        if has_ctips:
+            in_specs.append(pl.BlockSpec((n_ctips * states, 8, c),
+                                         lambda j, tbl, pmf: (0, 0, j)))
+            inputs.append(tip_clvs.astype(jnp.float32)
+                          .reshape(n_ctips * states, 8, cols))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,        # op table + flat P-matrix (SMEM)
             grid=(cols // c,),
-            in_specs=[
-                pl.BlockSpec((n_tips, 8, c), lambda j, tbl, pmf: (0, 0, j)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((rs, 8, c), lambda j, tbl, pmf: (0, 0, j)),
                 pl.BlockSpec((rs, 8, c), lambda j, tbl, pmf: (0, 0, j)),
-                pl.BlockSpec((1, 8, c), lambda j, tbl, pmf: (0, 0, j)),
-                pl.BlockSpec((1, 8, c), lambda j, tbl, pmf: (0, 0, j)),
+                pl.BlockSpec((sc_rows, 8, c),
+                             lambda j, tbl, pmf: (0, 0, j)),
+                pl.BlockSpec((sc_rows, 8, c),
+                             lambda j, tbl, pmf: (0, 0, j)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((n_slots * rs, 8, c), jnp.float32),
-                pltpu.VMEM((n_slots, 8, c), jnp.float32),
+                pltpu.VMEM((n_slots * sc_rows, 8, c), jnp.float32),
             ],
         )
         kernel = partial(_fused_kernel_planes, rates=rates, states=states,
-                         threshold=threshold, factor=factor, n_ops=n_ops)
+                         threshold=threshold, factor=factor, n_ops=n_ops,
+                         rate_scalers=rate_scalers, has_ctips=has_ctips)
         outp, outc, scp, scc = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((rs, 8, cols), jnp.float32),
                 jax.ShapeDtypeStruct((rs, 8, cols), jnp.float32),
-                jax.ShapeDtypeStruct((1, 8, cols), jnp.int32),
-                jax.ShapeDtypeStruct((1, 8, cols), jnp.int32),
+                jax.ShapeDtypeStruct((sc_rows, 8, cols), jnp.int32),
+                jax.ShapeDtypeStruct((sc_rows, 8, cols), jnp.int32),
             ],
             interpret=interpret,
-        )(table, pmatrix.astype(jnp.float32).reshape(-1),
-          tip_codes.reshape(n_tips, 8, cols))
+        )(table, pmatrix.astype(jnp.float32).reshape(-1), *inputs)
         clv_p = outp.reshape(rates, states, sites)
         clv_c = outc.reshape(rates, states, sites)
+        if rate_scalers:
+            return (clv_p, clv_c, scp.reshape(rates, sites),
+                    scc.reshape(rates, sites))
         return clv_p, clv_c, scp.reshape(sites), scc.reshape(sites)
     stride = _round_up(rates * states, 8)
-    tile = fused_tile(sites, n_tips, n_slots, rates, states)
+    tile = fused_tile(sites, n_tips, n_slots, rates, states,
+                      n_ctips=n_ctips)
 
+    in_specs = [
+        pl.BlockSpec((n_tips, tile), lambda j, tbl: (0, j)),
+        pl.BlockSpec((e, r, s, s), lambda j, tbl: (0, 0, 0, 0)),
+    ]
+    inputs = [tip_codes, pmatrix.astype(jnp.float32)]
+    if has_ctips:
+        # 8-aligned row stride per tip (Mosaic sublane dynamic-slice rule)
+        stride_c = _round_up(states, 8)
+        ct = tip_clvs.astype(jnp.float32)
+        if stride_c > states:
+            ct = jnp.concatenate(
+                [ct, jnp.zeros((n_ctips, stride_c - states, sites),
+                               jnp.float32)], axis=1)
+        in_specs.append(pl.BlockSpec((n_ctips * stride_c, tile),
+                                     lambda j, tbl: (0, j)))
+        inputs.append(ct.reshape(n_ctips * stride_c, sites))
+    if rate_scalers:
+        sc_spec = pl.BlockSpec((8, tile), lambda j, tbl: (0, j))
+        sc_shape = jax.ShapeDtypeStruct((8, sites), jnp.int32)
+    else:
+        sc_spec = pl.BlockSpec((1, 1, tile), lambda j, tbl: (0, 0, j))
+        sc_shape = jax.ShapeDtypeStruct((1, 1, sites), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(sites // tile,),
-        in_specs=[
-            pl.BlockSpec((n_tips, tile), lambda j, tbl: (0, j)),
-            pl.BlockSpec((e, r, s, s), lambda j, tbl: (0, 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((stride, tile), lambda j, tbl: (0, j)),
             pl.BlockSpec((stride, tile), lambda j, tbl: (0, j)),
-            pl.BlockSpec((1, 1, tile), lambda j, tbl: (0, 0, j)),
-            pl.BlockSpec((1, 1, tile), lambda j, tbl: (0, 0, j)),
+            sc_spec,
+            sc_spec,
         ],
         scratch_shapes=[
             pltpu.VMEM((n_slots * stride, tile), jnp.float32),
@@ -425,21 +576,24 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
     )
     kernel = partial(_fused_kernel, rates=rates, states=states,
                      stride=stride, threshold=threshold, factor=factor,
-                     n_ops=n_ops, use_dot=states >= 16)
+                     n_ops=n_ops, use_dot=states >= 16,
+                     rate_scalers=rate_scalers, has_ctips=has_ctips)
     outp, outc, scp, scc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((stride, sites), jnp.float32),
             jax.ShapeDtypeStruct((stride, sites), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1, sites), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1, sites), jnp.int32),
+            sc_shape,
+            sc_shape,
         ],
         interpret=interpret,
-    )(table, tip_codes, pmatrix.astype(jnp.float32))
+    )(table, *inputs)
     rs = rates * states
     clv_p = outp[:rs].reshape(rates, states, sites)
     clv_c = outc[:rs].reshape(rates, states, sites)
+    if rate_scalers:
+        return clv_p, clv_c, scp[:rates], scc[:rates]
     return clv_p, clv_c, scp[0, 0], scc[0, 0]
 
 
@@ -454,6 +608,30 @@ def kernel_grain(states: int) -> int:
     the same predicate fused_traversal uses to pick the layout — pad to
     this grain and the fast layout is guaranteed."""
     return PLANE_GRAIN if states < PLANE_STATES_MAX else 128
+
+
+def tip_clv_matrix(partition, pad_to: int = 0):
+    """f32 raw tip-CLV value matrix [n_ctips, states, width] for tips set
+    via set_tip_clv, rows ordered by ascending tip index (the same order
+    pack_fused_schedule's clv_tip_rows encodes). None when no such tip
+    exists. Values are rate-independent (pll_set_tip_clv replicates one
+    state vector over every category, reference pll.c:1063); the kernel
+    broadcasts over rates. Asc columns ride along (set_tip_clv fills
+    them); pad columns carry 0."""
+    p = partition
+    idxs = np.flatnonzero(p._tips_clv_set)
+    if len(idxs) == 0:
+        return None
+    width = max(p.sites_padded, pad_to)
+    out = np.zeros((len(idxs), p.states, width), dtype=np.float32)
+    for row, t in enumerate(idxs):
+        if p.repeats is not None:
+            cols = p._tip_cols[t]            # [states, sites + asc]
+            out[row, :, :cols.shape[1]] = cols
+        else:
+            vals = np.asarray(p.clv[t, 0])   # [states, sites_padded]
+            out[row, :, :vals.shape[1]] = vals
+    return out
 
 
 def tip_code_matrix(partition, pad_to: int = 0) -> np.ndarray:

@@ -188,24 +188,25 @@ def test_fused_loglikelihood_loop_matches_single():
     np.testing.assert_allclose(acc, 3 * single, rtol=1e-6)
 
 
-def test_fused_falls_back_when_tip_clv_set():
-    """Raw-probability tips are not representable as bitmask codes: the
-    engine must silently fall back to a non-fused path."""
+def test_fused_stays_fused_when_tip_clv_set():
+    """Raw-probability tips (pll_set_tip_clv) stay on the fused path:
+    their f32 rows stream from HBM while every other tip keeps the
+    bitmask decode (see tests/test_fused_modes.py for the full matrix)."""
     tree = random_utree([f"t{i}" for i in range(8)], seed=7)
     headers, seqs = simulate_alignment(tree, 128, FREQS, SUBST,
                                        alpha=0.9, seed=7)
-    part = _build(tree, headers, seqs, 128)
-    tip = next(iter(tree.tips()))
     rng = np.random.default_rng(0)
-    part.set_tip_clv(tip.clv_index, rng.uniform(0.1, 1.0, size=(128, 4)))
+    vals = rng.uniform(0.1, 1.0, size=(128, 4))
+    tip = next(iter(tree.tips()))
+    part = _build(tree, headers, seqs, 128)
+    part.set_tip_clv(tip.clv_index, vals)
     part2 = _build(tree, headers, seqs, 128)
-    part2.set_tip_clv(tip.clv_index, rng.uniform(0.1, 1.0, size=(128, 4)))
+    part2.set_tip_clv(tip.clv_index, vals)
     e = TreeEngine(part, tree, pallas="interpret")
-    assert not e.use_fused
+    assert e.use_fused
     e_ref = TreeEngine(part2, tree, pallas=False)
-    # different random CLVs -> only check both evaluate finitely
-    assert np.isfinite(e.loglikelihood())
-    assert np.isfinite(e_ref.loglikelihood())
+    np.testing.assert_allclose(e.loglikelihood(), e_ref.loglikelihood(),
+                               rtol=1e-6)
 
 
 def test_fused_plane_layout_matches_row_layout():
