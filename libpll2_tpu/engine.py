@@ -745,9 +745,11 @@ class TreeEngine:
         # same mesh (replicated) so one SPMD program sees consistent devices
         mesh = getattr(p, "mesh", None)
         if mesh is not None:
-            from .parallel.sharding import replicated, site_vector_sharding
-            self._rep = lambda x: jax.device_put(x, replicated(mesh))
-            self._site = lambda x: jax.device_put(x, site_vector_sharding(mesh))
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel.sharding import put_global
+            self._rep = lambda x: put_global(x, mesh, P())
+            self._site = lambda x: put_global(x, mesh, P("sites"))
         else:
             self._rep = self._site = jnp.asarray
 
@@ -755,7 +757,13 @@ class TreeEngine:
         # launches instead of ops-many scan steps (SURVEY §2.3 "task
         # parallelism over tree nodes"). Semantically identical: ops within
         # a level are independent.
-        mesh_n = mesh.devices.size if mesh is not None else 1
+        # the width checks below divide the PROCESS-LOCAL padded width by
+        # the shards this process feeds (all of them single-process)
+        if mesh is not None:
+            from .parallel.sharding import owned_shards
+            mesh_n = owned_shards(mesh)
+        else:
+            mesh_n = 1
         # the fused whole-traversal kernel pads its tip-code matrix to
         # the lane grain internally and slices the root rows back, so
         # arbitrary (real-world) site counts are eligible; only the
@@ -958,12 +966,12 @@ class TreeEngine:
             ctips = ops_fused.tip_clv_matrix(p, pad_to=pad_to)
             ctips = None if ctips is None else jnp.asarray(ctips)
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                codes = jax.device_put(
-                    codes, NamedSharding(mesh, P(None, "sites")))
+                from jax.sharding import PartitionSpec as P
+
+                from .parallel.sharding import put_global
+                codes = put_global(codes, mesh, P(None, "sites"))
                 if ctips is not None:
-                    ctips = jax.device_put(
-                        ctips, NamedSharding(mesh, P(None, None, "sites")))
+                    ctips = put_global(ctips, mesh, P(None, None, "sites"))
             self._tip_codes_cache = (codes, ctips)
             self._tip_codes_version = v
         return self._tip_codes_cache
@@ -1115,7 +1123,7 @@ class TreeEngine:
                 pallas_interpret=self.pallas_interpret,
                 edge_params=self.edge_params)
             p.clv_flat, p.sc_flat, p.pmatrix = clv_flat, sc_flat, pmatrix
-            return float(total), np.asarray(per)
+            return float(total), self._persite_host(per)
         clv0, sc0 = self._dense_bufs()
         total, per, clv, scaler, pmatrix = _fused_loglikelihood(
             clv0, sc0, *self._model_args(),
@@ -1131,7 +1139,21 @@ class TreeEngine:
         p.pmatrix = pmatrix
         if not self.repeats_dense_fused:
             p.clv, p.scale_buffer = clv, scaler
-        return float(total), np.asarray(per)
+        return float(total), self._persite_host(per)
+
+    def _persite_host(self, per):
+        """Per-site vector as numpy. Under a multi-process mesh only this
+        process's column block is addressable — return that block (its
+        global offset is process_index * block, matching the reference's
+        per-rank persite_lnl slices)."""
+        mesh = getattr(self.partition, "mesh", None)
+        if mesh is not None:
+            from .parallel.sharding import is_multiprocess
+            if is_multiprocess(mesh):
+                shards = sorted(per.addressable_shards,
+                                key=lambda s: s.index[0].start or 0)
+                return np.concatenate([np.asarray(s.data) for s in shards])
+        return np.asarray(per)
 
     def site_rate_posteriors(self):
         """Empirical-Bayes per-site rate-category posteriors and

@@ -64,6 +64,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices owned by other processes (a real
+    multi-host pod slice, or the multi-process CPU test harness)."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def owned_shards(mesh: Mesh) -> int:
+    """How many of the mesh's site-axis shards THIS process feeds: all of
+    them single-process, the addressable subset under multi-process."""
+    me = jax.process_index()
+    n = sum(1 for d in mesh.devices.flat if d.process_index == me)
+    return n if n else mesh.devices.size
+
+
+def put_global(x, mesh: Mesh, spec: P):
+    """Place `x` on the mesh with `spec`, working in BOTH execution modes:
+
+    single-process — plain `device_put` (x is the full global array);
+    multi-process  — `jax.make_array_from_process_local_data`: x is this
+      process's contiguous block for sharded specs (the site-axis column
+      slice this rank owns, reference MPI mapping SURVEY §2.3) or the
+      full (identical everywhere) array for replicated specs. Device
+      order in the mesh is jax.devices() order — process 0's shards
+      first — so rank r's block lands at global offset r * local_width.
+    """
+    sh = NamedSharding(mesh, spec)
+    if is_multiprocess(mesh):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+    return jax.device_put(x, sh)
+
+
 def shard_partition(partition, mesh: Mesh) -> None:
     """Re-place a Partition's site-major arrays across the mesh, in place.
 
@@ -72,7 +104,7 @@ def shard_partition(partition, mesh: Mesh) -> None:
     are replicated — they are [edges, rates, states, states], independent of
     sites, and every shard needs all of them.
     """
-    n = mesh.devices.size
+    n = owned_shards(mesh)
     if partition.repeats is not None:
         # class identity is a per-shard property (SURVEY §7: repeats are a
         # compute-saving dedup, local to each rank's site slice in the
@@ -87,13 +119,20 @@ def shard_partition(partition, mesh: Mesh) -> None:
             "one SPMD program via ShardedRepeatsEngine")
     if partition.sites_padded % n:
         raise ValueError(
-            f"sites_padded={partition.sites_padded} not divisible by mesh "
-            f"size {n}; create the partition with sites_alignment={n}")
-    partition.clv = jax.device_put(partition.clv, clv_sharding(mesh))
-    partition.scale_buffer = jax.device_put(
-        partition.scale_buffer,
-        scaler_sharding(mesh, partition.rate_scalers))
-    partition.pmatrix = jax.device_put(partition.pmatrix, replicated(mesh))
+            f"sites_padded={partition.sites_padded} not divisible by the "
+            f"{n} mesh shards this process owns; create the partition "
+            f"with sites_alignment={n}")
+    if is_multiprocess(mesh) and partition.asc_extra:
+        raise ValueError("asc bias is not supported under multi-process "
+                         "site sharding (synthetic columns would be "
+                         "duplicated per rank)")
+    partition.clv = put_global(partition.clv, mesh,
+                               P(None, None, None, SITES_AXIS))
+    partition.scale_buffer = put_global(
+        partition.scale_buffer, mesh,
+        P(None, None, SITES_AXIS) if partition.rate_scalers
+        else P(None, SITES_AXIS))
+    partition.pmatrix = put_global(partition.pmatrix, mesh, P())
     partition.mesh = mesh
 
 

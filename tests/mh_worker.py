@@ -1,0 +1,93 @@
+"""Multi-process worker for test_multihost.py — NOT a test module.
+
+Each invocation is one process of an N-process run:
+
+    python mh_worker.py <process_id> <n_processes> <port> <devices_per_proc>
+
+It wires itself into the process group via libpll2_tpu.parallel.multihost,
+builds its column block of a DETERMINISTIC global problem (seeded alignment
++ ladder tree, identical in every process), assembles the global sharded
+partition, and prints one JSON line with logL / d1 / d2 from the single
+SPMD TreeEngine program. test_multihost.py asserts the line is identical
+across 1-process-8-device and 2-process-4-device runs (the reference's MPI
+process-invariance property, SURVEY §2.3)."""
+import json
+import os
+import sys
+
+N_TAXA = 12
+N_SITES = 256
+
+
+def build_global_problem():
+    """Deterministic (seed 7) DNA alignment + ladder newick, identical in
+    every process."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    seqs = ["".join(rng.choice(list("ACGT"), size=N_SITES))
+            for _ in range(N_TAXA)]
+    labels = [f"t{i}" for i in range(N_TAXA)]
+    lens = rng.uniform(0.02, 0.4, size=2 * N_TAXA)
+    tree = f"{labels[0]}:{lens[0]:.6f}"
+    for i in range(1, N_TAXA):
+        tree = f"({tree},{labels[i]}:{lens[i]:.6f}):{lens[N_TAXA + i]:.6f}"
+    # unrooted trifurcation at the top is not required; parse_newick
+    # handles the rooted form and the engine evaluates the virtual root
+    newick = f"({tree},{labels[0]}x:0.1);".replace(
+        f"{labels[0]}x", "outg")
+    seqs.append("".join(rng.choice(list("ACGT"), size=N_SITES)))
+    labels.append("outg")
+    subst = rng.uniform(0.3, 2.5, size=6)
+    freqs = rng.dirichlet(np.ones(4) * 20)
+    return labels, seqs, newick, subst, freqs
+
+
+def main():
+    pid, nproc, port, dev = (int(sys.argv[1]), int(sys.argv[2]),
+                             sys.argv[3], int(sys.argv[4]))
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={dev}")
+    os.environ["JAX_ENABLE_X64"] = "true"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    from libpll2_tpu.parallel import multihost
+    multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                         num_processes=nproc, process_id=pid,
+                         platform="cpu")
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from libpll2_tpu import Partition, TreeEngine, compute_gamma_cats
+    from libpll2_tpu.io import maps
+    from libpll2_tpu.parallel import shard_partition
+    from libpll2_tpu.trees import parse_newick
+
+    labels, seqs, newick, subst, freqs = build_global_problem()
+    tree = parse_newick(newick, unroot=True)
+    lo, hi = multihost.process_site_block(N_SITES)
+    mesh = multihost.global_mesh()
+    assert len(mesh.devices.flat) == 8, "expected 8 global devices"
+
+    part = Partition(tree.tip_count, tree.inner_count, 4, hi - lo, 1,
+                     tree.edge_count, 4, tree.inner_count,
+                     sites_alignment=multihost.owned(mesh))
+    by_label = dict(zip(labels, seqs))
+    for tip in tree.tips():
+        part.set_tip_states(tip.clv_index, maps.map_nt,
+                            by_label[tip.label][lo:hi])
+    part.set_frequencies(0, freqs)
+    part.set_subst_params(0, subst)
+    part.set_category_rates(compute_gamma_cats(0.6, 4))
+    shard_partition(part, mesh)
+
+    eng = TreeEngine(part, tree)
+    lk = eng.loglikelihood()
+    lk2, d1, d2 = eng.newton_step()
+    print(json.dumps({"pid": pid, "nproc": nproc, "lk": lk,
+                      "lk2": lk2, "d1": d1, "d2": d2}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Multi-process execution (parallel/multihost.py): the sharded SPMD
+program must be process-count invariant — logL/d1/d2 identical whether one
+process owns all 8 devices or two processes own 4 each (the reference's
+MPI consumers' rank-invariance property, SURVEY §2.3; affordance at
+reference pll.c:1112 / likelihood.c:122).
+
+Each configuration runs in fresh subprocesses (jax.distributed can only be
+initialized once per process); gloo provides the cross-process CPU
+collectives."""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "mh_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_group(nproc, devices_per_proc, timeout=600):
+    """Launch one process group; returns the parsed JSON line per rank."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), str(nproc), str(port),
+         str(devices_per_proc)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(nproc)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        outs.append(json.loads(line))
+    return outs
+
+
+def test_process_count_invariance():
+    one = _run_group(1, 8)
+    two = _run_group(2, 4)
+    # every rank of the 2-process run must agree with the 1-process run
+    for rank in two:
+        for key in ("lk", "lk2", "d1", "d2"):
+            np.testing.assert_allclose(
+                rank[key], one[0][key], rtol=1e-12,
+                err_msg=f"{key} diverged between 1x8 and 2x4 processes")
+    # and the two ranks with each other (replicated outputs)
+    assert two[0]["lk"] == two[1]["lk"]
