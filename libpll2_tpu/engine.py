@@ -78,7 +78,7 @@ def _scatter_if_ran(k, clv, scaler, root_idx, rows):
                                    'pallas_interpret', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
                                    'fused_slots', 'fused_mesh',
-                                   'fused_scatter'))
+                                   'fused_scatter', 'mxu'))
 def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                          prop_invar, rates, rate_weights, freqs,
                          params_idx_rates, branches,
@@ -90,7 +90,8 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                          pallas_interpret: bool = False,
                          asc_type: int = 0, n_real: int = -1,
                          fused_slots: int = 0, edge_params=None,
-                         fused_mesh=None, fused_scatter: bool = True):
+                         fused_mesh=None, fused_scatter: bool = True,
+                         mxu: str = 'split'):
     """branches[e] is ordered by pmatrix index e. `edge_params` (an
     optional [E, R] int table) switches P-matrix computation to the
     per-branch heterotachy variant — every edge may use its own rate
@@ -123,7 +124,7 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                 n_slots=fused_slots, threshold=scale_threshold,
                 factor=scale_factor, interpret=pallas_interpret,
                 rate_scalers=rate_scalers,
-                tip_clvs=ctips[0] if ctips else None)
+                tip_clvs=ctips[0] if ctips else None, mxu=mxu)
 
         with jax.named_scope("pll.fused_traversal"):
             if fused_mesh is not None:
@@ -206,7 +207,7 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                                    'pallas_interpret', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
                                    'fused_slots', 'fused_mesh',
-                                   'fused_scatter'))
+                                   'fused_scatter', 'mxu'))
 def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        prop_invar, rates, rate_weights, freqs,
                        params_idx_rates, branches,
@@ -218,7 +219,8 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        pallas_interpret: bool = False,
                        asc_type: int = 0, n_real: int = -1,
                        fused_slots: int = 0, edge_params=None,
-                       fused_mesh=None, fused_scatter: bool = True):
+                       fused_mesh=None, fused_scatter: bool = True,
+                         mxu: str = 'split'):
     """One full 'training' step: evaluate the tree, then Newton-update the
     root branch length from d1/d2 (the reference's examples/newton loop body,
     reference: /root/reference/examples/newton/newton.c:66-96, fused).
@@ -236,7 +238,7 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
             pallas_interpret=pallas_interpret, asc_type=asc_type,
             n_real=n_real, fused_slots=fused_slots,
             edge_params=edge_params, fused_mesh=fused_mesh,
-            fused_scatter=False)
+            fused_scatter=False, mxu=mxu)
         clv_p, clv_c, sc_p, sc_c = rows
     else:
         total, _, clv, scaler, pmatrix = _fused_loglikelihood(
@@ -246,7 +248,8 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
             valid=valid, levels=levels, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret, asc_type=asc_type,
-            n_real=n_real, edge_params=edge_params, fused_mesh=fused_mesh)
+            n_real=n_real, edge_params=edge_params, fused_mesh=fused_mesh,
+            mxu=mxu)
         clv_p = jnp.take(clv, p_clv, axis=0)
         clv_c = jnp.take(clv, c_clv, axis=0)
         sc_p = jnp.take(scaler, p_sc, axis=0)
@@ -283,7 +286,7 @@ def _fused_newton_step(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                                    'pallas_interpret', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
                                    'fused_slots', 'fused_mesh',
-                                   'fused_scatter'))
+                                   'fused_scatter', 'mxu'))
 def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                               eigenvecs, prop_invar, rates, rate_weights,
                               freqs, params_idx_rates, branches, op_arrays,
@@ -295,7 +298,8 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                               pallas_interpret: bool = False,
                               asc_type: int = 0, n_real: int = -1,
                               fused_slots: int = 0, edge_params=None,
-                              fused_mesh=None, fused_scatter: bool = True):
+                              fused_mesh=None, fused_scatter: bool = True,
+                         mxu: str = 'split'):
     """k chained full-traversal evaluations in ONE dispatch (the CLV state
     threads through the loop, so XLA cannot hoist the work). Benchmarking
     helper: amortizes host->device dispatch latency.
@@ -324,7 +328,7 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                 use_pallas=use_pallas, pallas_interpret=pallas_interpret,
                 asc_type=asc_type, n_real=n_real, fused_slots=fused_slots,
                 edge_params=edge_params, fused_mesh=fused_mesh,
-                fused_scatter=False)
+                fused_scatter=False, mxu=mxu)
             return acc + total, rows
         acc, rows = jax.lax.fori_loop(
             0, k, body, (jnp.zeros((), clv.dtype), rows0))
@@ -341,7 +345,8 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
             valid=valid, levels=levels, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret, asc_type=asc_type,
-            n_real=n_real, edge_params=edge_params, fused_mesh=fused_mesh)
+            n_real=n_real, edge_params=edge_params, fused_mesh=fused_mesh,
+            mxu=mxu)
         return clv, scaler, acc + total
     clv, scaler, acc = jax.lax.fori_loop(
         0, k, body, (clv, scaler, jnp.zeros((), clv.dtype)))
@@ -352,7 +357,7 @@ def _fused_loglikelihood_loop(k, clv, scaler, eigenvals, inv_eigenvecs,
                                    'pallas_interpret', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
                                    'fused_slots', 'fused_mesh',
-                                   'fused_scatter'))
+                                   'fused_scatter', 'mxu'))
 def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        prop_invar, rates, rate_weights, freqs,
                        params_idx_rates, branches, op_arrays, root_idx,
@@ -364,7 +369,8 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                        pallas_interpret: bool = False,
                        asc_type: int = 0, n_real: int = -1,
                        fused_slots: int = 0, edge_params=None,
-                       fused_mesh=None, fused_scatter: bool = True):
+                       fused_mesh=None, fused_scatter: bool = True,
+                         mxu: str = 'split'):
     """k chained Newton iterations on the root branch in ONE dispatch
     (the reference's examples/newton loop, device-resident). The fused
     path carries root rows only; one scatter after the loop."""
@@ -383,7 +389,7 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                 pallas_interpret=pallas_interpret, asc_type=asc_type,
                 n_real=n_real, fused_slots=fused_slots,
                 edge_params=edge_params, fused_mesh=fused_mesh,
-                fused_scatter=False)
+                fused_scatter=False, mxu=mxu)
             return rows, branches, total, d1, d2
 
         rows, branches, total, d1, d2 = jax.lax.fori_loop(
@@ -401,7 +407,8 @@ def _fused_newton_loop(k, clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
             scale_threshold, scale_factor, rate_scalers=rate_scalers,
             valid=valid, levels=levels, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret, asc_type=asc_type,
-            n_real=n_real, edge_params=edge_params, fused_mesh=fused_mesh)
+            n_real=n_real, edge_params=edge_params, fused_mesh=fused_mesh,
+            mxu=mxu)
         return clv, scaler, branches, total, d1, d2
 
     clv, scaler, branches, total, d1, d2 = jax.lax.fori_loop(
@@ -607,9 +614,17 @@ def _repeats_newton_loop(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs,
             scale_threshold, rate_scalers=rate_scalers,
             has_pscaler=True, has_cscaler=True)
         blen = jnp.take(branches, mat)
+        # Lewis/Felsenstein derivative corrections need the synthetic
+        # columns' ABSOLUTE scalers; the pooled class scalers are
+        # absolute, so the per-site slices sum directly
+        asc_scalers = None
+        if asc_type in (1, 2):
+            asc_scalers = (jnp.take(sc_flat, p_sc_cols, axis=-1)
+                           + jnp.take(sc_flat, c_sc_cols, axis=-1))
         d1, d2 = ops_derivatives.likelihood_derivatives(
             sumtable, eigenvals, prop_invar, freqs, rates, rate_weights,
             params_idx_rates, pattern_weights, invariant, blen,
+            asc_scalers=asc_scalers,
             scale_threshold=scale_threshold,
             asc_type=asc_type, n_real=n_real)
         new_len = ops_derivatives.newton_step(blen, d1, d2,
@@ -626,7 +641,8 @@ def _repeats_newton_loop(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs,
 
 @partial(jax.jit, static_argnames=('rate_scalers', 'scale_threshold',
                                    'scale_factor', 'asc_type', 'n_real',
-                                   'fused_slots', 'pallas_interpret'))
+                                   'fused_slots', 'pallas_interpret',
+                                   'mxu'))
 def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                           prop_invar, rates, rate_weights, freqs,
                           params_idx_rates, branches_k, ops_k, root_idx_k,
@@ -636,7 +652,7 @@ def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                           asc_type: int = 0, n_real: int = -1,
                           fused_slots: int = 0,
                           pallas_interpret: bool = False,
-                          edge_params=None):
+                          edge_params=None, mxu: str = 'split'):
     """logL of K candidate topologies in ONE dispatch.
 
     branches_k [K, E], ops_k: Operations with [K, n] arrays (scan path) or
@@ -672,7 +688,7 @@ def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
                 rate_scalers=rate_scalers, asc_type=asc_type,
                 n_real=n_real, fused_slots=fused_slots,
                 pallas_interpret=pallas_interpret,
-                edge_params=edge_params, fused_scatter=False)
+                edge_params=edge_params, fused_scatter=False, mxu=mxu)
             return total
 
         # vmap the candidate axis: Pallas grows the kernel grid by one
@@ -719,7 +735,7 @@ class TreeEngine:
                  pmatrix_indices: Optional[Sequence[int]] = None,
                  root=None, params_index: int = 0,
                  level_schedule: bool = True,
-                 pallas="auto", edge_params=None):
+                 pallas="auto", edge_params=None, mxu: str = "split"):
         """pallas selects the CLV execution path:
           'auto'  — single-pass whole-traversal kernel (ops/pallas_fused)
                     on TPU when eligible (fp32, per-site scalers, no
@@ -736,6 +752,15 @@ class TreeEngine:
           False   — pure XLA (scan or level schedule)."""
         self.partition = partition
         p = partition
+        # MXU precision mode for 16+-state fused matvecs (ops/pallas_fused
+        # _fused_kernel docstring): 'split' (default, hi/lo bf16 3-pass,
+        # ~2.5e-6), 'bf16' (1-pass throughput mode, ~1.2e-3), 'highest'
+        # (full fp32, ~6 passes). Small alphabets always use exact VPU FMAs.
+        if mxu not in ("split", "bf16", "highest"):
+            raise C.PllError(C.ERROR_PARAM_INVALID,
+                             f"mxu must be 'split', 'bf16' or 'highest', "
+                             f"got {mxu!r}")
+        self.mxu = mxu
         self.repeats_mode = p.repeats is not None
         if tree is not None:
             trav = traverse(tree.vroot)
@@ -1135,7 +1160,7 @@ class TreeEngine:
             asc_type=self.asc_type, n_real=self.n_real,
             fused_slots=self.fused_slots, edge_params=self.edge_params,
             fused_mesh=self.fused_mesh if self.use_fused else None,
-            fused_scatter=not self.repeats_dense_fused)
+            fused_scatter=not self.repeats_dense_fused, mxu=self.mxu)
         p.pmatrix = pmatrix
         if not self.repeats_dense_fused:
             p.clv, p.scale_buffer = clv, scaler
@@ -1185,7 +1210,8 @@ class TreeEngine:
                 pallas_interpret=self.pallas_interpret,
                 asc_type=self.asc_type, n_real=self.n_real,
                 fused_slots=self.fused_slots,
-                edge_params=self.edge_params, fused_scatter=False)
+                edge_params=self.edge_params, fused_scatter=False,
+                mxu=self.mxu)
             clv_p, clv_c, sc_p, sc_c = rows
             pm_root = jnp.take(pmatrix, self.root_idx[4], axis=0)
         else:
@@ -1331,7 +1357,7 @@ class TreeEngine:
             asc_type=self.asc_type, n_real=self.n_real,
             fused_slots=fused_slots,
             pallas_interpret=self.pallas_interpret,
-            edge_params=self.edge_params)
+            edge_params=self.edge_params, mxu=self.mxu)
         return np.asarray(totals)[:k]
 
     def newton_loop(self, k: int):
@@ -1363,7 +1389,7 @@ class TreeEngine:
             asc_type=self.asc_type, n_real=self.n_real,
             fused_slots=self.fused_slots, edge_params=self.edge_params,
             fused_mesh=self.fused_mesh if self.use_fused else None,
-            fused_scatter=not self.repeats_dense_fused)
+            fused_scatter=not self.repeats_dense_fused, mxu=self.mxu)
         self.branches = branches
         if not self.repeats_dense_fused:
             p.clv, p.scale_buffer = clv, scaler
@@ -1396,7 +1422,7 @@ class TreeEngine:
             asc_type=self.asc_type, n_real=self.n_real,
             fused_slots=self.fused_slots, edge_params=self.edge_params,
             fused_mesh=self.fused_mesh if self.use_fused else None,
-            fused_scatter=not self.repeats_dense_fused)
+            fused_scatter=not self.repeats_dense_fused, mxu=self.mxu)
         return float(acc)
 
     def newton_step(self):
@@ -1415,7 +1441,7 @@ class TreeEngine:
             asc_type=self.asc_type, n_real=self.n_real,
             fused_slots=self.fused_slots, edge_params=self.edge_params,
             fused_mesh=self.fused_mesh if self.use_fused else None,
-            fused_scatter=not self.repeats_dense_fused)
+            fused_scatter=not self.repeats_dense_fused, mxu=self.mxu)
         self.branches = branches
         if not self.repeats_dense_fused:
             p.clv, p.scale_buffer = clv, scaler

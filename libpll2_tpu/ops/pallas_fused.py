@@ -137,6 +137,29 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def split_bf16(x):
+    """Truncation-split an f32 array into a bf16 (hi, lo) pair with
+    hi + lo == x to ~2^-17 relative — the operand format of the fused
+    kernel's 'split' MXU mode.
+
+    Implemented by BIT-MASKING the low 16 mantissa bits, NOT by the
+    arithmetic round-trip hi = bf16(x); lo = bf16(x - f32(hi)): XLA's
+    algebraic simplifier folds convert(convert(x, bf16), f32) -> x when
+    the split is fused into a larger program (e.g. downstream of the
+    P-matrix computation inside _fused_loglikelihood), which rewrites lo
+    to bf16(x - x) == 0 and silently degrades the whole mode to plain
+    bf16 (measured: 3.6e-2 CLV error instead of 2.5e-6 at depth 30).
+    The masked hi has exactly the bf16 mantissa, so its conversion is
+    exact, and the residual subtraction cannot be folded. Rounding is
+    to-nearest (half-up via the +0x8000 carry, matching hardware bf16
+    conversion up to half-way cases) — plain truncation would bias every
+    hi low by up to 2^-9 relative and the bias compounds down the tree."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi32 = jax.lax.bitcast_convert_type(
+        (bits + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000), jnp.float32)
+    return hi32.astype(jnp.bfloat16), (x - hi32).astype(jnp.bfloat16)
+
+
 def fused_tile(sites: int, n_tips: int, n_slots: int, rates: int,
                states: int, n_ctips: int = 0) -> int:
     """Largest lane-aligned site tile that keeps all buffers in VMEM."""
@@ -304,18 +327,48 @@ def _fused_kernel_planes(tbl_ref,      # [n_ops+1, 8] int32 (SMEM)
 
 def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
                   tips_ref,            # [n_tips, T] int32
-                  pm_ref,              # [E, R, s, s] f32 (VMEM resident)
-                  *refs,               # ([ctips], outp, outc, scp, scc,
-                                       #  clvbuf, scalbuf)
+                  *refs,               # (pm | pmh, pml), [ctips],
+                                       #  outp, outc, scp, scc,
+                                       #  clvbuf, scalbuf
                   rates: int, states: int, stride: int,
                   threshold: float, factor: float, n_ops: int,
-                  use_dot: bool, rate_scalers: bool = False,
+                  mxu: str, rate_scalers: bool = False,
                   has_ctips: bool = False):
     """Row-layout fused traversal. Scaler values are [8, T] blocks per
     slot: per-site mode broadcasts one count into all 8 sublane rows;
     per-rate mode (PLL_ATTRIB_RATE_SCALERS) keeps rate r's count in row
     r (requires rates <= 8, checked by the caller). `has_ctips` adds a
-    raw tip-CLV input [n_ctips*s, T] f32 for is_tip == 2 table rows."""
+    raw tip-CLV input [n_ctips*s, T] f32 for is_tip == 2 table rows.
+
+    `mxu` picks the state-contraction engine (states >= 16; measured on
+    v5e, tools/mxu_probe.py):
+      'fma'     — unrolled VPU scalar-broadcast FMAs, exact fp32 (small
+                  alphabets; the P-matrix ref is a single fp32 array);
+      'split'   — DEFAULT for proteins: the P-matrix is pre-split into a
+                  bf16 (hi, lo) pair host-side and each inner-child
+                  matvec runs THREE one-pass MXU dots (hi@ch + hi@cl +
+                  lo@ch, fp32 accumulate) on the [rs, rs] block-diagonal
+                  — ~2.5e-6 relative error, 475x tighter than a raw bf16
+                  pass. Tip children exploit rate-independence: the four
+                  [s, s] rate blocks stack VERTICALLY into one [rs, s]
+                  matrix and the 0/1 indicator is EXACT in bf16, so a
+                  tip matvec is TWO [rs, s] passes (pass cost on the
+                  systolic array is width-independent: [80,20] streams
+                  at the same G col/s as [80,80]);
+      'bf16'    — one pass per matvec (hi only): ~1.2e-3 relative, the
+                  throughput mode for exploratory search;
+      'highest' — fp32 dots with precision=HIGHEST (~6 passes), full
+                  fp32 for final evaluations."""
+    split = mxu == "split"
+    if mxu in ("split", "bf16"):
+        pmh_ref = refs[0]
+        pml_ref = refs[1] if split else None
+        refs = refs[2 if split else 1:]
+        pm_ref = None
+    else:
+        pm_ref = refs[0]
+        refs = refs[1:]
+        pmh_ref = pml_ref = None
     if has_ctips:
         (ctips_ref, outp_ref, outc_ref, scp_ref, scc_ref,
          clvbuf, scalbuf) = refs
@@ -324,7 +377,8 @@ def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
         ctips_ref = None
     rs = rates * states
     tile = tips_ref.shape[-1]
-    f32 = jnp.float32
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    hp = jax.lax.Precision.HIGHEST if mxu == "highest" else None
     # static threshold/factor may arrive as np.float64 scalars (x64 hosts);
     # coerce so they cannot promote the whole kernel off fp32
     thresh = jnp.asarray(float(threshold), f32)
@@ -336,10 +390,32 @@ def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
                 [full, jnp.zeros((stride - rs, tile), f32)], axis=0)
         return full
 
-    def decode_tip(row):
+    split32 = split_bf16          # bit-masked: fold-proof (see split_bf16)
+
+    def block_diag(pm_e):
+        """[1, R, s, s] -> [rs, rs] block-diagonal (operand dtype)."""
+        zero = jnp.zeros((states, states), pm_e.dtype)
+        blocks = []
+        for r in range(rates):
+            row = [pm_e[0, r] if q == r else zero for q in range(rates)]
+            blocks.append(jnp.concatenate(row, axis=1))
+        return jnp.concatenate(blocks, axis=0)
+
+    def rate_stack(pm_e):
+        """[1, R, s, s] -> [rs, s]: the rate blocks stacked vertically —
+        one K=s pass applies EVERY rate's matrix to a rate-independent
+        (tip) child."""
+        return jnp.concatenate([pm_e[0, r] for r in range(rates)], axis=0)
+
+    def decode_tip_states(row, dtype):
+        """[s, T] 0/1 indicator (no rate replication) — exact in bf16."""
         code = tips_ref[pl.ds(row, 1), :]                     # [1, T] int32
-        ind = jnp.concatenate(
-            [((code >> j) & 1).astype(f32) for j in range(states)], axis=0)
+        return jnp.concatenate(
+            [((code >> j) & 1).astype(dtype) for j in range(states)],
+            axis=0)
+
+    def decode_tip(row):
+        ind = decode_tip_states(row, f32)
         return pad_stride(jnp.concatenate([ind] * rates, axis=0))
 
     def load_slot(idx):
@@ -350,11 +426,15 @@ def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
     # sublane-dimension dynamic-slice starts to be provable multiples of 8
     stride_c = _round_up(states, 8)
 
+    def load_ctip_rows(idx):
+        return ctips_ref[pl.ds(idx * stride_c, stride_c), :][:states]
+
     def load_ctip(idx):
-        block = ctips_ref[pl.ds(idx * stride_c, stride_c), :][:states]
-        return pad_stride(jnp.concatenate([block] * rates, axis=0))
+        return pad_stride(jnp.concatenate([load_ctip_rows(idx)] * rates,
+                                          axis=0))
 
     def load_child(is_tip, idx):
+        """Raw [stride, T] CLV + scaler — the ROOT-row read path."""
         if ctips_ref is None:
             return jax.lax.cond(
                 is_tip == 1,
@@ -368,39 +448,127 @@ def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
                 lambda: (decode_tip(idx), jnp.zeros((8, tile), f32)),
                 lambda: (load_ctip(idx), jnp.zeros((8, tile), f32))))
 
-    def matvecs(pm, child):
-        """[rs, T] terms: per rate, P[r] @ child[r]."""
-        if use_dot:
-            # ONE [rs, rs] block-diagonal MXU dot instead of `rates`
-            # small [s, s] dots: each small dot occupies a full systolic
-            # pass regardless of size, so fusing the rates into one
-            # matrix cuts MXU passes `rates`-fold (80x80 for LG+G4 also
-            # fills 39% of the 128x128 array vs 2.4% for 20x20)
-            blocks = []
-            for r in range(rates):
-                row = [pm[0, r] if q == r else
-                       jnp.zeros((states, states), f32)
-                       for q in range(rates)]
-                blocks.append(jnp.concatenate(row, axis=1))
-            bd = jnp.concatenate(blocks, axis=0)               # [rs, rs]
-            return jnp.dot(bd, child[:rs], preferred_element_type=f32)
+    def mv_inner_fma(pm_e, child):
         rows = []
         for r in range(rates):
             crow = child[r * states:(r + 1) * states]          # [s, T]
-            p_r = pm[0, r]                                     # [s, s]
+            p_r = pm_e[0, r]                                   # [s, s]
             acc = jnp.zeros((states, tile), f32)
             for j in range(states):
                 acc = acc + p_r[:, j][:, None] * crow[j][None, :]
             rows.append(acc)
         return jnp.concatenate(rows, axis=0)                   # [rs, T]
 
+    def mv_inner(mat, child):
+        """P(mat) applied per rate to an inner-child CLV [rs, T] f32."""
+        if mxu == "fma":
+            return mv_inner_fma(pm_ref[pl.ds(mat, 1)], child)
+        if mxu == "highest":
+            bd = block_diag(pm_ref[pl.ds(mat, 1)])
+            return jnp.dot(bd, child, preferred_element_type=f32,
+                           precision=hp)
+        bdh = block_diag(pmh_ref[pl.ds(mat, 1)])
+        if not split:
+            return jnp.dot(bdh, child.astype(bf16),
+                           preferred_element_type=f32)
+        # ONE dot with the three precision terms K-concatenated
+        # (hi@ch + hi@cl + lo@ch). Summing three separate dots loses the
+        # low terms on the compiled path (the adds distribute into the
+        # operands, absorbing lo into hi at bf16) — measured 5e-2 vs
+        # interpret; the K-stacked single contraction is immune AND one
+        # MXU pass cheaper (ceil(3rs/128) = 2 passes at 20 states).
+        ch, cl = split32(child)
+        bdl = block_diag(pml_ref[pl.ds(mat, 1)])
+        w = jnp.concatenate([bdh, bdh, bdl], axis=1)       # [rs, 3rs]
+        c3 = jnp.concatenate([ch, cl, ch], axis=0)         # [3rs, T]
+        return jnp.dot(w, c3, preferred_element_type=f32)
+
+    def mv_rate_indep(mat, rows_f32=None, tip_row=None):
+        """Matvec for a RATE-INDEPENDENT child ([s, T]): tips decoded
+        from bitmasks (exact 0/1) or raw set_tip_clv rows. One [rs, s]
+        stacked pass per precision term instead of a square pass per
+        term."""
+        if mxu == "fma":
+            child = (decode_tip_states(tip_row, f32) if rows_f32 is None
+                     else rows_f32)
+            rep = jnp.concatenate([child] * rates, axis=0)
+            return mv_inner_fma(pm_ref[pl.ds(mat, 1)], rep)
+        if mxu == "highest":
+            st = rate_stack(pm_ref[pl.ds(mat, 1)])
+            child = (decode_tip_states(tip_row, f32) if rows_f32 is None
+                     else rows_f32)
+            return jnp.dot(st, child, preferred_element_type=f32,
+                           precision=hp)
+        sth = rate_stack(pmh_ref[pl.ds(mat, 1)])
+        if rows_f32 is None:                      # state-code tip: EXACT
+            tip = decode_tip_states(tip_row, bf16)
+            if not split:
+                return jnp.dot(sth, tip, preferred_element_type=f32)
+            # single K-stacked dot (see mv_inner): hi@tip + lo@tip in
+            # ONE [rs, 2s] pass — the indicator is exact in bf16, so
+            # this is the 18-bit P-matrix applied with no further error
+            stl = rate_stack(pml_ref[pl.ds(mat, 1)])
+            w = jnp.concatenate([sth, stl], axis=1)        # [rs, 2s]
+            t2 = jnp.concatenate([tip, tip], axis=0)       # [2s, T]
+            return jnp.dot(w, t2, preferred_element_type=f32)
+        if not split:
+            return jnp.dot(sth, rows_f32.astype(bf16),
+                           preferred_element_type=f32)
+        ch, cl = split32(rows_f32)
+        stl = rate_stack(pml_ref[pl.ds(mat, 1)])
+        w = jnp.concatenate([sth, sth, stl], axis=1)       # [rs, 3s]
+        c3 = jnp.concatenate([ch, cl, ch], axis=0)         # [3s, T]
+        return jnp.dot(w, c3, preferred_element_type=f32)
+
+    def gather_child(is_tip, idx):
+        """Branch-free child fetch: slot value, decoded tip indicator
+        (rate-replicated) or raw tip-CLV rows, merged by SELECTS with
+        every source touched unconditionally. A lax.cond version costs
+        ~1.4 us/op at 20 states (measured): the branches flush the
+        pipeline and stop Mosaic from overlapping consecutive ops, which
+        dwarfs the wasted slot read + tip decode."""
+        x, sc = load_slot(jnp.where(is_tip == 0, idx, 0))
+        tip = decode_tip(jnp.where(is_tip == 1, idx, 0))
+        xx = jnp.where(is_tip == 1, tip, x)
+        if ctips_ref is not None:
+            ct = load_ctip(jnp.where(is_tip == 2, idx, 0))
+            xx = jnp.where(is_tip == 2, ct, xx)
+        sc = jnp.where(is_tip == 0, sc, jnp.zeros((8, tile), f32))
+        return xx, sc
+
+    def matvec_child(is_tip, idx, mat):
+        """(P(mat) @ child(is_tip, idx)) [rs, T] f32 + child scaler."""
+        if mxu != "fma":
+            # unified MXU path: every child goes through the same
+            # inner-child contraction (tips ride it exactly: the 0/1
+            # indicator is exact in bf16 and its lo term is zero)
+            x, sc = gather_child(is_tip, idx)
+            return mv_inner(mat, x[:rs]), sc
+
+        zero_sc = jnp.zeros((8, tile), f32)
+
+        def from_slot():
+            x, sc = load_slot(idx)
+            return mv_inner(mat, x[:rs]), sc
+
+        def from_tip():
+            return mv_rate_indep(mat, tip_row=idx), zero_sc
+
+        def from_ctip():
+            return mv_rate_indep(mat, rows_f32=load_ctip_rows(idx)), \
+                zero_sc
+
+        if ctips_ref is None:
+            return jax.lax.cond(is_tip == 1, from_tip, from_slot)
+        return jax.lax.cond(
+            is_tip == 0, from_slot,
+            lambda: jax.lax.cond(is_tip == 1, from_tip, from_ctip))
+
     def body(i, _):
         pslot = tbl_ref[i, 0]
-        left, lsc = load_child(tbl_ref[i, 1], tbl_ref[i, 2])
-        right, rsc = load_child(tbl_ref[i, 4], tbl_ref[i, 5])
-        pml = pm_ref[pl.ds(tbl_ref[i, 3], 1)]                  # [1, R, s, s]
-        pmr = pm_ref[pl.ds(tbl_ref[i, 6], 1)]
-        x = matvecs(pml, left[:rs]) * matvecs(pmr, right[:rs])  # [rs, T]
+        mvl, lsc = matvec_child(tbl_ref[i, 1], tbl_ref[i, 2], tbl_ref[i, 3])
+        mvr, rsc = matvec_child(tbl_ref[i, 4], tbl_ref[i, 5], tbl_ref[i, 6])
+        x = mvl * mvr                                           # [rs, T]
         has = tbl_ref[i, 7] > 0
         if rate_scalers:
             # rate blocks scale independently; row r of the [8, T] scaler
@@ -446,7 +614,7 @@ def _fused_kernel(tbl_ref,             # [n_ops+1, 8] int32 (SMEM)
 
 @partial(jax.jit, static_argnames=('rates', 'states', 'n_slots',
                                    'threshold', 'factor', 'interpret',
-                                   'planes', 'rate_scalers'))
+                                   'planes', 'rate_scalers', 'mxu'))
 def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
                     pmatrix: jnp.ndarray,     # [E, R, s, s] f32
                     table: jnp.ndarray,       # [n_ops+1, 8] int32
@@ -454,7 +622,8 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
                     threshold: float, factor: float,
                     interpret: bool = False, planes=None,
                     rate_scalers: bool = False,
-                    tip_clvs=None):           # [n_ctips, s, S] f32
+                    tip_clvs=None,            # [n_ctips, s, S] f32
+                    mxu: str = 'split'):
     """One full postorder; returns (clv_p, clv_c, scaler_p, scaler_c) for
     the root edge: CLVs [R, s, S] f32; scalers [S] int32 (per-site mode)
     or [R, S] int32 (rate_scalers mode, one count per rate category).
@@ -537,11 +706,24 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
     tile = fused_tile(sites, n_tips, n_slots, rates, states,
                       n_ctips=n_ctips)
 
-    in_specs = [
-        pl.BlockSpec((n_tips, tile), lambda j, tbl: (0, j)),
-        pl.BlockSpec((e, r, s, s), lambda j, tbl: (0, 0, 0, 0)),
-    ]
-    inputs = [tip_codes, pmatrix.astype(jnp.float32)]
+    # state-contraction engine for the row layout: small alphabets keep
+    # the exact-fp32 VPU FMA path; 16+ states use the MXU with the mode
+    # requested (split hi/lo bf16 by default — see _fused_kernel)
+    mode = mxu if states >= 16 else 'fma'
+    pm_spec = pl.BlockSpec((e, r, s, s), lambda j, tbl: (0, 0, 0, 0))
+    in_specs = [pl.BlockSpec((n_tips, tile), lambda j, tbl: (0, j))]
+    inputs = [tip_codes]
+    pm32 = pmatrix.astype(jnp.float32)
+    if mode in ('split', 'bf16'):
+        pm_hi, pm_lo = split_bf16(pm32)
+        in_specs.append(pm_spec)
+        inputs.append(pm_hi)
+        if mode == 'split':
+            in_specs.append(pm_spec)
+            inputs.append(pm_lo)
+    else:
+        in_specs.append(pm_spec)
+        inputs.append(pm32)
     if has_ctips:
         # 8-aligned row stride per tip (Mosaic sublane dynamic-slice rule)
         stride_c = _round_up(states, 8)
@@ -576,7 +758,7 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
     )
     kernel = partial(_fused_kernel, rates=rates, states=states,
                      stride=stride, threshold=threshold, factor=factor,
-                     n_ops=n_ops, use_dot=states >= 16,
+                     n_ops=n_ops, mxu=mode,
                      rate_scalers=rate_scalers, has_ctips=has_ctips)
     outp, outc, scp, scc = pl.pallas_call(
         kernel,

@@ -138,17 +138,26 @@ def shard_partition(partition, mesh: Mesh) -> None:
 
 @partial(jax.jit, static_argnames=('mesh', 'scale_threshold',
                                    'scale_factor', 'rate_scalers',
-                                   'use_pallas', 'pallas_interpret'))
+                                   'use_pallas', 'pallas_interpret',
+                                   'asc_type', 'n_real'))
 def _sharded_repeats_loop(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs,
                           eigenvecs, prop_invar, rates, rate_weights,
                           freqs, params_idx_rates, branches, buckets,
                           root_cols, mat, pattern_weights, invariant, *,
                           mesh, scale_threshold, scale_factor,
                           rate_scalers, use_pallas=False,
-                          pallas_interpret=False):
+                          pallas_interpret=False,
+                          asc_type=0, n_real=-1):
     """k chained sharded repeats evaluations in one SPMD dispatch: every
     device runs the pooled bucket traversal on its local class tables,
-    then the root-edge logL sums ride one psum over the 'sites' axis."""
+    then the root-edge logL sums ride one psum over the 'sites' axis.
+
+    asc corrections apply PER SHARD before the psum and sum to the
+    global correction exactly: Lewis subtracts sum_w_local * log(1-base)
+    where `base` (the synthetic columns' likelihood sum) is identical on
+    every shard — local weight sums add to the global one — and the
+    Felsenstein/Stamatakis terms are linear in the locally-set asc
+    weights (reference core_likelihood.c:24-117 applied rank-wise)."""
     from jax import shard_map
 
     from ..engine import _repeats_loglikelihood
@@ -163,6 +172,7 @@ def _sharded_repeats_loop(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs,
                 rates, rate_weights, freqs, params_idx_rates, branches,
                 buckets, root_cols, mat, pw, inv,
                 scale_threshold, scale_factor, rate_scalers=rate_scalers,
+                asc_type=asc_type, n_real=n_real,
                 use_pallas=use_pallas, pallas_interpret=pallas_interpret)
             return acc + total, cf, sf
 
@@ -180,6 +190,94 @@ def _sharded_repeats_loop(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs,
                   rep, rep, rep, rep, rep, rep, bucket_specs,
                   (P(SITES_AXIS),) * 4, rep, P(SITES_AXIS), P(SITES_AXIS)),
         out_specs=(P(), P(None, None, SITES_AXIS), sc_spec),
+        check_vma=False,
+    )(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs, eigenvecs,
+      prop_invar, rates, rate_weights, freqs, params_idx_rates, branches,
+      buckets, root_cols, mat, pattern_weights, invariant)
+
+
+@partial(jax.jit, static_argnames=('mesh', 'scale_threshold',
+                                   'scale_factor', 'rate_scalers',
+                                   'use_pallas', 'pallas_interpret',
+                                   'asc_type', 'n_real'))
+def _sharded_repeats_newton_loop(k, clv_flat, sc_flat, eigenvals,
+                                 inv_eigenvecs, eigenvecs, prop_invar,
+                                 rates, rate_weights, freqs,
+                                 params_idx_rates, branches, buckets,
+                                 root_cols, mat, pattern_weights,
+                                 invariant, *,
+                                 mesh, scale_threshold, scale_factor,
+                                 rate_scalers, use_pallas=False,
+                                 pallas_interpret=False,
+                                 asc_type=0, n_real=-1):
+    """k chained Newton iterations on the root branch over SHARDED pooled
+    repeats storage. Per iteration each device evaluates its local class
+    pools, builds its sumtable slice and its d1/d2 partial sums (plain
+    weighted site sums, reference core_derivatives.c:844-848), and THREE
+    psums (logL, d1, d2) make the Newton update identical on every
+    shard — branches stay replicated."""
+    from jax import shard_map
+
+    from .. import constants as C
+    from ..engine import _repeats_loglikelihood
+    from ..ops import derivatives as ops_derivatives
+
+    def local(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs, eigenvecs,
+              prop_invar, rates, rate_weights, freqs, params_idx_rates,
+              branches, buckets, root_cols, mat, pw, inv):
+        p_cols, p_sc_cols, c_cols, c_sc_cols = root_cols
+
+        def body(_, carry):
+            cf, sf, branches, total, d1, d2 = carry
+            total, _per, cf, sf, _pm = _repeats_loglikelihood(
+                cf, sf, eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
+                rates, rate_weights, freqs, params_idx_rates, branches,
+                buckets, root_cols, mat, pw, inv,
+                scale_threshold, scale_factor, rate_scalers=rate_scalers,
+                asc_type=asc_type, n_real=n_real,
+                use_pallas=use_pallas, pallas_interpret=pallas_interpret)
+            sumtable = ops_derivatives.update_sumtable(
+                jnp.take(cf, p_cols, axis=2),
+                jnp.take(cf, c_cols, axis=2),
+                jnp.take(sf, p_sc_cols, axis=-1),
+                jnp.take(sf, c_sc_cols, axis=-1),
+                inv_eigenvecs, eigenvecs, freqs, params_idx_rates,
+                scale_threshold, rate_scalers=rate_scalers,
+                has_pscaler=True, has_cscaler=True)
+            blen = jnp.take(branches, mat)
+            asc_scalers = None
+            if asc_type in (1, 2):
+                asc_scalers = (jnp.take(sf, p_sc_cols, axis=-1)
+                               + jnp.take(sf, c_sc_cols, axis=-1))
+            d1, d2 = ops_derivatives.likelihood_derivatives(
+                sumtable, eigenvals, prop_invar, freqs, rates,
+                rate_weights, params_idx_rates, pw, inv, blen,
+                asc_scalers=asc_scalers,
+                scale_threshold=scale_threshold,
+                asc_type=asc_type, n_real=n_real)
+            total = jax.lax.psum(total, SITES_AXIS)
+            d1 = jax.lax.psum(d1, SITES_AXIS)
+            d2 = jax.lax.psum(d2, SITES_AXIS)
+            new_len = ops_derivatives.newton_step(blen, d1, d2,
+                                                  C.OPT_MIN_BRANCH_LEN,
+                                                  C.OPT_MAX_BRANCH_LEN)
+            branches = branches.at[mat].set(new_len)
+            return cf, sf, branches, total, d1, d2
+
+        zero = jnp.zeros((), clv_flat.dtype)
+        cf, sf, branches, total, d1, d2 = jax.lax.fori_loop(
+            0, k, body, (clv_flat, sc_flat, branches, zero, zero, zero))
+        return total, d1, d2, branches, cf, sf
+
+    rep = P()
+    sc_spec = P(None, SITES_AXIS) if rate_scalers else P(SITES_AXIS)
+    bucket_specs = tuple((P(SITES_AXIS, None),) * 3 for _ in buckets)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, P(None, None, SITES_AXIS), sc_spec, rep, rep, rep,
+                  rep, rep, rep, rep, rep, rep, bucket_specs,
+                  (P(SITES_AXIS),) * 4, rep, P(SITES_AXIS), P(SITES_AXIS)),
+        out_specs=(P(), P(), P(), P(), P(None, None, SITES_AXIS), sc_spec),
         check_vma=False,
     )(k, clv_flat, sc_flat, eigenvals, inv_eigenvecs, eigenvecs,
       prop_invar, rates, rate_weights, freqs, params_idx_rates, branches,
@@ -224,15 +322,21 @@ class ShardedRepeatsEngine:
                     f">= {C.REPEATS_MIN_SITES} sites per shard)")
             if p.sites != p0.sites:
                 raise ValueError("shard partitions must have equal widths")
-            if p.asc_extra:
+            if p.asc_bias.value != p0.asc_bias.value or \
+                    p.asc_extra != p0.asc_extra:
                 raise C.PllError(C.ERROR_PARAM_INVALID,
-                                 "asc bias is not supported under "
-                                 "site sharding")
+                                 "every shard must carry the same asc "
+                                 "configuration")
         self.mesh = mesh
         self.parts = parts
         self.tree = tree
         self.dtype = p0.dtype
         self.rate_scalers = p0.rate_scalers
+        # asc corrections compose rank-wise (see _sharded_repeats_loop);
+        # Felsenstein/Stamatakis asc weights are per shard — set the
+        # global weights once across the shard partitions, not repeated
+        self.asc_type = p0.asc_bias.value
+        self.n_real = p0.sites if p0.asc_extra else -1
         # per-shard VMEM pool kernel (fp32, per-site scalers); each device
         # runs it on its local class columns inside the shard_map program
         eligible = (p0.dtype == jnp.float32 and not p0.rate_scalers
@@ -321,9 +425,33 @@ class ShardedRepeatsEngine:
             scale_threshold=self.parts[0].scale_threshold,
             scale_factor=self.parts[0].scale_factor,
             rate_scalers=self.rate_scalers,
+            asc_type=self.asc_type, n_real=self.n_real,
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret)
         return float(total)
 
     def loglikelihood(self) -> float:
         return self.loglikelihood_loop(1)
+
+    def newton_loop(self, k: int):
+        """k chained Newton iterations on the root branch across the
+        shards (the distributed 'training step': eval + d1/d2 psums +
+        replicated branch update); returns (logL, d1, d2) of the LAST
+        iteration."""
+        (total, d1, d2, self.branches, self.clv_flat,
+         self.sc_flat) = _sharded_repeats_newton_loop(
+            jnp.asarray(k, jnp.int32),
+            self.clv_flat, self.sc_flat, *self._model, self.branches,
+            self._buckets, self._root_cols, self._mat, self._pw,
+            self._inv,
+            mesh=self.mesh,
+            scale_threshold=self.parts[0].scale_threshold,
+            scale_factor=self.parts[0].scale_factor,
+            rate_scalers=self.rate_scalers,
+            asc_type=self.asc_type, n_real=self.n_real,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret)
+        return float(total), float(d1), float(d2)
+
+    def newton_step(self):
+        return self.newton_loop(1)

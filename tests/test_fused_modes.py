@@ -283,3 +283,38 @@ def test_fused_rate_scalers_sharded_mesh():
     nx = e_ref.newton_step()
     ns = e_sh.newton_step()
     np.testing.assert_allclose(ns, nx, rtol=1e-5, atol=1e-3)
+
+
+def test_mxu_mode_accuracy_ordering():
+    """20-state MXU precision modes (ops/pallas_fused._fused_kernel):
+    'split' (hi/lo bf16, K-stacked single dot) must land within fp32
+    distance of the fp64-class XLA answer, 'highest' even closer, and
+    'bf16' visibly looser — the documented accuracy ladder. Also guards
+    the bit-masked split against XLA's convert-folding rewrite (a plain
+    arithmetic hi/lo split silently degrades to bf16 when fused into
+    the jitted program: split_bf16 docstring)."""
+    tree = random_utree([f"t{i}" for i in range(24)], seed=5)
+    headers, seqs = simulate_alignment(
+        tree, 512, np.full(20, 0.05), np.ones(190), alpha=0.9, seed=5)
+
+    ref = TreeEngine(_build(tree, headers, seqs, 512, states=20), tree,
+                     pallas=False).loglikelihood()
+    errs = {}
+    for mode in ("split", "bf16", "highest"):
+        eng = TreeEngine(_build(tree, headers, seqs, 512, states=20),
+                         tree, pallas="interpret", mxu=mode)
+        assert eng.execution_path == "fused"
+        errs[mode] = abs(eng.loglikelihood() - ref)
+    assert errs["highest"] <= abs(ref) * 1e-6
+    assert errs["split"] <= abs(ref) * 1e-5
+    # split must clearly beat raw bf16 (475x in theory; demand 5x)
+    assert errs["split"] * 5 < errs["bf16"] + abs(ref) * 1e-9
+
+
+def test_mxu_mode_validation():
+    tree = random_utree([f"t{i}" for i in range(6)], seed=5)
+    headers, seqs = simulate_alignment(
+        tree, 128, FREQS, SUBST, alpha=0.9, seed=5)
+    part = _build(tree, headers, seqs, 128)
+    with pytest.raises(C.PllError):
+        TreeEngine(part, tree, mxu="fast")

@@ -310,3 +310,72 @@ def test_sharded_repeats_pallas_interpret():
                                make_mesh(n_dev), interpret=True)
     assert eng.use_pallas
     np.testing.assert_allclose(eng.loglikelihood(), lk_full, rtol=2e-5)
+
+
+def test_sharded_repeats_newton_and_asc():
+    """Distributed repeats 'training step': d1/d2 are psum'd weighted
+    site sums (reference core_derivatives.c:844-848) and the Newton
+    update stays replicated; Lewis asc corrections compose rank-wise
+    (sum_w_local * log(1-base) adds up to the global correction)."""
+    from libpll2_tpu.parallel import ShardedRepeatsEngine
+    from libpll2_tpu.trees import random_utree
+    from libpll2_tpu.utils.simulate import simulate_alignment
+
+    n_taxa, sites, n_dev = 12, 768, 4
+    tree = random_utree([f"t{i}" for i in range(n_taxa)], seed=37)
+    freqs = [0.3, 0.25, 0.2, 0.25]
+    subst = [1.2, 3.0, 0.8, 1.1, 2.6, 1.0]
+    rates = compute_gamma_cats(0.8, 4)
+    headers, seqs = simulate_alignment(tree, sites, freqs, subst,
+                                       alpha=0.8, seed=37)
+    by_label = dict(zip(headers, seqs))
+
+    def make(lo, hi, asc=None, repeats=True):
+        from libpll2_tpu.constants import AscBias
+        asc = asc or AscBias.NONE
+        p = Partition(tree.tip_count, tree.inner_count, 4, hi - lo, 1,
+                      tree.edge_count, 4, tree.inner_count,
+                      site_repeats=repeats, asc_bias=asc)
+        for t in tree.tips():
+            p.set_tip_states(t.clv_index, maps.map_nt,
+                             by_label[t.label][lo:hi])
+        p.set_frequencies(0, freqs)
+        p.set_subst_params(0, subst)
+        p.set_category_rates(rates)
+        return p
+
+    w = sites // n_dev
+    mesh = make_mesh(n_dev)
+
+    # Newton: one step, d1/d2 vs the unsharded repeats engine
+    ref_eng = TreeEngine(make(0, sites), tree)
+    lk_r, d1_r, d2_r = ref_eng.newton_step()
+    eng = ShardedRepeatsEngine(tree, [make(d * w, (d + 1) * w)
+                                      for d in range(n_dev)], mesh)
+    lk, d1, d2 = eng.newton_step()
+    np.testing.assert_allclose(lk, lk_r, rtol=1e-10)
+    np.testing.assert_allclose(d1, d1_r, rtol=1e-9)
+    np.testing.assert_allclose(d2, d2_r, rtol=1e-9)
+    # chained iterations track the unsharded engine
+    lk3, d13, d23 = eng.newton_loop(3)
+    ref_eng.newton_step()
+    lk3_r, d13_r, d23_r = ref_eng.newton_step()
+    np.testing.assert_allclose(lk3, lk3_r, rtol=1e-10)
+    # by iteration 3 Newton has converged (d1 ~ 0): compare absolutely
+    np.testing.assert_allclose(d13, d13_r, atol=1e-5)
+
+    # Lewis asc: per-shard corrections must sum to the global one
+    from libpll2_tpu.constants import AscBias
+    ref_asc = TreeEngine(make(0, sites, asc=AscBias.LEWIS), tree)
+    lk_asc_r = ref_asc.loglikelihood()
+    eng_asc = ShardedRepeatsEngine(
+        tree, [make(d * w, (d + 1) * w, asc=AscBias.LEWIS)
+               for d in range(n_dev)], mesh)
+    np.testing.assert_allclose(eng_asc.loglikelihood(), lk_asc_r,
+                               rtol=1e-10)
+    # and asc newton derivatives
+    lk_a, d1_a, d2_a = eng_asc.newton_step()
+    lk_ar, d1_ar, d2_ar = ref_asc.newton_step()
+    np.testing.assert_allclose(lk_a, lk_ar, rtol=1e-10)
+    np.testing.assert_allclose(d1_a, d1_ar, rtol=1e-9)
+    np.testing.assert_allclose(d2_a, d2_ar, rtol=1e-9)
