@@ -1,8 +1,10 @@
 """On-device numerical parity gate: the fp32 TPU production paths are
-asserted against the CPU fp64 path, across the mode matrix
-(levels / fused Pallas kernel x DNA / AA x plain / scaling-stressed /
-asc-bias) — the TPU analog of the reference's 12-attribute-combo golden
-matrix (/root/reference/test/runtest.py:45-57).
+asserted against the CPU fp64 path, across the attribute matrix
+(levels / fused Pallas kernel x DNA / AA / odd-5 x plain /
+scaling-stressed / asc-bias / per-rate scalers / tip-CLV tips /
+heterotachy / rooted / site-repeats incl. 20-state) — the TPU analog of
+the reference's 12-attribute-combo golden matrix
+(/root/reference/test/runtest.py:45-57).
 
 Two processes: the fp32 HALF runs in a worker WITHOUT x64 (the production
 configuration; x64 also breaks Mosaic index-map lowering), the parent
@@ -35,8 +37,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _odd5_map():
+    import numpy as np
+    m = np.zeros(256, dtype=np.uint64)
+    for i, ch in enumerate("ACGTX"):
+        m[ord(ch)] = m[ord(ch.lower())] = np.uint64(1 << i)
+    m[ord("-")] = np.uint64(31)
+    return m
+
+
 def _build(tree, headers, seqs, states, sites, dtype, asc=None,
-           alpha=0.8, repeats=False):
+           alpha=0.8, repeats=False, rate_scalers=False, charmap=None,
+           tip_clv=0, rate_matrices=1, rooted=False):
     import numpy as np
     from libpll2_tpu import Partition, compute_gamma_cats
     from libpll2_tpu import constants as C
@@ -48,35 +60,69 @@ def _build(tree, headers, seqs, states, sites, dtype, asc=None,
         kwargs["asc_bias"] = getattr(C.AscBias, asc.upper())
     if repeats:
         kwargs["site_repeats"] = True
-    part = Partition(tree.tip_count, tree.inner_count, states, sites, 1,
-                     tree.edge_count, 4, tree.inner_count, dtype=dtype,
+    if rate_scalers:
+        kwargs["rate_scalers"] = True
+    inner = tree.inner_count
+    edges = 2 * tree.tip_count - 2 if rooted else tree.edge_count
+    part = Partition(tree.tip_count, inner, states, sites,
+                     rate_matrices, edges, 4, inner, dtype=dtype,
                      **kwargs)
-    cm = maps.map_nt if states == 4 else maps.map_aa
-    for t in tree.tips():
-        part.set_tip_states(t.clv_index, cm, by[t.label])
+    if charmap is None:
+        charmap = maps.map_nt if states == 4 else maps.map_aa
+    tips = list(tree.tips())
+    for t in tips:
+        part.set_tip_states(t.clv_index, charmap, by[t.label])
     rng = np.random.default_rng(11)
-    if states == 4:
-        part.set_frequencies(0, rng.dirichlet(np.ones(4) * 10))
-        part.set_subst_params(0, rng.uniform(0.5, 2.0, size=6))
-    else:
+    if states == 20:
         from libpll2_tpu.models import load_aa_model
         load_aa_model(part, "lg")
+    else:
+        for m in range(rate_matrices):
+            part.set_frequencies(m, rng.dirichlet(np.ones(states) * 10))
+            part.set_subst_params(
+                m, rng.uniform(0.5, 2.0,
+                               size=states * (states - 1) // 2))
     part.set_category_rates(compute_gamma_cats(alpha, 4))
     if asc:
         part.set_asc_state_weights([2] * states)
+    # raw-probability tips (pll_set_tip_clv): smear each observed state
+    # over the alphabet — the uncertain-query regime of EPA-style
+    # placement (reference pll.c:959-1024 treats these as ordinary CLVs)
+    for t in tips[:tip_clv]:
+        seq = by[t.label]
+        prob = np.full((sites, states), 0.3 / states)
+        for j, ch in enumerate(seq[:sites]):
+            code = int(charmap[ord(ch)])
+            for b in range(states):
+                if code >> b & 1:
+                    prob[j, b] += 0.7
+        part.set_tip_clv(t.clv_index, prob)
     return part
 
 
 def _problems():
-    """(name, tree, headers, seqs, states, sites, asc, alpha) cases."""
-    from libpll2_tpu.trees import parse_newick, random_utree
+    """[(name, tree, headers, seqs, build_kwargs, engine_kwargs)] —
+    build_kwargs feed _build (states/sites/asc/alpha/repeats/...),
+    engine_kwargs feed TreeEngine (edge_params for heterotachy)."""
+    import numpy as np
+    from libpll2_tpu.trees import (parse_newick, parse_newick_rooted,
+                                   random_utree)
     from libpll2_tpu.utils import simulate_alignment
 
     cases = []
+
+    def add(name, tree, h, s, states, sites, asc=None, alpha=0.8, **kw):
+        eng = {}
+        if "edge_params" in kw:
+            eng["edge_params"] = kw.pop("edge_params")
+        cases.append((name, tree, h, s,
+                      dict(states=states, sites=sites, asc=asc,
+                           alpha=alpha, **kw), eng))
+
     t1 = random_utree([f"t{i}" for i in range(24)], seed=4)
     h1, s1 = simulate_alignment(t1, 1024, [0.3, 0.2, 0.2, 0.3],
                                 [1, 2, 1, 1, 2, 1], alpha=0.8, seed=4)
-    cases.append(("dna_random", t1, h1, s1, 4, 1024, None, 0.8))
+    add("dna_random", t1, h1, s1, 4, 1024)
 
     # caterpillar with stretched branches: forces many fp32 scaling events
     n = 96
@@ -86,14 +132,36 @@ def _problems():
     t2 = parse_newick(f"(t0:0.3,t1:0.3,{text});")
     h2, s2 = simulate_alignment(t2, 512, [0.25] * 4, [1, 2, 1, 1, 2, 1],
                                 alpha=0.5, seed=5)
-    cases.append(("dna_scaling", t2, h2, s2, 4, 512, None, 0.5))
+    add("dna_scaling", t2, h2, s2, 4, 512, alpha=0.5)
+    # per-rate scalers on the SAME deep problem: the robustness mode that
+    # matters most on FTZ fp32 hardware (reference
+    # core_partials.c:760-771); every rate block rescales independently
+    add("dna_rate_scalers", t2, h2, s2, 4, 512, alpha=0.5,
+        rate_scalers=True)
 
     t3 = random_utree([f"t{i}" for i in range(12)], seed=6)
     h3, s3 = simulate_alignment(t3, 512, [1 / 20] * 20, [1.0] * 190,
                                 alpha=1.0, seed=6)
-    cases.append(("aa_lg", t3, h3, s3, 20, 512, None, 1.0))
+    add("aa_lg", t3, h3, s3, 20, 512, alpha=1.0)
+    # raw-probability tips (pll_set_tip_clv) stream f32 rows from HBM on
+    # the fused path; 3 of 12 tips are uncertain queries
+    add("aa_tipclv", t3, h3, s3, 20, 512, alpha=1.0, tip_clv=3)
 
-    cases.append(("dna_asc_lewis", t1, h1, s1, 4, 1024, "lewis", 0.8))
+    add("dna_asc_lewis", t1, h1, s1, 4, 1024, asc="lewis")
+
+    # per-branch heterotachy: two rate matrices, edges alternate
+    add("dna_heterotachy", t1, h1, s1, 4, 1024, rate_matrices=2,
+        edge_params=(np.arange(t1.edge_count, dtype=np.int32) % 2))
+
+    # odd 5-state alphabet (the reference's odd5 map,
+    # test/src/derivatives-oddstates.c): exercises the row-layout FMA
+    # kernel with stride padding (rs = 20 -> stride 24)
+    t6 = random_utree([f"t{i}" for i in range(16)], seed=12)
+    rng = np.random.default_rng(12)
+    chars = np.array(list("ACGTX"))
+    s6 = ["".join(chars[rng.integers(0, 5, 640)]) for _ in range(16)]
+    h6 = [f"t{i}" for i in range(16)]
+    add("odd5", t6, h6, s6, 5, 640, charmap=_odd5_map())
 
     # site repeats: conserved alignment (strong class compression) so the
     # pooled storage + Pallas pool kernel actually permute on chip
@@ -104,7 +172,22 @@ def _problems():
                 h.length = h.back.length = max(h.length * 0.15, 0.001)
     h4, s4 = simulate_alignment(t4, 896, [0.25] * 4, [1, 2, 1, 1, 2, 1],
                                 alpha=0.6, seed=8)
-    cases.append(("dna_repeats", t4, h4, s4, 4, 896, None, 0.6))
+    add("dna_repeats", t4, h4, s4, 4, 896, alpha=0.6, repeats=True)
+
+    # 20-state repeats: conserved AA alignment through all three repeats
+    # kernels (pool scan / VMEM pool kernel / dense-fused over pools)
+    t7 = random_utree([f"t{i}" for i in range(24)], seed=13)
+    for nd in t7.nodes():
+        for h in ([nd] if nd.is_tip() else list(nd.ring())):
+            if h.back is not None:
+                # conserved (strong compression) but NOT near-zero: at
+                # ~0.001 lengths d2 ~ 1e6 and the fp32 d1 loses 3 digits
+                # to cancellation, tripping the gate on conditioning
+                # rather than on kernel correctness
+                h.length = h.back.length = max(h.length * 0.3, 0.02)
+    h7, s7 = simulate_alignment(t7, 640, [1 / 20] * 20, [1.0] * 190,
+                                alpha=0.9, seed=13)
+    add("aa_repeats", t7, h7, s7, 20, 640, alpha=0.9, repeats=True)
 
     # deep random tree: ~10 levels of scaling activity; guards the fp32
     # window invariant threshold^2 > 2^-126 (a 2^-64 window silently
@@ -113,8 +196,32 @@ def _problems():
     t5 = random_utree([f"t{i}" for i in range(768)], seed=9)
     h5, s5 = simulate_alignment(t5, 2048, [0.3, 0.2, 0.2, 0.3],
                                 [1, 2, 1, 1, 2, 1], alpha=0.8, seed=9)
-    cases.append(("dna_deep", t5, h5, s5, 4, 2048, None, 0.8))
+    add("dna_deep", t5, h5, s5, 4, 2048)
+
+    # rooted tree (rtree path: step-by-step update_partials +
+    # compute_root_loglikelihood, reference test/src/rooted.c analog)
+    sub = [f"r{i}" for i in range(8)]
+    newick = ("(((%s:0.1,%s:0.2):0.1,(%s:0.3,%s:0.1):0.2):0.05,"
+              "((%s:0.1,%s:0.1):0.3,(%s:0.2,%s:0.1):0.1):0.06);"
+              % tuple(sub))
+    t8 = parse_newick_rooted(newick)
+    rng = np.random.default_rng(14)
+    s8 = ["".join(np.array(list("ACGT"))[rng.integers(0, 4, 768)])
+          for _ in range(8)]
+    add("dna_rooted", t8, sub, s8, 4, 768, rooted=True)
     return cases
+
+
+def _rooted_logl(part, tree):
+    """Step-by-step rooted evaluation (rtree traversal +
+    compute_root_loglikelihood) — the reference's rooted.c flow."""
+    from libpll2_tpu.trees import rtree
+    trav = rtree.traverse(tree.root)
+    ops, branches, pmat_idx = rtree.create_operations(trav)
+    part.update_prob_matrices([0] * 4, pmat_idx, branches)
+    part.update_partials(ops)
+    return part.compute_root_loglikelihood(
+        tree.root.clv_index, tree.root.scaler_index, [0] * 4)
 
 
 def _modes(platform: str, repeats: bool = False):
@@ -152,16 +259,21 @@ def fp32_worker():
     target = jax.devices()[0]
     log(f"fp32 worker device: {target.platform} ({target.device_kind})")
     out = []
-    for (name, tree, headers, seqs, states, sites, asc, alpha) in \
-            _problems():
-        rep = name == "dna_repeats"
+    for (name, tree, headers, seqs, bkw, ekw) in _problems():
+        if bkw.get("rooted"):
+            log(f"  {name}: fp32 rooted ...")
+            p32 = _build(tree, headers, seqs, dtype=jnp.float32, **bkw)
+            out.append({"case": name, "mode": "root", "kernel": "xla",
+                        "lk": _rooted_logl(p32, tree),
+                        "d1": 0.0, "d2": 0.0})
+            continue
+        rep = bkw.get("repeats", False)
         for mode, kw in _modes(target.platform, repeats=rep):
             if mode == "fused" and target.platform == "cpu":
                 kw = dict(pallas="interpret")
             log(f"  {name}: fp32 {mode} ...")
-            p32 = _build(tree, headers, seqs, states, sites, jnp.float32,
-                         asc=asc, alpha=alpha, repeats=rep)
-            e32 = TreeEngine(p32, tree, **kw)
+            p32 = _build(tree, headers, seqs, dtype=jnp.float32, **bkw)
+            e32 = TreeEngine(p32, tree, **kw, **ekw)
             lk, d1, d2 = e32.newton_step()
             out.append({"case": name, "mode": mode,
                         "kernel": ("rep-pallas" if e32.use_repeats_pallas
@@ -198,12 +310,13 @@ def main():
     from libpll2_tpu import TreeEngine
 
     refs = {}
-    for (name, tree, headers, seqs, states, sites, asc, alpha) in \
-            _problems():
+    for (name, tree, headers, seqs, bkw, ekw) in _problems():
         log(f"  {name}: fp64 reference on cpu ...")
-        p64 = _build(tree, headers, seqs, states, sites, jnp.float64,
-                     asc=asc, alpha=alpha, repeats=(name == "dna_repeats"))
-        e64 = TreeEngine(p64, tree, pallas=False)
+        p64 = _build(tree, headers, seqs, dtype=jnp.float64, **bkw)
+        if bkw.get("rooted"):
+            refs[name] = (_rooted_logl(p64, tree), 0.0, 0.0)
+            continue
+        e64 = TreeEngine(p64, tree, pallas=False, **ekw)
         refs[name] = e64.newton_step()
 
     results = []

@@ -125,6 +125,7 @@ class EdgePlacer:
                      if p.rate_cats > 1 else np.ones(1))
         p.set_category_rates(rates)
         self._engine = None
+        self._stream = None
 
     def _graft_candidates(self):
         """Splice the query onto each edge in turn, snapshot the
@@ -257,6 +258,102 @@ class EdgePlacer:
         return {lab: self._rank_rows(out[qi], top_k)
                 for qi, lab in enumerate(labels)}
 
+    def prepare_stream(self):
+        """Precompute the query-independent attachment tensors for
+        `place_stream` (one device dispatch: postorder + directional-CLV
+        edge walk). Call again after changing the model or branch
+        lengths; `set_model` invalidates automatically."""
+        from .ops import branch_sweep, pmatrix as ops_pmatrix
+        from .partition import pack_operations
+        from .trees import create_operations as _create_ops
+
+        p = self.partition
+        if float(np.max(np.asarray(p.prop_invar))) > 0.0:
+            raise C.PllError(
+                C.ERROR_PARAM_INVALID,
+                "place_stream supports pinv == 0 only (the +I invariant "
+                "term depends on the query state pattern); use "
+                "place_batch for +I models")
+        trav = traverse(self.tree.vroot)
+        operations, branches, pidx = _create_ops(trav)
+        steps, n_aux = branch_sweep.build_smoothing_schedule(
+            self.tree, p.nodes, p.scale_buffers, len(self.edges))
+        ops = pack_operations(operations, scratch_clv=p.nodes)
+        E = len(self.edges)
+        blen_full = np.zeros(E)
+        blen_full[np.asarray(pidx)] = np.asarray(branches)
+        blen_half = np.concatenate([blen_full / 2.0, [0.0]])
+        # a throwaway engine supplies the cached device model operands
+        eng = TreeEngine(p, operations=operations, branches=branches,
+                         pmatrix_indices=pidx, root=self.tree.vroot,
+                         level_schedule=False, pallas=False)
+        margs = eng._model_args()
+        (ev, inv_evecs, evecs, prop_invar, rates, rate_weights, freqs,
+         params_idx_rates) = margs
+        a_w, cnt = _edge_attach_tensors(
+            p.clv, p.scale_buffer, ev, inv_evecs, evecs, prop_invar,
+            rates, rate_weights, freqs, params_idx_rates,
+            ops, jnp.asarray(steps),
+            jnp.asarray(blen_full, p.dtype),
+            jnp.asarray(blen_half, p.dtype),
+            p.scale_threshold, p.scale_factor, n_aux=n_aux, n_edges=E)
+        pend = ops_pmatrix.update_prob_matrices(
+            ev, inv_evecs, evecs, prop_invar, rates, params_idx_rates,
+            jnp.asarray([self.pendant_length], p.dtype))[0]
+        pw = eng._site_args()[0]
+        self._stream = (a_w, cnt, pend, pw,
+                        float(np.log(p.scale_threshold)))
+        self._stream_version = p._model_version
+        return self
+
+    def _query_codes(self, seq: str) -> np.ndarray:
+        p = self.partition
+        if len(seq) != p.sites:
+            raise C.PllError(C.ERROR_PARAM_INVALID,
+                             f"query length {len(seq)} != {p.sites} sites")
+        b = np.frombuffer(seq.encode("ascii"), np.uint8)
+        out = np.zeros(p.sites_padded, np.int32)
+        codes = self.charmap[b]
+        if np.any(codes == 0):
+            bad = chr(int(b[np.argmax(codes == 0)]))
+            raise C.PllError(C.ERROR_TIPDATA_ILLEGALSTATE,
+                             f"illegal state in query sequence: {bad!r}")
+        out[:p.sites] = codes.astype(np.int64)
+        return out
+
+    def place_stream(self, query_seqs: Dict[str, str], chunk: int = 256,
+                     top_k: Optional[int] = None
+                     ) -> Dict[str, List[dict]]:
+        """EPA-ng-scale streaming placement: queries are scored against
+        the PRECOMPUTED per-edge attachment tensors (prepare_stream), so
+        each (query, edge, site) costs one R*s-element contraction plus a
+        log — independent of tree size — instead of a full traversal.
+        Queries are padded to `chunk` (one compiled program per chunk
+        shape) and processed one dispatch per chunk. Output rows are
+        identical in format to place()/place_batch (feed to_jplace)."""
+        p = self.partition
+        if getattr(self, "_stream", None) is None \
+                or self._stream_version != p._model_version:
+            self.prepare_stream()
+        a_w, cnt, pend, pw, log_thr = self._stream
+        labels = list(query_seqs)
+        if not labels:
+            return {}
+        S = p.sites_padded
+        tile = next(t for t in (2048, 1024, 512, 128, S) if S % t == 0)
+        Q = len(labels)
+        q_pad = -(-Q // chunk) * chunk
+        codes = np.zeros((q_pad, S), np.int32)
+        for qi, lab in enumerate(labels):
+            codes[qi] = self._query_codes(query_seqs[lab])
+        out = np.zeros((q_pad, a_w.shape[0]))
+        for q0 in range(0, q_pad, chunk):
+            out[q0:q0 + chunk] = np.asarray(_stream_scores(
+                jnp.asarray(codes[q0:q0 + chunk]), a_w, cnt, pend, pw,
+                log_thr, n_states=p.states, tile=tile))
+        return {lab: self._rank_rows(out[qi], top_k)
+                for qi, lab in enumerate(labels)}
+
     def place(self, query_seq: str, top_k: Optional[int] = None
               ) -> List[dict]:
         """Score every attachment edge for one query sequence (ONE device
@@ -278,6 +375,149 @@ class EdgePlacer:
         return [{"edge": int(e), "edge_nodes": self._edge_names[e],
                  "logL": float(scores[e]), "lwr": float(lwr[e])}
                 for e in order]
+
+
+@partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',
+                                   'n_aux', 'n_edges'))
+def _edge_attach_tensors(clv, scaler,
+                         eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
+                         rates, rate_weights, freqs, params_idx_rates,
+                         ops,              # packed postorder Operations
+                         steps,            # [n_steps, 13] int32
+                         blen_full,        # [E] current edge lengths
+                         blen_half,        # [E+1] half lengths (+0 dummy)
+                         scale_threshold: float, scale_factor: float,
+                         n_aux: int, n_edges: int):
+    """Per-edge attachment tensors for the streaming placer, in ONE
+    dispatch: a postorder refresh, then the smoothing-schedule edge walk
+    (ops/branch_sweep.py) computing directional "up" CLVs in aux rows —
+    but instead of Newton steps, each edge step emits
+
+        A[e]   = (P(L_e/2) @ clv_child) * (P(L_e/2) @ clv_parent_side)
+                 folded with rate_weights x freqs  ->  [E, R*s, S]
+        cnt[e] = summed per-site scaler counts      ->  [E, S]
+
+    — everything about candidate attachment e that does not depend on
+    the query. A query's placement logL then reduces to a 16-element
+    (R*s) contraction per site against its own pendant-tip part (the
+    EPA "partial likelihood" factorization the reference's consumers
+    build from pll_update_partials on a 3-node subtree;
+    reference: /root/reference/src/pll.c CLV reuse semantics)."""
+    from .ops import pmatrix as ops_pmatrix
+    from .ops.partials import update_partials
+
+    dtype = clv.dtype
+    K = scaler.shape[0] - 2
+    R, s, S = clv.shape[1], clv.shape[2], clv.shape[3]
+
+    pmat_full = ops_pmatrix.update_prob_matrices(
+        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+        params_idx_rates, blen_full)
+    pmat_half = ops_pmatrix.update_prob_matrices(
+        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+        params_idx_rates, blen_half)
+
+    aux_clv = jnp.zeros((n_aux,) + clv.shape[1:], dtype)
+    aux_sc = jnp.zeros((n_aux,) + scaler.shape[1:], scaler.dtype)
+    clv_c = jnp.concatenate([clv, aux_clv], axis=0)
+    sc_c = jnp.concatenate([scaler[:K], aux_sc, scaler[K:]], axis=0)
+    clv_c, sc_c = update_partials(clv_c, sc_c, pmat_full, ops,
+                                  scale_threshold, scale_factor)
+    thresh = jnp.asarray(scale_threshold, dtype)
+    factor = jnp.asarray(scale_factor, dtype)
+    HI = jax.lax.Precision.HIGHEST
+
+    # dummy (subtree-exit) steps carry mat == n_edges: they index the
+    # appended zero row of pmat_half and scatter into trash row E
+    pmat_half_p = jnp.concatenate(
+        [pmat_half, jnp.zeros((1,) + pmat_half.shape[1:], dtype)])
+    out_a = jnp.zeros((n_edges + 1, R, s, S), dtype)
+    out_cnt = jnp.zeros((n_edges + 1, S), sc_c.dtype)
+
+    def step(carry, st):
+        clv_c, sc_c, out_a, out_cnt = carry
+        (up_clv, up_sc, c1, m1, s1, c2, m2, s2,
+         e_c, e_csc, e_p, e_psc, mat) = [st[i] for i in range(13)]
+        with jax.named_scope("stream.upclv"):
+            left = jnp.take(clv_c, c1, axis=0)
+            right = jnp.take(clv_c, c2, axis=0)
+            pl = jnp.take(pmat_full, m1, axis=0)
+            pr = jnp.take(pmat_full, m2, axis=0)
+            x = (jnp.einsum('rij,rjs->ris', pl, left,
+                            preferred_element_type=dtype, precision=HI)
+                 * jnp.einsum('rij,rjs->ris', pr, right,
+                              preferred_element_type=dtype, precision=HI))
+            mask = jnp.all(x < thresh, axis=(0, 1))
+            x = jnp.where(mask[None, None, :], x * factor, x)
+            new_sc = (jnp.take(sc_c, s1, axis=0)
+                      + jnp.take(sc_c, s2, axis=0)
+                      + mask.astype(sc_c.dtype))
+            clv_c = clv_c.at[up_clv].set(x)
+            sc_c = sc_c.at[up_sc].set(new_sc)
+        with jax.named_scope("stream.attach"):
+            ph = jnp.take(pmat_half_p, mat, axis=0)
+            a = (jnp.einsum('rij,rjs->ris', ph,
+                            jnp.take(clv_c, e_c, axis=0),
+                            preferred_element_type=dtype, precision=HI)
+                 * jnp.einsum('rij,rjs->ris', ph,
+                              jnp.take(clv_c, e_p, axis=0),
+                              preferred_element_type=dtype, precision=HI))
+            cnt = (jnp.take(sc_c, e_csc, axis=0)
+                   + jnp.take(sc_c, e_psc, axis=0))
+            e = jnp.minimum(mat, n_edges)
+            out_a = out_a.at[e].set(a)
+            out_cnt = out_cnt.at[e].set(cnt)
+        return (clv_c, sc_c, out_a, out_cnt), None
+
+    (clv_c, sc_c, out_a, out_cnt), _ = jax.lax.scan(
+        step, (clv_c, sc_c, out_a, out_cnt), steps)
+    fold = (rate_weights[:, None, None].astype(dtype)
+            * jnp.take(freqs, params_idx_rates, axis=0)[:, :, None])
+    a_w = (out_a[:n_edges] * fold[None]).reshape(n_edges, R * s, S)
+    return a_w, out_cnt[:n_edges]
+
+
+@partial(jax.jit, static_argnames=('n_states', 'tile'))
+def _stream_scores(codes_q,           # [Q, S] int32 query bitmasks
+                   a_w,               # [E, R*s, S] weighted edge tensors
+                   cnt,               # [E, S] per-site scaler counts
+                   pend_pmat,         # [R, s, s] pendant P-matrix
+                   pattern_weights,   # [S]
+                   log_threshold,     # scalar, log of the scale window
+                   n_states: int, tile: int):
+    """logL grid [Q, E] from precomputed attachment tensors: one
+    16-element contraction + log per (query, edge, site). Site tiles keep
+    the [Q, E, tile] intermediate in a lax.scan instead of materializing
+    [Q, E, S] in HBM."""
+    dtype = a_w.dtype
+    HI = jax.lax.Precision.HIGHEST
+    Q = codes_q.shape[0]
+    E, K, S = a_w.shape
+    R = pend_pmat.shape[0]
+    bits = ((codes_q[:, None, :] >> jnp.arange(n_states)[None, :, None])
+            & 1).astype(dtype)                              # [Q, s, S]
+    qp = jnp.einsum('rij,qjs->qris', pend_pmat, bits,
+                    preferred_element_type=dtype,
+                    precision=HI).reshape(Q, K, S)
+    nt = S // tile
+    a_t = a_w.reshape(E, K, nt, tile).transpose(2, 0, 1, 3)
+    q_t = qp.reshape(Q, K, nt, tile).transpose(2, 0, 1, 3)
+    pw_t = pattern_weights.astype(dtype).reshape(nt, tile)
+    cnt_t = cnt.astype(dtype).reshape(E, nt, tile).transpose(1, 0, 2)
+
+    def tstep(acc, xs):
+        a, q, w, c = xs               # [E,K,T] [Q,K,T] [T] [E,T]
+        inner = jax.lax.dot_general(
+            q, a, (((1,), (1,)), ((2,), (2,))),
+            preferred_element_type=dtype, precision=HI)     # [T, Q, E]
+        site = jnp.where(w[:, None, None] > 0,
+                         jnp.log(jnp.maximum(inner, 0.0))
+                         + c.T[:, None, :] * log_threshold, 0.0)
+        return acc + jnp.sum(w[:, None, None] * site, axis=0), None
+
+    acc0 = jnp.zeros((Q, E), dtype)
+    logl, _ = jax.lax.scan(tstep, acc0, (a_t, q_t, pw_t, cnt_t))
+    return logl
 
 
 @partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',

@@ -177,3 +177,114 @@ def test_jplace_export():
         assert 0 <= edge_num < n_edges
         assert np.isfinite(lnl) and 0 <= lwr <= 1
         assert distal >= 0 and pendant == placer.pendant_length
+
+
+def test_place_stream_matches_place():
+    """Streaming scorer (precomputed attachment tensors) returns the
+    same per-edge logL surface as the full-traversal place() path."""
+    full = random_utree([f"t{i}" for i in range(16)], seed=41)
+    headers, seqs = simulate_alignment(full, 768, FREQS, SUBST,
+                                       alpha=0.7, seed=41)
+    by = dict(zip(headers, seqs))
+    a, b = _prune_tip(full, "t2")
+    ref_tree = parse_newick(export_newick(a if not a.is_tip() else b))
+    ref_by = {k: v for k, v in by.items() if k != "t2"}
+    placer = EdgePlacer(ref_tree, ref_by)
+    placer.set_model(FREQS, SUBST, alpha=0.7)
+    single = sorted(placer.place(by["t2"]), key=lambda r: r["edge"])
+    # three queries incl. a gappy one and a reference copy
+    gappy = by["t2"][:300] + "-" * 168 + by["t2"][468:]
+    res = placer.place_stream({"q": by["t2"], "g": gappy,
+                               "c": ref_by["t7"]}, chunk=4)
+    stream = sorted(res["q"], key=lambda r: r["edge"])
+    np.testing.assert_allclose([r["logL"] for r in stream],
+                               [r["logL"] for r in single], rtol=2e-5)
+    best_q = max(res["q"], key=lambda r: r["logL"])
+    best_s = max(single, key=lambda r: r["logL"])
+    assert best_q["edge"] == best_s["edge"]
+    # a copy of t7 lands on t7's pendant edge
+    best_c = max(res["c"], key=lambda r: r["logL"])
+    assert "t7" in set(best_c["edge_nodes"])
+
+
+def test_place_stream_scaling_events():
+    """Deep stretched tree forces per-site rescaling: the streaming
+    scorer's scaler-count correction must reproduce place()'s logL."""
+    n = 40
+    text = "t2:0.9"
+    for i in range(3, n):
+        text = f"({text},t{i}:0.9):0.9"
+    full = parse_newick(f"(t0:0.4,t1:0.4,{text});")
+    headers, seqs = simulate_alignment(full, 384, FREQS, SUBST,
+                                       alpha=0.6, seed=43)
+    by = dict(zip(headers, seqs))
+    a, b = _prune_tip(full, "t9")
+    ref_tree = parse_newick(export_newick(a if not a.is_tip() else b))
+    ref_by = {k: v for k, v in by.items() if k != "t9"}
+    placer = EdgePlacer(ref_tree, ref_by)
+    placer.set_model(FREQS, SUBST, alpha=0.6)
+    single = sorted(placer.place(by["t9"]), key=lambda r: r["edge"])
+    stream = sorted(placer.place_stream({"q": by["t9"]})["q"],
+                    key=lambda r: r["edge"])
+    np.testing.assert_allclose([r["logL"] for r in stream],
+                               [r["logL"] for r in single], rtol=2e-5)
+
+
+def test_place_stream_aa():
+    from libpll2_tpu.models import load_aa_model
+
+    full = random_utree([f"t{i}" for i in range(10)], seed=47)
+    headers, seqs = simulate_alignment(full, 320, [1 / 20] * 20,
+                                       [1.0] * 190, alpha=1.0, seed=47)
+    by = dict(zip(headers, seqs))
+    a, b = _prune_tip(full, "t4")
+    ref_tree = parse_newick(export_newick(a if not a.is_tip() else b))
+    ref_by = {k: v for k, v in by.items() if k != "t4"}
+    placer = EdgePlacer(ref_tree, ref_by, states=20)
+    load_aa_model(placer.partition, "lg")
+    placer.partition.set_category_rates(
+        __import__("libpll2_tpu").compute_gamma_cats(1.0, 4))
+    placer._engine = None
+    placer._stream = None
+    single = sorted(placer.place(by["t4"]), key=lambda r: r["edge"])
+    stream = sorted(placer.place_stream({"q": by["t4"]})["q"],
+                    key=lambda r: r["edge"])
+    np.testing.assert_allclose([r["logL"] for r in stream],
+                               [r["logL"] for r in single], rtol=2e-5)
+
+
+def test_place_stream_rejects_pinv():
+    import pytest as _pytest
+
+    from libpll2_tpu import constants as C
+
+    full = random_utree([f"t{i}" for i in range(8)], seed=51)
+    headers, seqs = simulate_alignment(full, 256, FREQS, SUBST,
+                                       alpha=0.9, seed=51)
+    by = dict(zip(headers, seqs))
+    placer = EdgePlacer(full, by)
+    placer.set_model(FREQS, SUBST, alpha=0.9)
+    placer.partition.update_invariant_sites()
+    placer.partition.update_invariant_sites_proportion(0, 0.2)
+    with _pytest.raises(C.PllError):
+        placer.place_stream({"q": by["t0"]})
+
+
+def test_place_stream_jplace():
+    """place_stream rows feed to_jplace unchanged."""
+    import json
+
+    from libpll2_tpu.placement import to_jplace
+
+    full = random_utree([f"t{i}" for i in range(8)], seed=3)
+    headers, seqs = simulate_alignment(full, 256, FREQS, SUBST,
+                                       alpha=0.9, seed=3)
+    by = dict(zip(headers, seqs))
+    a, b = _prune_tip(full, "t1")
+    ref_tree = parse_newick(export_newick(a if not a.is_tip() else b))
+    ref_by = {k: v for k, v in by.items() if k != "t1"}
+    placer = EdgePlacer(ref_tree, ref_by)
+    placer.set_model(FREQS, SUBST, alpha=0.9)
+    res = placer.place_stream({"t1": by["t1"]}, top_k=3)
+    jp = json.loads(json.dumps(to_jplace(placer, res, top_k=3)))
+    assert len(jp["placements"][0]["p"]) == 3

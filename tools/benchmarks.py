@@ -125,13 +125,61 @@ def bench_newton():
 
 
 def bench_protein():
-    log("[3] 20-state LG (64 taxa x 2048 sites)")
-    part, tree, *_ = build(64, 2048, states=20, model="lg", seed=11)
-    eng = TreeEngine(part, tree)
-    dt = device_time(eng)
-    su = tree.inner_count * 2048
-    record("aa_site_updates_per_sec", su / dt, "site-updates/s",
-           f"pallas={eng.use_pallas}, {dt*1e3:.2f} ms/traversal")
+    log("[3] 20-state LG (64 taxa x 2048 sites), per MXU precision mode")
+    su = None
+    for mode in ("split", "bf16", "highest"):
+        part, tree, *_ = build(64, 2048, states=20, model="lg", seed=11)
+        eng = TreeEngine(part, tree, mxu=mode)
+        dt = device_time(eng)
+        su = tree.inner_count * 2048
+        name = ("aa_site_updates_per_sec" if mode == "split"
+                else f"aa_{mode}_site_updates_per_sec")
+        note = {"split": "DEFAULT: hi/lo bf16 K-stacked, fp32-class "
+                         "(~2.5e-6/op)",
+                "bf16": "throughput mode (~1.2e-3/op) for search",
+                "highest": "full-fp32 dots for final evals"}[mode]
+        record(name, su / dt, "site-updates/s",
+               f"{dt*1e3:.2f} ms/traversal; {note}")
+
+
+
+def bench_path_matrix():
+    """Every execution path x scaler mode at one size (VERDICT r2 item 6:
+    no configuration's cost may be unknown — real configs silently land
+    on non-fused paths via TreeEngine eligibility). Also records the
+    compile cost (first-call wall time incl. trace+compile) per path.
+    The per-op XLA scan path is measured on CPU only (it compiles
+    pathologically slowly through the tunneled-TPU toolchain and is
+    oracle-validated by the test suite)."""
+    log("[1b] execution-path matrix (48 taxa x 2048 sites, GTR+G4)")
+    su = 46 * 2048
+    on_tpu = jax.default_backend() != "cpu"
+    combos = [("fused", dict(pallas=True), False),
+              ("fused", dict(pallas=True), True),
+              ("levels-kernel", dict(pallas="levels-kernel"), False),
+              ("levels", dict(pallas=False), False),
+              ("levels", dict(pallas=False), True)]
+    if not on_tpu or QUICK:
+        combos.append(("scan", dict(pallas=False, level_schedule=False),
+                       False))
+    for want, kw, rsc in combos:
+        if want == "levels-kernel" and rsc:
+            continue                      # no per-rate mode in that kernel
+        if not on_tpu and kw.get("pallas") in (True, "levels-kernel"):
+            kw = dict(kw, pallas="interpret" if kw["pallas"] is True
+                      else "levels-interpret")
+        part, tree, *_ = build(48, 2048, seed=21, rate_scalers=rsc)
+        t0 = time.perf_counter()
+        eng = TreeEngine(part, tree, **kw)
+        eng.loglikelihood_loop(1)
+        compile_s = time.perf_counter() - t0
+        path = eng.execution_path
+        if path != want:
+            log(f"  (requested {want} resolved to {path})")
+        dt = device_time(eng)
+        tag = "rate" if rsc else "site"
+        record(f"path_{path}_{tag}_scalers", su / dt, "site-updates/s",
+               f"{dt*1e3:.3f} ms/eval; first-call {compile_s:.1f} s")
 
 
 def bench_repeats():
@@ -421,6 +469,29 @@ def bench_placement():
            f"({Q * n_edges} placements) in {best:.2f} s; single-query "
            f"place() is dispatch-bound at ~9/s")
 
+    # EPA-ng-scale streaming: precomputed per-edge attachment tensors,
+    # one 16-element contraction + log per (query, edge, site)
+    NQ = 1000
+    chars = np.array(list("ACGT"))
+    stream_q = {}
+    for qi in range(NQ):
+        src = np.array(list(seqs[int(rng2.integers(0, len(seqs)))]))
+        mut = rng2.random(1024) < 0.05
+        src[mut] = chars[rng2.integers(0, 4, mut.sum())]
+        src[rng2.random(1024) < 0.2] = "-"
+        stream_q[f"s{qi}"] = "".join(src)
+    placer.prepare_stream()
+    placer.place_stream({k: stream_q[k] for k in list(stream_q)[:256]})
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        placer.place_stream(stream_q)
+        best = min(best, time.perf_counter() - t0)
+    record("placement_stream_queries_per_sec", NQ / best, "queries/s",
+           f"streaming: {NQ} queries x {n_edges} edges "
+           f"({NQ * n_edges} placements) in {best:.2f} s via "
+           "precomputed attachment tensors")
+
 
 def bench_stepwise():
     sizes = [(48, 1024)] if QUICK else [(128, 1024), (1000, 1024)]
@@ -454,6 +525,7 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} ({dev.device_kind})")
     bench_unrooted()
+    bench_path_matrix()
     bench_newton()
     bench_protein()
     bench_repeats()
