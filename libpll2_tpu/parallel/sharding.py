@@ -284,6 +284,101 @@ def _sharded_repeats_newton_loop(k, clv_flat, sc_flat, eigenvals,
       buckets, root_cols, mat, pattern_weights, invariant)
 
 
+@partial(jax.jit, static_argnames=('mesh', 'scale_threshold',
+                                   'scale_factor', 'rate_scalers',
+                                   'fused_slots', 'root_mat',
+                                   'pallas_interpret', 'asc_type',
+                                   'n_real', 'newton', 'mxu'))
+def _sharded_fused_repeats_loop(k, codes, table, eigenvals, inv_eigenvecs,
+                                eigenvecs, prop_invar, rates, rate_weights,
+                                freqs, params_idx_rates, branches,
+                                pattern_weights, invariant, *,
+                                mesh, scale_threshold, scale_factor,
+                                rate_scalers, fused_slots, root_mat,
+                                pallas_interpret=False, asc_type=0,
+                                n_real=-1, newton=False, mxu='split'):
+    """Dense-fused evaluation of SHARDED site-repeats partitions: the
+    pooled class-column storage keeps the memory win, but each device
+    EVALUATES its column slice through the single-pass fused kernel on
+    dense tip codes — measured ~7x faster than permuting compressed
+    columns through the pool kernel (engine.py repeats_dense_fused,
+    extended across the mesh per VERDICT r2 item 4). With `newton`, each
+    iteration adds the root-edge sumtable + d1/d2 partial sums and THREE
+    psums make the Newton branch update identical on every shard
+    (reference: /root/reference/src/core_derivatives.c:844-848).
+    Returns (total, d1, d2, branches): summed logL of k evals in eval
+    mode, the LAST iteration's values in newton mode."""
+    from jax import shard_map
+
+    from .. import constants as C
+    from ..ops import derivatives as ops_derivatives
+    from ..ops import likelihood as ops_likelihood
+    from ..ops import pallas_fused as ops_fused
+    from ..ops import pmatrix as ops_pmatrix
+
+    R = int(params_idx_rates.shape[0])
+    s = int(eigenvals.shape[-1])
+
+    def local(k, codes, table, ev, ievec, evec, pinv, rates, rw, freqs,
+              pidx, branches, pw, inv):
+        w = pw.shape[0]
+
+        def body(_, carry):
+            branches, acc, d1, d2 = carry
+            pmatrix = ops_pmatrix.update_prob_matrices(
+                ev, ievec, evec, pinv, rates, pidx, branches)
+            clv_p, clv_c, sc_p, sc_c = ops_fused.fused_traversal(
+                codes, pmatrix, table, rates=R, states=s,
+                n_slots=fused_slots, threshold=scale_threshold,
+                factor=scale_factor, interpret=pallas_interpret,
+                rate_scalers=rate_scalers, mxu=mxu)
+            if clv_p.shape[-1] != w:
+                clv_p, clv_c = clv_p[..., :w], clv_c[..., :w]
+                sc_p, sc_c = sc_p[..., :w], sc_c[..., :w]
+            total, _ = ops_likelihood.edge_loglikelihood(
+                clv_p, clv_c, sc_p, sc_c,
+                jnp.take(pmatrix, root_mat, axis=0),
+                freqs, pinv, rw, pidx, pw, inv, scale_threshold,
+                rate_scalers=rate_scalers, has_pscaler=True,
+                has_cscaler=True, asc_type=asc_type, n_real=n_real)
+            total = jax.lax.psum(total, SITES_AXIS)
+            if not newton:
+                return branches, acc + total, d1, d2
+            sumtable = ops_derivatives.update_sumtable(
+                clv_p, clv_c, sc_p, sc_c, ievec, evec, freqs, pidx,
+                scale_threshold, rate_scalers=rate_scalers,
+                has_pscaler=True, has_cscaler=True)
+            blen = jnp.take(branches, root_mat)
+            asc_scalers = (sc_p + sc_c) if asc_type in (1, 2) else None
+            d1, d2 = ops_derivatives.likelihood_derivatives(
+                sumtable, ev, pinv, freqs, rates, rw, pidx, pw, inv,
+                blen, asc_scalers=asc_scalers,
+                scale_threshold=scale_threshold,
+                asc_type=asc_type, n_real=n_real)
+            d1 = jax.lax.psum(d1, SITES_AXIS)
+            d2 = jax.lax.psum(d2, SITES_AXIS)
+            new_len = ops_derivatives.newton_step(blen, d1, d2,
+                                                  C.OPT_MIN_BRANCH_LEN,
+                                                  C.OPT_MAX_BRANCH_LEN)
+            branches = branches.at[root_mat].set(new_len)
+            return branches, total, d1, d2
+
+        zero = jnp.zeros((), branches.dtype)
+        return jax.lax.fori_loop(0, k, body, (branches, zero, zero, zero))
+
+    rep = P()
+    branches_out, total, d1, d2 = shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, P(None, SITES_AXIS), rep, rep, rep, rep, rep, rep,
+                  rep, rep, rep, rep, P(SITES_AXIS), P(SITES_AXIS)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )(k, codes, table, eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
+      rates, rate_weights, freqs, params_idx_rates, branches,
+      pattern_weights, invariant)
+    return total, d1, d2, branches_out
+
+
 class ShardedRepeatsEngine:
     """Site data-parallelism for site-repeats partitions.
 
@@ -305,7 +400,8 @@ class ShardedRepeatsEngine:
     """
 
     def __init__(self, tree, parts, mesh: Mesh, params_index: int = 0,
-                 pallas: Optional[bool] = None, interpret: bool = False):
+                 pallas: Optional[bool] = None, interpret: bool = False,
+                 dense_fused: Optional[bool] = None):
         from ..engine import pack_repeats_canonical
         from ..trees import create_operations, traverse
         from .. import constants as C
@@ -411,12 +507,67 @@ class ShardedRepeatsEngine:
         ) + (self._put(np.asarray([params_index] * p0.rate_cats,
                                   np.int32), P()),)
 
+        # dense-fused evaluation per shard: the POOLED storage stays (the
+        # memory win), but each device evaluates its column slice through
+        # the fused kernel on dense tip codes (~7x the pool kernel;
+        # engine.repeats_dense_fused extended across the mesh). The fused
+        # kernel supports per-rate scalers (<= 8 categories) since r3.
+        from ..ops import pallas_fused as ops_fused
+        self.dense_fused = False
+        self._fused = None
+        want_dense = dense_fused is not False and pallas is not False
+        dense_ok = (p0.dtype == jnp.float32
+                    and (not p0.rate_scalers or p0.rate_cats <= 8)
+                    and all(bool(np.all(p._tips_set)) for p in parts)
+                    and (interpret or jax.default_backend() == "tpu"))
+        if want_dense and dense_ok:
+            table, n_slots = ops_fused.pack_fused_schedule(
+                operations, p0.tips, (ri[0], ri[2]))
+            if table is not None:
+                grain = ops_fused.kernel_grain(p0.states)
+                pad_to = -(-p0.sites_padded // grain) * grain
+                codes = np.concatenate(
+                    [ops_fused.tip_code_matrix(p, pad_to=pad_to)
+                     for p in parts], axis=1)
+                self._fused = (
+                    self._put(codes, P(None, SITES_AXIS)),
+                    self._put(np.asarray(table), P()),
+                    max(-(-n_slots // 4) * 4, 4))
+                self.dense_fused = True
+            elif dense_fused:
+                raise C.PllError(
+                    C.ERROR_PARAM_INVALID,
+                    "dense_fused requested but the traversal cannot be "
+                    "packed for the fused kernel")
+        elif dense_fused:
+            raise C.PllError(
+                C.ERROR_PARAM_INVALID,
+                "dense_fused requires fp32 shards with every tip set "
+                "from state codes on a TPU backend (or interpret=True)")
+        self._root_mat_host = int(ri[4])
+
     def _put(self, a, spec):
         import jax.numpy as jnp
         return jax.device_put(jnp.asarray(a), NamedSharding(self.mesh, spec))
 
+    def _fused_loop(self, k: int, newton: bool):
+        codes, table, slots = self._fused
+        total, d1, d2, self.branches = _sharded_fused_repeats_loop(
+            jnp.asarray(k, jnp.int32), codes, table, *self._model,
+            self.branches, self._pw, self._inv,
+            mesh=self.mesh,
+            scale_threshold=self.parts[0].scale_threshold,
+            scale_factor=self.parts[0].scale_factor,
+            rate_scalers=self.rate_scalers, fused_slots=slots,
+            root_mat=self._root_mat_host,
+            pallas_interpret=self.pallas_interpret,
+            asc_type=self.asc_type, n_real=self.n_real, newton=newton)
+        return float(total), float(d1), float(d2)
+
     def loglikelihood_loop(self, k: int) -> float:
         """Sum of k chained sharded evaluations, one SPMD dispatch."""
+        if self.dense_fused:
+            return self._fused_loop(k, newton=False)[0]
         total, self.clv_flat, self.sc_flat = _sharded_repeats_loop(
             jnp.asarray(k, jnp.int32),
             self.clv_flat, self.sc_flat, *self._model, self.branches,
@@ -438,6 +589,8 @@ class ShardedRepeatsEngine:
         shards (the distributed 'training step': eval + d1/d2 psums +
         replicated branch update); returns (logL, d1, d2) of the LAST
         iteration."""
+        if self.dense_fused:
+            return self._fused_loop(k, newton=True)
         (total, d1, d2, self.branches, self.clv_flat,
          self.sc_flat) = _sharded_repeats_newton_loop(
             jnp.asarray(k, jnp.int32),

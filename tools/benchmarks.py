@@ -432,6 +432,41 @@ def bench_spr():
            f"{dt_first:.1f} s ({accepted} moves, logL {lk:.1f})")
 
 
+def bench_spr_1000():
+    """Search at production scale (VERDICT r2 item 8): radius-limited SPR
+    over a 1000-taxon tree, one compiled program bucket reused across
+    rounds (no-recompile invariant pinned by
+    tests/test_search.py::test_search_no_recompile_across_rounds)."""
+    if QUICK:
+        return
+    log("[4e] 1000-taxon radius-SPR round (1000 taxa x 1024 sites)")
+    import jax.numpy as jnp
+
+    from libpll2_tpu.search import TreeSearch, _internal_edges
+    from libpll2_tpu.trees import moves
+
+    part, tree, *_ = build(1000, 1024, seed=29, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    edges = _internal_edges(tree)
+    for i in rng.permutation(len(edges))[:12]:
+        try:
+            moves.nni(edges[i], 1, None)
+        except Exception:
+            pass
+    s = TreeSearch(part, tree)
+    s.evaluate()
+    t0 = time.perf_counter()
+    lk1, acc1 = s.spr_round_batched(radius=5, max_candidates=2, seed=1)
+    dt_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lk2, acc2 = s.spr_round_batched(radius=5, max_candidates=2, seed=2)
+    dt = time.perf_counter() - t0
+    record("spr_round_1000_seconds", dt, "s",
+           f"radius-5 round, ~2000 candidates x 998-op traversals; "
+           f"{acc2} moves, logL {lk2:.1f}; first round (incl. compiles) "
+           f"{dt_first:.1f} s ({acc1} moves, logL {lk1:.1f})")
+
+
 def bench_placement():
     if QUICK:
         return
@@ -531,6 +566,7 @@ def main():
     bench_repeats()
     bench_newton_sweep()
     bench_spr()
+    bench_spr_1000()
     bench_placement()
     bench_stepwise()
 
