@@ -44,6 +44,24 @@ def main(seed=11):
               + ", ".join(f"{r['edge_nodes']}@{r['lwr']:.2f}"
                           for r in rows[1:]))
 
+    # EPA-ng-scale streaming: precompute per-edge attachment tensors
+    # once, then each (query, edge, site) costs one small contraction —
+    # thousands of queries/s on chip (place() re-traverses per edge)
+    placer.prepare_stream()
+    stream = placer.place_stream({q: by[q] for q in queries}, top_k=3)
+    for q in queries:
+        best = stream[q][0]
+        print(f"[{time.time()-t0:5.1f}s] stream {q}: best edge "
+              f"{best['edge_nodes']} (lwr {best['lwr']:.2f})")
+        assert best['edge'] == placer.place(by[q], top_k=1)[0]['edge']
+
+    # jplace v3 interchange output (consumed by gappa/iTOL)
+    import json
+    from libpll2_tpu.placement import to_jplace
+    jp = to_jplace(placer, stream, top_k=3)
+    print(f"[{time.time()-t0:5.1f}s] jplace: {len(jp['placements'])} "
+          f"queries over {jp['tree'].count('{')} annotated edges")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 11)

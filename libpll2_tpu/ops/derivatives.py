@@ -68,9 +68,10 @@ def update_sumtable(clv_parent: jnp.ndarray,   # [R, s, S]
             sc = sc + cscaler
         rel = jnp.minimum(sc - jnp.min(sc, axis=0)[None, :],
                           SCALE_RATE_MAXDIFF)
-        cap = jnp.asarray(scale_threshold, dtype) ** jnp.arange(
-            SCALE_RATE_MAXDIFF + 1, dtype=dtype)
-        sumtable = sumtable * jnp.take(cap, rel)[:, None, :]
+        # gather-free threshold**rel (lane-axis take serializes on TPU)
+        from .likelihood import cap_pow
+        sumtable = sumtable * cap_pow(scale_threshold, rel,
+                                      dtype)[:, None, :]
     return sumtable
 
 

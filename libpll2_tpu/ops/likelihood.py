@@ -31,13 +31,20 @@ from ..constants import (AB_FELSENSTEIN, AB_LEWIS, AB_NONE,
                          AB_STAMATAKIS, SCALE_RATE_MAXDIFF)
 
 
-def _cap_table(threshold, dtype):
-    """[1, t, t^2, ..., t^MAXDIFF] for capped scaler undoing."""
-    expo = jnp.arange(SCALE_RATE_MAXDIFF + 1, dtype=dtype)
-    return jnp.asarray(threshold, dtype) ** expo
+def cap_pow(threshold, rel, dtype):
+    """threshold ** min(rel, MAXDIFF) WITHOUT a gather: jnp.take with a
+    lane-axis index array lowers to a serialized per-lane loop on TPU
+    (same pathology as the one-hot-replaced freqs gather below); four
+    select+multiply steps are fully vector and bit-identical (powers of
+    two multiply exactly)."""
+    thr = jnp.asarray(threshold, dtype)
+    f = jnp.ones(rel.shape, dtype)
+    for k in range(1, SCALE_RATE_MAXDIFF + 1):
+        f = jnp.where(rel >= k, f * thr, f)
+    return f
 
 
-def _site_scalings(scaler, rate_scalers: bool, cap):
+def _site_scalings(scaler, rate_scalers: bool, threshold, dtype):
     """Split scalers into a per-site count and capped per-rate factors.
 
     scaler: [S] (per-site mode) or [R, S] (per-rate mode), already the sum of
@@ -47,7 +54,7 @@ def _site_scalings(scaler, rate_scalers: bool, cap):
         return scaler, None
     site_sc = jnp.min(scaler, axis=0)                      # [S]
     rel = jnp.minimum(scaler - site_sc[None, :], SCALE_RATE_MAXDIFF)
-    return site_sc, jnp.take(cap, rel)                     # threshold**rel
+    return site_sc, cap_pow(threshold, rel, dtype)         # threshold**rel
 
 
 def _finalize_site_lk(terma, terminv, site_sc, threshold, dtype):
@@ -173,9 +180,9 @@ def root_loglikelihood(clv: jnp.ndarray,            # [R, s, S]
     term_r = jnp.einsum('ris,ri->rs', clv, f, preferred_element_type=dtype,
                        precision=jax.lax.Precision.HIGHEST)
 
-    cap = _cap_table(scale_threshold, dtype)
     if has_scaler:
-        site_sc, rate_factor = _site_scalings(scaler, rate_scalers, cap)
+        site_sc, rate_factor = _site_scalings(scaler, rate_scalers,
+                                               scale_threshold, dtype)
     else:
         site_sc = jnp.zeros(clv.shape[-1], dtype=jnp.int32)
         rate_factor = None
@@ -224,12 +231,12 @@ def edge_loglikelihood(clv_parent: jnp.ndarray,     # [R, s, S]
         sc = pscaler
     if has_cscaler:
         sc = cscaler if sc is None else sc + cscaler
-    cap = _cap_table(scale_threshold, dtype)
     if sc is None:
         site_sc = jnp.zeros(clv_parent.shape[-1], dtype=jnp.int32)
         rate_factor = None
     else:
-        site_sc, rate_factor = _site_scalings(sc, rate_scalers, cap)
+        site_sc, rate_factor = _site_scalings(sc, rate_scalers,
+                                               scale_threshold, dtype)
 
     terma, terminv = _mix_rates(terma_r, rate_factor, f, pinv,
                                 rate_weights, invariant, dtype)
@@ -282,8 +289,8 @@ def node_ancestral(clv_node: jnp.ndarray,           # [R, s, S]
         if has_oscaler:
             sc = oscaler if sc is None else sc + oscaler
         if sc is not None:
-            cap = _cap_table(scale_threshold, dtype)
-            _, rate_factor = _site_scalings(sc, True, cap)  # [R, S]
+            _, rate_factor = _site_scalings(sc, True, scale_threshold,
+                                            dtype)       # [R, S]
             combined = combined * rate_factor[:, None, :]
 
     anc = jnp.einsum('r,rjs,rj->sj', rate_weights.astype(dtype), combined,

@@ -304,6 +304,7 @@ class EdgePlacer:
         self._stream = (a_w, cnt, pend, pw,
                         float(np.log(p.scale_threshold)))
         self._stream_version = p._model_version
+        self._stream_blens = tuple(h.length for h in self.edges)
         return self
 
     def _query_codes(self, seq: str) -> np.ndarray:
@@ -333,8 +334,10 @@ class EdgePlacer:
         identical in format to place()/place_batch (feed to_jplace)."""
         p = self.partition
         if getattr(self, "_stream", None) is None \
-                or self._stream_version != p._model_version:
-            self.prepare_stream()
+                or self._stream_version != p._model_version \
+                or self._stream_blens != tuple(h.length
+                                               for h in self.edges):
+            self.prepare_stream()    # model or branch lengths changed
         a_w, cnt, pend, pw, log_thr = self._stream
         labels = list(query_seqs)
         if not labels:

@@ -288,3 +288,28 @@ def test_place_stream_jplace():
     res = placer.place_stream({"t1": by["t1"]}, top_k=3)
     jp = json.loads(json.dumps(to_jplace(placer, res, top_k=3)))
     assert len(jp["placements"][0]["p"]) == 3
+
+
+def test_place_stream_invalidates_on_branch_change():
+    """Changing reference branch lengths must re-prepare the attachment
+    tensors, not score against stale ones."""
+    full = random_utree([f"t{i}" for i in range(10)], seed=59)
+    headers, seqs = simulate_alignment(full, 256, FREQS, SUBST,
+                                       alpha=0.9, seed=59)
+    by = dict(zip(headers, seqs))
+    a, b = _prune_tip(full, "t3")
+    ref_tree = parse_newick(export_newick(a if not a.is_tip() else b))
+    ref_by = {k: v for k, v in by.items() if k != "t3"}
+    placer = EdgePlacer(ref_tree, ref_by)
+    placer.set_model(FREQS, SUBST, alpha=0.9)
+    before = placer.place_stream({"q": by["t3"]})["q"]
+    for h in placer.edges:
+        h.length = h.back.length = h.length * 3.0
+    after = placer.place_stream({"q": by["t3"]})["q"]
+    fresh = sorted(placer.place(by["t3"]), key=lambda r: r["edge"])
+    np.testing.assert_allclose(
+        [r["logL"] for r in sorted(after, key=lambda r: r["edge"])],
+        [r["logL"] for r in fresh], rtol=2e-5)
+    assert any(abs(x["logL"] - y["logL"]) > 1.0
+               for x, y in zip(sorted(before, key=lambda r: r["edge"]),
+                               sorted(after, key=lambda r: r["edge"])))

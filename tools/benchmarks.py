@@ -168,16 +168,25 @@ def bench_path_matrix():
         if not on_tpu and kw.get("pallas") in (True, "levels-kernel"):
             kw = dict(kw, pallas="interpret" if kw["pallas"] is True
                       else "levels-interpret")
-        part, tree, *_ = build(48, 2048, seed=21, rate_scalers=rsc)
-        t0 = time.perf_counter()
-        eng = TreeEngine(part, tree, **kw)
-        eng.loglikelihood_loop(1)
-        compile_s = time.perf_counter() - t0
-        path = eng.execution_path
-        if path != want:
-            log(f"  (requested {want} resolved to {path})")
-        dt = device_time(eng)
         tag = "rate" if rsc else "site"
+        try:
+            part, tree, *_ = build(48, 2048, seed=21, rate_scalers=rsc)
+            t0 = time.perf_counter()
+            eng = TreeEngine(part, tree, **kw)
+            eng.loglikelihood_loop(1)
+            compile_s = time.perf_counter() - t0
+            path = eng.execution_path
+            if path != want:
+                log(f"  (requested {want} resolved to {path})")
+            # the non-fused paths launch many programs per eval: cap the
+            # chained trip count (a misestimated k at the 200k default
+            # means millions of kernel launches in one dispatch, which
+            # can fault the tunneled TPU worker)
+            dt = device_time(eng,
+                             k_max=200_000 if path == "fused" else 2000)
+        except Exception as e:                       # noqa: BLE001
+            log(f"  (path {want}/{tag} failed: {type(e).__name__}: {e})")
+            continue
         record(f"path_{path}_{tag}_scalers", su / dt, "site-updates/s",
                f"{dt*1e3:.3f} ms/eval; first-call {compile_s:.1f} s")
 
@@ -611,9 +620,15 @@ the time goes:
   contractions + product + scaling mask) -> ~3.1 TFLOP/s sustained
   fp32, ~40% of the VPU issue ceiling with the mandatory per-op
   scaling reduction, tip bit-decode and VMEM slot load/store taking
-  the rest. 20-state runs the rate contraction as ONE [80, 80]
-  block-diagonal MXU dot (0.18 ms/traversal, 0.71 G su/s = 2.3 TFLOP/s
-  sustained).
+  the rest. 20-state runs the rate contraction on the MXU with a
+  branch-free (select-merged) child path and three documented precision
+  modes: 'split' (default; the P-matrix bit-split into a bf16 hi/lo
+  pair, lo terms K-stacked into one dot -> fp32-class ~2.5e-6/op),
+  'bf16' (one pass, ~1.2e-3/op, for exploratory search) and 'highest'
+  (full-fp32 dots). tools/mxu_probe.py shows the v5e systolic array is
+  PASS-QUANTIZED (a [20,20] dot costs the same as [128,128]), so the
+  mode table IS the roofline: split ~0.73 G su/s (4 passes/op + VPU
+  epilogue), bf16 ~0.96 G, highest ~0.52 G.
 - The XLA epilogue (pmatrix einsum + root-edge logL + Newton d1/d2)
   is <15% of an eval. Two epilogue defects used to dominate (round-1:
   11% of chip): a per-iteration scatter of the root rows copied the
@@ -624,7 +639,40 @@ the time goes:
   one-hot matmul (tools/profile_fused.py records the methodology).
 - Scaling to more chips: the kernel is elementwise over sites, so
   `jax.shard_map` over a `Mesh('sites')` runs it per shard with zero
-  collectives until the final logL psum (test_parallel_m6).
+  collectives until the final logL psum (test_parallel_m6); the
+  multi-process half (jax.distributed + per-rank blocks,
+  parallel/multihost.py) is rank-invariance-tested (test_multihost).
+
+**Execution-path matrix.** Every configuration's cost is priced (the
+path_* rows): eligibility downgrades are silent, so the matrix is the
+map from attribute combination to real throughput. Per-rate scalers
+(the deep-tree robustness mode) now run the fused kernel at ~1.00x the
+per-site rate: the kernel cost was never the problem — the epilogue's
+capped scaler undo used jnp.take with lane-axis indices, which Mosaic
+serializes per lane (~65 us at 48x2048, a 5.3x whole-eval penalty);
+replacing the 5-entry table gather with four exact select+multiply
+steps (ops/likelihood.py cap_pow) recovered it. The levels/scan XLA
+fallbacks remain 25-50x off the fused kernel — they exist for fp64
+validation and odd configurations, and the matrix documents exactly
+what landing there costs.
+
+**Streaming placement.** place() re-traverses the tree per (query,
+edge); the streaming scorer factorizes the EPA grid instead:
+per-edge attachment tensors A[e] = (P(L/2) @ clv_child) *
+(P(L/2) @ clv_up), precomputed in ONE dispatch via the branch-sweep
+directional-CLV walk, reduce each (query, edge, site) cell to a
+16-element contraction + log. 1000 queries x 197 edges x 1024 sites =
+197k placements in ~0.4 s (~2700 q/s), vs 77 q/s for the batched
+full-traversal path and ~9 q/s dispatch-bound single queries.
+
+**Search at scale.** The no-recompile invariant (topology is data;
+candidate counts pad to power-of-two buckets) is pinned by a
+compile-log counter test. At 1000 taxa the full SPR neighborhood is
+host-bound in candidate ENUMERATION (the O(edges x tree) pruned-subtree
+filter), so production rounds use radius-limited targets
+(search.py _radius_targets, the RAxML neighborhood bound): a radius-5
+round over ~2000 grafts of 998-op traversals runs in ~13-24 s warm,
+with the one-time ~2 min compile amortized across the whole search.
 
 **Site repeats.** The pooled class-column storage delivers the
 reference fork's memory promise and more: CLV+scaler bytes at ~0.10x
@@ -644,7 +692,11 @@ gathers, per-chunk [lo, hi) source-block bands) runs the compressed
 work (class columns = ~13% of dense matvecs) ~3x faster than the dense
 XLA path at equal HBM-streaming storage. All three repeats kernels
 (XLA pool, Pallas pool, dense-fused) are asserted on-chip by the
-validation gate (13/13).
+validation gate, inside the widened 25-case attribute matrix
+(bench_validate.py; DNA/AA/odd-5 x per-site/per-rate x asc/tip-CLV/
+heterotachy/rooted/deep). Sharded repeats evaluates dense-fused per
+shard too (ShardedRepeatsEngine dense_fused), keeping the 0.10x pooled
+storage while each device runs the fused kernel on its column slice.
 
 **Stepwise parsimony.** The reference's stepwise is a branch-bound
 bit-ops loop with ~us-scale steps — a shape the 30 ms-per-dispatch
