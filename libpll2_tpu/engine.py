@@ -722,6 +722,20 @@ def _fused_multi_topology(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
     return totals
 
 
+
+def _ctip_rows(partition):
+    """tip clv_index -> row in the raw tip-CLV value matrix (or -1 for
+    state-code tips); None when no set_tip_clv tip exists. Single source
+    of the ascending-index ordering contract shared with
+    ops_fused.tip_clv_matrix."""
+    if not bool(np.any(partition._tips_clv_set)):
+        return None
+    rows = np.full(partition.tips, -1, np.int32)
+    idxs = np.flatnonzero(partition._tips_clv_set)
+    rows[idxs] = np.arange(len(idxs), dtype=np.int32)
+    return rows
+
+
 class TreeEngine:
     """Compiled full-tree evaluator bound to one Partition + topology size.
 
@@ -1041,11 +1055,7 @@ class TreeEngine:
                 p._model_version += 1     # refresh cached operands
             return
         if self._fused_wanted:
-            ctip_rows = None
-            if bool(np.any(p._tips_clv_set)):
-                ctip_rows = np.full(p.tips, -1, np.int32)
-                idxs = np.flatnonzero(p._tips_clv_set)
-                ctip_rows[idxs] = np.arange(len(idxs), dtype=np.int32)
+            ctip_rows = _ctip_rows(p)
             table, n_slots = ops_fused.pack_fused_schedule(
                 operations, p.tips,
                 (root.clv_index, root.back.clv_index),
@@ -1300,6 +1310,7 @@ class TreeEngine:
         packed, blens, roots = [], [], []
         fused_tables = [] if self.use_fused else None
         fused_slots = 0
+        ctip_rows = _ctip_rows(p) if self._packed_ctips else None
         for ci in range(w):
             operations, branches, pmatrix_indices, root = \
                 candidates[min(ci, k - 1)]
@@ -1314,11 +1325,6 @@ class TreeEngine:
                       root.pmatrix_index]
             roots.append(ri)
             if fused_tables is not None:
-                ctip_rows = None
-                if self._packed_ctips:
-                    ctip_rows = np.full(p.tips, -1, np.int32)
-                    idxs = np.flatnonzero(p._tips_clv_set)
-                    ctip_rows[idxs] = np.arange(len(idxs), dtype=np.int32)
                 table, n_slots = ops_fused.pack_fused_schedule(
                     operations, p.tips, (ri[0], ri[2]),
                     clv_tip_rows=ctip_rows)

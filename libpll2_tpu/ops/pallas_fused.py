@@ -804,6 +804,20 @@ def tip_clv_matrix(partition, pad_to: int = 0):
     idxs = np.flatnonzero(p._tips_clv_set)
     if len(idxs) == 0:
         return None
+    mesh = getattr(p, "mesh", None)
+    if mesh is not None:
+        from ..parallel.sharding import is_multiprocess
+        if is_multiprocess(mesh):
+            from .. import constants as C
+            # the tip rows live in the sharded global CLV array; fetching
+            # them host-side would need the full site axis, which spans
+            # devices other processes own
+            raise C.PllError(
+                C.ERROR_PARAM_INVALID,
+                "raw tip-CLV tips (set_tip_clv) are not supported under "
+                "multi-process site sharding: the tip rows span devices "
+                "owned by other processes; encode those tips from state "
+                "codes, or run single-process")
     width = max(p.sites_padded, pad_to)
     out = np.zeros((len(idxs), p.states, width), dtype=np.float32)
     for row, t in enumerate(idxs):

@@ -325,10 +325,15 @@ def _sharded_fused_repeats_loop(k, codes, table, eigenvals, inv_eigenvecs,
 
         def body(_, carry):
             branches, acc, d1, d2 = carry
+            # thread the previous total into the op table (always +0) so
+            # eval-mode iterations carry a data dependency — otherwise the
+            # body is loop-invariant and XLA hoists the traversal out of
+            # the fori_loop (same guard as engine._fused_loglikelihood_loop)
+            tbl = table + jnp.isnan(acc).astype(table.dtype)
             pmatrix = ops_pmatrix.update_prob_matrices(
                 ev, ievec, evec, pinv, rates, pidx, branches)
             clv_p, clv_c, sc_p, sc_c = ops_fused.fused_traversal(
-                codes, pmatrix, table, rates=R, states=s,
+                codes, pmatrix, tbl, rates=R, states=s,
                 n_slots=fused_slots, threshold=scale_threshold,
                 factor=scale_factor, interpret=pallas_interpret,
                 rate_scalers=rate_scalers, mxu=mxu)
@@ -401,7 +406,7 @@ class ShardedRepeatsEngine:
 
     def __init__(self, tree, parts, mesh: Mesh, params_index: int = 0,
                  pallas: Optional[bool] = None, interpret: bool = False,
-                 dense_fused: Optional[bool] = None):
+                 dense_fused: Optional[bool] = None, mxu: str = 'split'):
         from ..engine import pack_repeats_canonical
         from ..trees import create_operations, traverse
         from .. import constants as C
@@ -515,6 +520,7 @@ class ShardedRepeatsEngine:
         from ..ops import pallas_fused as ops_fused
         self.dense_fused = False
         self._fused = None
+        self.mxu = mxu                  # 16+-state MXU precision mode
         want_dense = dense_fused is not False and pallas is not False
         dense_ok = (p0.dtype == jnp.float32
                     and (not p0.rate_scalers or p0.rate_cats <= 8)
@@ -561,7 +567,8 @@ class ShardedRepeatsEngine:
             rate_scalers=self.rate_scalers, fused_slots=slots,
             root_mat=self._root_mat_host,
             pallas_interpret=self.pallas_interpret,
-            asc_type=self.asc_type, n_real=self.n_real, newton=newton)
+            asc_type=self.asc_type, n_real=self.n_real, newton=newton,
+            mxu=self.mxu)
         return float(total), float(d1), float(d2)
 
     def loglikelihood_loop(self, k: int) -> float:

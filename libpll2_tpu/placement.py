@@ -312,13 +312,13 @@ class EdgePlacer:
         if len(seq) != p.sites:
             raise C.PllError(C.ERROR_PARAM_INVALID,
                              f"query length {len(seq)} != {p.sites} sites")
-        b = np.frombuffer(seq.encode("ascii"), np.uint8)
-        out = np.zeros(p.sites_padded, np.int32)
-        codes = self.charmap[b]
+        codes = maps.decode_states(seq, np.asarray(self.charmap,
+                                                   dtype=np.uint64))
         if np.any(codes == 0):
-            bad = chr(int(b[np.argmax(codes == 0)]))
+            bad = seq[int(np.argmax(codes == 0))]
             raise C.PllError(C.ERROR_TIPDATA_ILLEGALSTATE,
                              f"illegal state in query sequence: {bad!r}")
+        out = np.zeros(p.sites_padded, np.int32)
         out[:p.sites] = codes.astype(np.int64)
         return out
 

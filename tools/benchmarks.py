@@ -76,7 +76,9 @@ def chained_time(run_loop, reps=5, target=0.4, k_max=200_000):
     t0 = time.perf_counter()
     run_loop(k_est)
     dt_est = max((time.perf_counter() - t0 - base) / k_est, 1e-7)
-    k1 = min(max(4, int(target / (4 * dt_est))), k_max)
+    # k_max bounds the LARGER trip count (k2): the cap exists to keep the
+    # total launch count per dispatch sane on multi-launch paths
+    k1 = min(max(4, int(target / (4 * dt_est))), max(4, k_max // 5))
     k2 = 5 * k1
 
     def run(k):
