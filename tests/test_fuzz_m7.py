@@ -217,3 +217,57 @@ def test_fuzz_engine_paths(seed):
         np.testing.assert_allclose(d1, ref_lk[1], rtol=max(tol * 100, 1e-7),
                                    atol=abs(ref_lk[1]) * 1e-2 + 1e-2,
                                    err_msg=f"{name}: {msg}")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_stream_placement(seed):
+    """Random (alphabet, rate cats, alpha, branch regime, gappy queries):
+    the streaming placer's per-edge logL surface must match the
+    full-traversal place() path for every edge."""
+    from libpll2_tpu.placement import EdgePlacer
+    from libpll2_tpu.trees import export_newick, parse_newick, prune_tip
+    from libpll2_tpu.utils import simulate_alignment
+
+    rng = np.random.default_rng(7000 + seed)
+    states = int(rng.choice([4, 4, 20]))
+    n_taxa = int(rng.integers(8, 18))
+    sites = int(rng.integers(120, 520))
+    rate_cats = int(rng.choice([1, 4]))
+    alpha = float(rng.uniform(0.3, 2.5))
+    freqs = rng.dirichlet(np.ones(states) * 8)
+    subst = rng.uniform(0.4, 2.5, size=states * (states - 1) // 2)
+    full = random_utree([f"t{i}" for i in range(n_taxa)],
+                        seed=9000 + seed)
+    if rng.integers(0, 3) == 0:      # stretched branches: scaling events
+        for nd in full.nodes():
+            for h in ([nd] if nd.is_tip() else list(nd.ring())):
+                if h.back is not None:
+                    h.length = h.back.length = min(h.length * 4.0, 1.2)
+    headers, seqs = simulate_alignment(full, sites, freqs, subst,
+                                       alpha=alpha, seed=9000 + seed)
+    by = dict(zip(headers, seqs))
+    victim = f"t{int(rng.integers(0, n_taxa))}"
+    node = prune_tip(full, victim)
+    ref_tree = parse_newick(export_newick(
+        node if not node.is_tip() else node.back))
+    ref_by = {k: v for k, v in by.items() if k != victim}
+    placer = EdgePlacer(ref_tree, ref_by, states=states,
+                        rate_cats=rate_cats,
+                        pendant_length=float(rng.uniform(0.01, 0.3)))
+    placer.partition.set_frequencies(0, freqs)
+    placer.partition.set_subst_params(0, subst)
+    placer.partition.set_category_rates(
+        compute_gamma_cats(alpha, rate_cats) if rate_cats > 1
+        else np.ones(1))
+    q = list(by[victim])
+    gaps = rng.random(sites) < rng.uniform(0, 0.4)
+    for i in np.flatnonzero(gaps):
+        q[i] = "-"
+    q = "".join(q)
+    single = sorted(placer.place(q), key=lambda r: r["edge"])
+    stream = sorted(placer.place_stream({"q": q}, chunk=4)["q"],
+                    key=lambda r: r["edge"])
+    np.testing.assert_allclose(
+        [r["logL"] for r in stream], [r["logL"] for r in single],
+        rtol=3e-5, err_msg=f"seed={seed} states={states} taxa={n_taxa} "
+                           f"sites={sites} R={rate_cats} alpha={alpha:.2f}")
