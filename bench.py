@@ -186,8 +186,16 @@ def bench_reference():
     log(f"reference traversal: {dt*1e3:.2f} ms "
         f"({rate/1e6:.1f} M site-updates/s)")
     ref.destroy()
-    CACHE.write_text(json.dumps({"config": [N_TAXA, N_SITES, RATE_CATS],
-                                 "site_updates_per_sec": rate}))
+    # only cache plausible measurements: a concurrently loaded CPU can
+    # crush the reference 10x+ (observed 3.1 M vs the usual ~35 M), and a
+    # cached bad baseline silently INFLATES every later vs_baseline ratio
+    if rate >= 10e6:
+        CACHE.write_text(json.dumps({"config": [N_TAXA, N_SITES,
+                                                RATE_CATS],
+                                     "site_updates_per_sec": rate}))
+    else:
+        log("reference rate implausibly low (loaded machine?) — "
+            "not caching this baseline")
     return rate
 
 
