@@ -133,6 +133,97 @@ def pack_fused_schedule(operations, n_tips: int, root_pair,
     return table, max(n_slots, 1)
 
 
+def fused_candidate_from_tree(vroot, n_tips: int, n_matrices: int,
+                              clv_tip_rows=None):
+    """One-pass iterative postorder walk producing the fused kernel's
+    (table, branch vector, root_info) for the CURRENT topology — the
+    exact output of pack_fused_schedule(create_operations(traverse(
+    vroot))) without materializing Operation objects. This is the
+    per-candidate host cost of batched SPR/NNI scoring (search.py); at
+    1000 taxa the object-based pipeline spends ~6 ms/candidate, ~95% of
+    a warm round.
+
+    Returns (table [n_ops+1, 8] int32, blens [n_matrices], root_info,
+    n_slots) or (None, None, None, 0) when the kernel cannot run this
+    topology (an inner op without a scaler row, or a non-binary node)."""
+    vback = vroot.back
+    blens = np.zeros(n_matrices)
+    rows = []
+    free: list = []
+    slot_of: dict = {}
+    n_slots = 0
+
+    def tip_entry(c):
+        if clv_tip_rows is not None and clv_tip_rows[c] >= 0:
+            return 2, int(clv_tip_rows[c])
+        return 1, c
+
+    # emulate trees.utree.traverse: rec(vroot.back) then rec(vroot),
+    # children in ring order before the node (postorder)
+    stack = [(vroot, False), (vback, False)]
+    while stack:
+        node, done = stack.pop()
+        tip = node.is_tip()
+        if not done and not tip:
+            stack.append((node, True))
+            if node.next.next.next is not node:
+                return None, None, None, 0         # non-binary
+            stack.append((node.next.next.back, False))
+            stack.append((node.next.back, False))
+            continue
+        # visit: record the branch toward the traversal root (the first
+        # subtree's top — vroot.back — would duplicate vroot's entry)
+        if node is not vback:
+            blens[node.pmatrix_index] = node.length
+        if tip:
+            continue
+        if node.scaler_index < 0:
+            return None, None, None, 0             # kernel needs a scaler
+        c1, c2 = node.next.back, node.next.next.back
+        row = [0] * 8
+        freed = []
+        for pos, c in ((0, c1), (1, c2)):
+            ci = c.clv_index
+            if ci < n_tips:
+                row[1 + 3 * pos], row[2 + 3 * pos] = tip_entry(ci)
+            else:
+                # inner CLVs are consumed exactly once in a tree
+                # postorder; free the slot for the parent to reuse
+                s = slot_of.pop(ci, None)
+                if s is None:
+                    return None, None, None, 0     # not a valid postorder
+                row[1 + 3 * pos] = 0
+                row[2 + 3 * pos] = s
+                freed.append(s)
+            row[3 + 3 * pos] = c.pmatrix_index
+        free.extend(freed)
+        if free:
+            ps = free.pop()
+        else:
+            ps = n_slots
+            n_slots += 1
+        slot_of[node.clv_index] = ps
+        row[0] = ps
+        row[7] = 1
+        rows.append(row)
+
+    table = np.zeros((len(rows) + 1, 8), dtype=np.int32)
+    table[:len(rows)] = rows
+
+    def root_entry(c):
+        if c < n_tips:
+            return tip_entry(c)
+        return (0, slot_of[c]) if c in slot_of else None
+
+    pe, ce = root_entry(vroot.clv_index), root_entry(vback.clv_index)
+    if pe is None or ce is None:
+        return None, None, None, 0
+    table[len(rows)] = [pe[0], pe[1], ce[0], ce[1], 0, 0, 0, 0]
+    root_info = (vroot.clv_index, vroot.scaler_index, vback.clv_index,
+                 vback.scaler_index, vroot.pmatrix_index)
+    return table, blens, root_info, max(n_slots, 1)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 

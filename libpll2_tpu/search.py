@@ -137,20 +137,27 @@ class TreeSearch:
                 for mt in (C.UTREE_MOVE_NNI_LEFT, C.UTREE_MOVE_NNI_RIGHT):
                     rb = moves.Rollback()
                     moves.nni(edge, mt, rb)
-                    trav = traverse(self.tree.vroot)
-                    ops, br, pidx = create_operations(trav)
                     vr = self.tree.vroot
-                    # snapshot the root edge indices BEFORE rollback — the
-                    # move may rewire the vroot's back pointer
-                    root_info = (vr.clv_index, vr.scaler_index,
-                                 vr.back.clv_index, vr.back.scaler_index,
-                                 vr.pmatrix_index)
-                    candidates.append((ops, br, pidx, root_info))
+                    # snapshot indices BEFORE rollback — the move may
+                    # rewire the vroot's back pointer
+                    pc = eng.pack_candidate(vr)
+                    if pc is not None:
+                        candidates.append(pc)
+                    else:
+                        trav = traverse(vr)
+                        ops, br, pidx = create_operations(trav)
+                        root_info = (vr.clv_index, vr.scaler_index,
+                                     vr.back.clv_index,
+                                     vr.back.scaler_index,
+                                     vr.pmatrix_index)
+                        candidates.append((ops, br, pidx, root_info))
                     moves.rollback_move(rb)
                     applied.append((edge, mt))
             if not candidates:
                 return best, accepted
-            scores = eng.evaluate_topologies(candidates)
+            scores = (eng.evaluate_packed(candidates)
+                      if isinstance(candidates[0][0], np.ndarray)
+                      else eng.evaluate_topologies(candidates))
             i = int(np.argmax(scores))
             if scores[i] <= best + self.epsilon:
                 return best, accepted
@@ -203,20 +210,34 @@ class TreeSearch:
                         moves.spr(p, r, rb, safe=True)
                     except C.PllError:
                         continue
-                    trav = traverse(self.tree.vroot)
-                    ops, br, pidx = create_operations(trav)
                     vr = self.tree.vroot
-                    root_info = (vr.clv_index, vr.scaler_index,
-                                 vr.back.clv_index, vr.back.scaler_index,
-                                 vr.pmatrix_index)
-                    candidates.append((ops, br, pidx, root_info))
+                    # one-pass packed candidate (fused path): skips the
+                    # Operation-object pipeline — the per-candidate host
+                    # cost that dominates 1000-taxon rounds
+                    pc = eng.pack_candidate(vr)
+                    if pc is not None:
+                        candidates.append(pc)
+                    else:
+                        trav = traverse(vr)
+                        ops, br, pidx = create_operations(trav)
+                        root_info = (vr.clv_index, vr.scaler_index,
+                                     vr.back.clv_index,
+                                     vr.back.scaler_index,
+                                     vr.pmatrix_index)
+                        candidates.append((ops, br, pidx, root_info))
                     applied.append((p, r))
                     moves.rollback_move(rb)
             if not candidates:
                 return best, accepted
+            # homogeneous by construction: pack_candidate succeeds for
+            # every binary topology once the engine selected the fused
+            # path, and always returns None otherwise
+            evaluate = (eng.evaluate_packed
+                        if isinstance(candidates[0][0], np.ndarray)
+                        else eng.evaluate_topologies)
             step = batch or len(candidates)
             scores = np.concatenate(
-                [eng.evaluate_topologies(candidates[i:i + step])
+                [evaluate(candidates[i:i + step])
                  for i in range(0, len(candidates), step)])
             i = int(np.argmax(scores))
             if scores[i] <= best + self.epsilon:

@@ -178,3 +178,54 @@ def test_search_no_recompile_across_rounds():
         logger.setLevel(old_level)
         jax.config.update("jax_log_compiles", False)
     assert compiles == [], f"search rounds recompiled: {compiles}"
+
+
+def test_packed_candidates_match_object_pipeline():
+    """eng.pack_candidate + evaluate_packed (the search loop's one-pass
+    fast path) returns the same scores as evaluate_topologies over the
+    Operation-object pipeline, and spr_round_batched picks it up on the
+    fused path."""
+    import jax.numpy as jnp
+
+    from libpll2_tpu import TreeEngine
+    from libpll2_tpu.trees import create_operations, traverse
+
+    tree32 = random_utree([f"t{i}" for i in range(N_TAXA)], seed=33)
+    headers, seqs = simulate_alignment(tree32, N_SITES, [0.25] * 4,
+                                       [1, 3, 1, 1, 3, 1], alpha=0.9,
+                                       seed=33)
+    by = dict(zip(headers, seqs))
+    part32 = Partition(tree32.tip_count, tree32.inner_count, 4, N_SITES,
+                       1, tree32.edge_count, 4, tree32.inner_count,
+                       dtype=jnp.float32)
+    for tip in tree32.tips():
+        part32.set_tip_states(tip.clv_index, maps.map_nt, by[tip.label])
+    part32.set_frequencies(0, [0.25] * 4)
+    part32.set_subst_params(0, [1, 3, 1, 1, 3, 1])
+    part32.set_category_rates(compute_gamma_cats(0.9, 4))
+    eng = TreeEngine(part32, tree32, pallas="interpret")
+    assert eng.use_fused
+    # a few NNI variants, both pipelines
+    packed, objs = [], []
+    for edge in _internal_edges(tree32)[:4]:
+        rb = moves.Rollback()
+        moves.nni(edge, C.UTREE_MOVE_NNI_LEFT, rb)
+        vr = tree32.vroot
+        pc = eng.pack_candidate(vr)
+        assert pc is not None
+        packed.append(pc)
+        trav = traverse(vr)
+        ops, br, pidx = create_operations(trav)
+        objs.append((ops, br, pidx,
+                     (vr.clv_index, vr.scaler_index, vr.back.clv_index,
+                      vr.back.scaler_index, vr.pmatrix_index)))
+        moves.rollback_move(rb)
+    sp = eng.evaluate_packed(packed)
+    so = eng.evaluate_topologies(objs)
+    np.testing.assert_allclose(sp, so, rtol=1e-6)
+    # the round uses the packed path end-to-end on the fused engine
+    search = TreeSearch(part32, tree32, pallas="interpret")
+    lk0 = search.evaluate()
+    assert search._engine.use_fused
+    lk, acc = search.spr_round_batched(radius=3)
+    assert lk >= lk0

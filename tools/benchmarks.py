@@ -473,9 +473,10 @@ def bench_spr_1000():
     lk2, acc2 = s.spr_round_batched(radius=5, max_candidates=2, seed=2)
     dt = time.perf_counter() - t0
     record("spr_round_1000_seconds", dt, "s",
-           f"radius-5 round, ~2000 candidates x 998-op traversals; "
-           f"{acc2} moves, logL {lk2:.1f}; first round (incl. compiles) "
-           f"{dt_first:.1f} s ({acc1} moves, logL {lk1:.1f})")
+           f"radius-5 round, ~2000 candidates x 998-op traversals via "
+           f"one-pass packed candidates; {acc2} moves, logL {lk2:.1f}; "
+           f"first round (incl. compiles) {dt_first:.1f} s "
+           f"({acc1} moves, logL {lk1:.1f})")
 
 
 def bench_placement():
@@ -672,9 +673,12 @@ candidate counts pad to power-of-two buckets) is pinned by a
 compile-log counter test. At 1000 taxa the full SPR neighborhood is
 host-bound in candidate ENUMERATION (the O(edges x tree) pruned-subtree
 filter), so production rounds use radius-limited targets
-(search.py _radius_targets, the RAxML neighborhood bound): a radius-5
-round over ~2000 grafts of 998-op traversals runs in ~13-24 s warm,
-with the one-time ~2 min compile amortized across the whole search.
+(search.py _radius_targets, the RAxML neighborhood bound), and
+candidates are packed by a one-pass tree walk (engine.pack_candidate /
+evaluate_packed — no Operation objects): a radius-5 round over ~2000
+grafts of 998-op traversals runs in ~7.6 s warm (2.4x the object
+pipeline), with the one-time ~48 s compile amortized across the whole
+search.
 
 **Site repeats.** The pooled class-column storage delivers the
 reference fork's memory promise and more: CLV+scaler bytes at ~0.10x
