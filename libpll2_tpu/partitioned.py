@@ -36,6 +36,39 @@ class PartitionedEngine:
     def loglikelihood(self) -> float:
         return sum(e.loglikelihood() for e in self.engines)
 
+    # --- the TreeSearch engine protocol: a PartitionedEngine can drive
+    # topology search directly (TreeSearch(None, tree, engine=pe)) —
+    # candidate tables are index-identical across partitions (one shared
+    # tree template), so each packed/object candidate batch is scored by
+    # every partition and the scores summed, exactly the consumers'
+    # multi-partition score sum (reference stepwise.c:337-346).
+
+    @property
+    def use_fused(self) -> bool:
+        return all(e.use_fused for e in self.engines)
+
+    def set_topology(self, tree: UTree) -> None:
+        for e in self.engines:
+            e.set_topology(tree)
+
+    def pack_candidate(self, vroot):
+        # only when EVERY partition runs fused (evaluate_packed needs it)
+        if not self.use_fused:
+            return None
+        return self.engines[0].pack_candidate(vroot)
+
+    def evaluate_packed(self, packed):
+        total = self.engines[0].evaluate_packed(packed)
+        for e in self.engines[1:]:
+            total = total + e.evaluate_packed(packed)
+        return total
+
+    def evaluate_topologies(self, candidates):
+        total = self.engines[0].evaluate_topologies(candidates)
+        for e in self.engines[1:]:
+            total = total + e.evaluate_topologies(candidates)
+        return total
+
     def newton_step(self) -> Tuple[float, float, float]:
         """(total logL, summed d1, summed d2); with linked branches a
         single Newton update from the summed derivatives is applied to

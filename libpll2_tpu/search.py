@@ -76,9 +76,9 @@ def _radius_targets(p: UNode, radius: int) -> List[UNode]:
 class TreeSearch:
     """Greedy hill climbing with accept/rollback (first-improvement)."""
 
-    def __init__(self, partition: Partition, tree: UTree,
+    def __init__(self, partition: Optional[Partition], tree: UTree,
                  params_index: int = 0, epsilon: float = 1e-6,
-                 **engine_kwargs):
+                 engine=None, **engine_kwargs):
         self.partition = partition
         self.tree = tree
         self.params_index = params_index
@@ -87,7 +87,12 @@ class TreeSearch:
         # tree size, so every evaluation reuses one compiled program
         engine_kwargs.setdefault("level_schedule", False)
         self.engine_kwargs = engine_kwargs
-        self._engine = None
+        # a pre-built engine may be injected — in particular a
+        # PartitionedEngine, giving multi-partition topology search with
+        # summed candidate scores (the consumers' partitioned-search
+        # pattern over one shared tree)
+        self._engine = engine
+        self._engine_injected = engine is not None
 
     def evaluate(self) -> float:
         # one engine for the whole search: only the op/branch/root arrays
