@@ -55,17 +55,29 @@ void * pll_utree_wraptree(void * root, unsigned int tip_count)
 
 
 def _build() -> Path:
+    """Compile the oracle .so, safe under concurrent test workers
+    (pytest-xdist): an exclusive flock serializes builders and the output
+    lands via atomic rename, so a parallel first-use never dlopens a
+    half-written library."""
+    import fcntl
+
     BUILD_DIR.mkdir(exist_ok=True)
-    shim = BUILD_DIR / "wraptree_shim.c"
-    shim.write_text(_WRAPTREE_SHIM)
-    sources = sorted(
-        str(p) for p in (REFERENCE / "src").glob("*.c")
-        if not any(k in p.name for k in ("_avx", "_sse"))
-    ) + [str(shim)]
-    cmd = ["gcc", "-O2", "-fPIC", "-shared", "-D_GNU_SOURCE",
-           "-o", str(LIB_PATH), *sources, "-lm",
-           "-Wl,--unresolved-symbols=ignore-all"]
-    subprocess.run(cmd, check=True, capture_output=True)
+    with open(BUILD_DIR / ".build.lock", "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        if LIB_PATH.exists():            # another worker built it first
+            return LIB_PATH
+        shim = BUILD_DIR / "wraptree_shim.c"
+        shim.write_text(_WRAPTREE_SHIM)
+        sources = sorted(
+            str(p) for p in (REFERENCE / "src").glob("*.c")
+            if not any(k in p.name for k in ("_avx", "_sse"))
+        ) + [str(shim)]
+        tmp = LIB_PATH.with_suffix(f".tmp{os.getpid()}.so")
+        cmd = ["gcc", "-O2", "-fPIC", "-shared", "-D_GNU_SOURCE",
+               "-o", str(tmp), *sources, "-lm",
+               "-Wl,--unresolved-symbols=ignore-all"]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, LIB_PATH)
     return LIB_PATH
 
 
