@@ -204,6 +204,60 @@ def test_optimize_pinv():
     np.testing.assert_allclose(eng.loglikelihood(), lk, rtol=1e-10)
 
 
+def test_maximize_fused_parity_with_grad_path(data):
+    """Model-parameter optimization on the FUSED execution path (batched
+    central-difference Adam, VERDICT r3 directive #2): reaches the fp64
+    differentiable optimizer's optimum without ever leaving the Pallas
+    kernel. Parity: final logL within fp32 noise, params within ~2%."""
+    from libpll2_tpu.optimize import maximize_fused
+
+    tree, by_label = data
+    start_f = [0.26, 0.24, 0.25, 0.25]
+    start_s = [1.0, 1.1, 0.9, 1.05, 0.95, 1.0]
+
+    eng64 = _engine(tree, by_label, start_f, start_s)
+    lk64, _, _ = maximize_loglikelihood(eng64, ("subst", "freqs"),
+                                        steps=300, learning_rate=0.05)
+
+    part = Partition(tree.tip_count, tree.inner_count, 4, N_SITES, 1,
+                     tree.edge_count, 4, tree.inner_count, dtype="float32")
+    for tip in tree.tips():
+        part.set_tip_states(tip.clv_index, maps.map_nt, by_label[tip.label])
+    part.set_frequencies(0, start_f)
+    part.set_subst_params(0, start_s)
+    part.set_category_rates(compute_gamma_cats(0.9, 4))
+    eng = TreeEngine(part, tree, pallas="interpret")
+    assert eng.execution_path == "fused"
+    lk0 = eng.loglikelihood()
+    # maximize_loglikelihood must auto-route to the fused FD path
+    lk, params, hist = maximize_loglikelihood(eng, ("subst", "freqs"),
+                                              steps=300,
+                                              learning_rate=0.05)
+    assert lk > lk0 + 5.0
+    assert abs(lk - lk64) < 0.05, (lk, lk64)
+    np.testing.assert_allclose(np.asarray(part.subst_params[0]),
+                               np.asarray(eng64.partition.subst_params[0]),
+                               rtol=0.03)
+    np.testing.assert_allclose(np.asarray(part.frequencies[0]),
+                               np.asarray(eng64.partition.frequencies[0]),
+                               rtol=0.02)
+    # the applied params reproduce the reported optimum through the
+    # engine's own loglikelihood (fp32 eval noise)
+    assert abs(eng.loglikelihood() - lk) < 2e-2
+    # branches on a Pallas engine belong to the Newton machinery
+    import libpll2_tpu.constants as C
+    with pytest.raises(C.PllError):
+        maximize_loglikelihood(eng, ("branches",))
+    # direct maximize_fused with a subst_template (HKY: one free ts/tv)
+    lk_hky, p_hky, _ = maximize_fused(eng, ("subst",),
+                                      subst_template=[0, 1, 0, 0, 1, 0],
+                                      steps=80)
+    s = np.asarray(part.subst_params[0])
+    np.testing.assert_allclose(s[[0, 2, 3, 5]], s[0], rtol=1e-6)
+    np.testing.assert_allclose(s[1], s[4], rtol=1e-6)
+    assert lk_hky < lk + 0.5     # nested model cannot beat GTR
+
+
 def test_pooled_partition_guards():
     """Dense-buffer consumers reject pooled site-repeats partitions with
     a clear error instead of an AttributeError on clv=None."""
