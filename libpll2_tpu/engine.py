@@ -808,9 +808,17 @@ class TreeEngine:
         # arbitrary (real-world) site counts are eligible; only the
         # sharded path needs the partition itself to split evenly.
         # Per-rate scalers run fused too (one scaler plane per rate,
-        # rate blocks rescale independently) for up to 8 categories.
-        fused_core_ok = (p.dtype == jnp.float32
-                         and (not p.rate_scalers or p.rate_cats <= 8)
+        # rate blocks rescale independently): any category count on the
+        # plane-layout kernel (small alphabets), up to 8 on the row
+        # layout (counts live in sublane rows — a structural bound; AA
+        # configs beyond 8 take the levels path, see
+        # ops_fused.per_rate_planes_ok).
+        per_rate_ok = (not p.rate_scalers or p.rate_cats <= 8
+                       or (mesh is None and operations is not None
+                           and ops_fused.per_rate_planes_ok(
+                               p.states, p.rate_cats, p.prob_matrices,
+                               len(operations))))
+        fused_core_ok = (p.dtype == jnp.float32 and per_rate_ok
                          and (mesh is None
                               or p.sites_padded % (128 * mesh_n) == 0))
         eligible = fused_core_ok and p.repeats is None
@@ -1403,6 +1411,43 @@ class TreeEngine:
             *self._dense_bufs(), *self._model_args(),
             jnp.asarray(np.stack(blens), p.dtype), ops_k,
             jnp.asarray(np.asarray(roots, dtype=np.int32)),
+            *self._site_args(), p.scale_threshold, p.scale_factor,
+            rate_scalers=p.rate_scalers,
+            asc_type=self.asc_type, n_real=self.n_real,
+            fused_slots=fused_slots,
+            pallas_interpret=self.pallas_interpret,
+            edge_params=self.edge_params, mxu=self.mxu)
+        return np.asarray(totals)[:k]
+
+    def evaluate_packed_arrays(self, tables, blens, roots,
+                               n_slots: int) -> np.ndarray:
+        """logL for pre-stacked fused candidate arrays — tables
+        [K, n_ops+1, 8], blens [K, E], roots [K, 5] (the native SPR
+        candidate builder's output, native/pllnative.cpp
+        pll_tpu_spr_candidates). Same semantics as evaluate_packed
+        without the per-candidate Python list walk."""
+        p = self.partition
+        k = tables.shape[0]
+        if k == 0:
+            return np.zeros(0)
+        w = 1
+        while w < k:
+            w *= 2
+        if w != k:
+            # pad with copies of the last candidate (bounded shape set)
+            reps = [tables[-1:], blens[-1:], roots[-1:]]
+            tables = np.concatenate(
+                [tables, np.repeat(reps[0], w - k, axis=0)])
+            blens = np.concatenate(
+                [blens, np.repeat(reps[1], w - k, axis=0)])
+            roots = np.concatenate(
+                [roots, np.repeat(reps[2], w - k, axis=0)])
+        fused_slots = max(-(-int(n_slots) // 4) * 4, self.fused_slots)
+        ops_k = ((jnp.asarray(tables),) + self._tip_codes())
+        totals = _fused_multi_topology(
+            *self._dense_bufs(), *self._model_args(),
+            jnp.asarray(blens, p.dtype), ops_k,
+            jnp.asarray(roots, np.int32),
             *self._site_args(), p.scale_threshold, p.scale_factor,
             rate_scalers=p.rate_scalers,
             asc_type=self.asc_type, n_real=self.n_real,

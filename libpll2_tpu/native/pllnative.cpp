@@ -359,3 +359,255 @@ int64_t pll_tpu_stepwise(const uint32_t* tip_vecs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Native SPR candidate builder.
+//
+// The 1000-taxon radius-SPR round is host-bound: per candidate move the
+// Python path does pointer surgery (trees/moves.py spr), a ~2N-node
+// postorder walk building the fused kernel's op table
+// (ops/pallas_fused.fused_candidate_from_tree), then a rollback —
+// ~2.2 us/node of interpreter time while the TPU idles. This routine runs
+// the whole round's candidate construction in one call over flat
+// half-edge arrays: for every prune edge it enumerates the radius-bounded
+// regraft targets (identical DFS order to search.py _radius_targets),
+// applies the SPR (identical semantics to trees/moves.py spr /
+// /root/reference/src/utree_moves.c:119-255), emits the packed table +
+// branch vector + root indices (identical layout and slot allocation to
+// fused_candidate_from_tree), and rolls back.
+//
+// Half-edge ids: tips 0..T-1 (their clv index), inner node i owns ids
+// T+3i+{0,1,2} in ring order. next[h] < 0 marks a tip.
+
+namespace sprcand {
+
+struct Tree {
+    std::vector<int32_t> back;   // mutated by moves
+    std::vector<int32_t> pmat;   // mutated by moves
+    std::vector<double> len;     // mutated by moves
+    const int32_t* next;
+    const int32_t* clv;
+    const int32_t* scaler;
+    const int32_t* ctip;         // tip clv -> raw-CLV row, or nullptr
+    int64_t T;
+
+    bool is_tip(int32_t h) const { return next[h] < 0; }
+
+    void link(int32_t a, int32_t b, double l, int32_t m) {
+        back[a] = b; back[b] = a;
+        len[a] = len[b] = l;
+        pmat[a] = pmat[b] = m;
+    }
+};
+
+struct Saved { int32_t h, back, pmat; double len; };
+
+// trees/moves.py spr(): returns false when the move is a no-change.
+static bool apply_spr(Tree& t, int32_t p, int32_t r, Saved* sv)
+{
+    const int32_t np = t.next[p], nnp = t.next[np];
+    if (r == p || r == t.back[p] || r == np || r == t.back[np] ||
+        r == nnp || r == t.back[nnp])
+        return false;
+    const int32_t u = t.back[np], v = t.back[nnp], rb = t.back[r];
+    const int32_t touched[6] = {np, nnp, u, v, r, rb};
+    for (int i = 0; i < 6; ++i) {
+        const int32_t h = touched[i];
+        sv[i] = {h, t.back[h], t.pmat[h], t.len[h]};
+    }
+    t.link(u, v, t.len[u] + t.len[v], t.pmat[u]);
+    t.back[np] = t.back[nnp] = -1;
+    const double half = sv[4].len / 2.0;      // r's pre-move length
+    t.link(rb, nnp, half, sv[1].pmat);        // p.next.next's pmatrix
+    t.link(r, np, half, sv[4].pmat);          // r's pmatrix
+    return true;
+}
+
+static void undo_spr(Tree& t, const Saved* sv)
+{
+    for (int i = 0; i < 6; ++i) {
+        t.back[sv[i].h] = sv[i].back;
+        t.pmat[sv[i].h] = sv[i].pmat;
+        t.len[sv[i].h] = sv[i].len;
+    }
+}
+
+struct WalkScratch {
+    std::vector<int32_t> slot_of;               // [n_clv], -1 = free
+    std::vector<int32_t> touched;                // slots to reset
+    std::vector<int32_t> free_slots;
+    std::vector<std::pair<int32_t, uint8_t>> stack;
+};
+
+// ops/pallas_fused.fused_candidate_from_tree on flat arrays. Returns the
+// slot count (>= 1) or -1 when the kernel cannot run this topology.
+static int32_t pack_walk(Tree& t, int32_t vroot, WalkScratch& w,
+                         int64_t n_rows,           // T-1 (table rows)
+                         int32_t* table,           // [n_rows * 8], zeroed
+                         double* blens,            // [n_matrices], zeroed
+                         int32_t* root_out)        // [5]
+{
+    const int32_t vback = t.back[vroot];
+    w.touched.clear();
+    w.free_slots.clear();
+    w.stack.clear();
+    w.stack.push_back({vroot, 0});
+    w.stack.push_back({vback, 0});
+    int32_t n_slots = 0;
+    int64_t row_i = 0;
+
+    auto tip_hi = [&](int32_t ci, int32_t* is_tip_o, int32_t* idx_o) {
+        if (t.ctip && t.ctip[ci] >= 0) { *is_tip_o = 2; *idx_o = t.ctip[ci]; }
+        else { *is_tip_o = 1; *idx_o = ci; }
+    };
+    auto fail = [&]() {
+        for (int32_t ci : w.touched) w.slot_of[ci] = -1;
+        return (int32_t)-1;
+    };
+
+    while (!w.stack.empty()) {
+        const auto [h, done] = w.stack.back();
+        w.stack.pop_back();
+        const bool tip = t.is_tip(h);
+        if (!done && !tip) {
+            w.stack.push_back({h, 1});
+            w.stack.push_back({t.back[t.next[t.next[h]]], 0});
+            w.stack.push_back({t.back[t.next[h]], 0});
+            continue;
+        }
+        if (h != vback)
+            blens[t.pmat[h]] = t.len[h];
+        if (tip)
+            continue;
+        if (t.scaler[h] < 0)
+            return fail();
+        if (row_i >= n_rows - 1)
+            return fail();                          // non-binary artifact
+        int32_t* row = table + row_i * 8;
+        const int32_t kids[2] = {t.back[t.next[h]],
+                                 t.back[t.next[t.next[h]]]};
+        int32_t freed[2];
+        int n_freed = 0;
+        for (int pos = 0; pos < 2; ++pos) {
+            const int32_t c = kids[pos];
+            const int32_t ci = t.clv[c];
+            if (ci < (int32_t)t.T) {
+                tip_hi(ci, &row[1 + 3 * pos], &row[2 + 3 * pos]);
+            } else {
+                const int32_t s = w.slot_of[ci];
+                if (s < 0)
+                    return fail();                  // not a postorder
+                w.slot_of[ci] = -1;                 // consumed exactly once
+                row[1 + 3 * pos] = 0;
+                row[2 + 3 * pos] = s;
+                freed[n_freed++] = s;
+            }
+            row[3 + 3 * pos] = t.pmat[c];
+        }
+        for (int i = 0; i < n_freed; ++i)
+            w.free_slots.push_back(freed[i]);
+        int32_t ps;
+        if (!w.free_slots.empty()) {
+            ps = w.free_slots.back();
+            w.free_slots.pop_back();
+        } else {
+            ps = n_slots++;
+        }
+        w.slot_of[t.clv[h]] = ps;
+        w.touched.push_back(t.clv[h]);
+        row[0] = ps;
+        row[7] = 1;
+        ++row_i;
+    }
+    if (row_i != n_rows - 1)
+        return fail();                              // not a full traversal
+
+    int32_t* last = table + row_i * 8;
+    const int32_t ends[2] = {vroot, vback};
+    for (int pos = 0; pos < 2; ++pos) {
+        const int32_t ci = t.clv[ends[pos]];
+        if (ci < (int32_t)t.T) {
+            tip_hi(ci, &last[2 * pos], &last[1 + 2 * pos]);
+        } else {
+            if (w.slot_of[ci] < 0)
+                return fail();
+            last[2 * pos] = 0;
+            last[1 + 2 * pos] = w.slot_of[ci];
+        }
+    }
+    root_out[0] = t.clv[vroot];
+    root_out[1] = t.scaler[vroot];
+    root_out[2] = t.clv[vback];
+    root_out[3] = t.scaler[vback];
+    root_out[4] = t.pmat[vroot];
+    for (int32_t ci : w.touched)
+        w.slot_of[ci] = -1;
+    return n_slots > 0 ? n_slots : 1;
+}
+
+}  // namespace sprcand
+
+extern "C" {
+
+// One call = one SPR round's candidate construction: for each (prune,
+// regraft) half-edge pair, apply the SPR, emit the packed fused-kernel
+// candidate, roll back. The caller enumerates the pairs (radius BFS /
+// subsampling are cheap; this walk is the 95% host cost). `kept_out[k]`
+// is 1 when pair k produced a candidate (0 = rejected no-change move);
+// outputs are written densely in kept order. Returns the number of
+// candidates written, or -1 when a topology cannot be packed (caller
+// falls back to the Python path).
+int64_t pll_tpu_spr_candidates(
+    const int32_t* back, const int32_t* next_, const int32_t* clv,
+    const int32_t* scaler, const int32_t* pmat, const double* length,
+    int64_t H, int64_t T, int64_t n_clv,
+    const int32_t* ctip_rows,                 // [T] or NULL
+    const int32_t* pairs_in, int64_t n_pairs, // [n_pairs, 2]
+    int32_t vroot, int64_t n_matrices,
+    int32_t* tables_out,                      // [n_pairs, T-1, 8]
+    double* blens_out,                        // [n_pairs, n_matrices]
+    int32_t* roots_out,                       // [n_pairs, 5]
+    int32_t* slots_out,                       // [n_pairs]
+    uint8_t* kept_out)                        // [n_pairs]
+{
+    using namespace sprcand;
+    Tree t;
+    t.back.assign(back, back + H);
+    t.pmat.assign(pmat, pmat + H);
+    t.len.assign(length, length + H);
+    t.next = next_;
+    t.clv = clv;
+    t.scaler = scaler;
+    t.ctip = ctip_rows;
+    t.T = T;
+
+    WalkScratch w;
+    w.slot_of.assign(n_clv, -1);
+    const int64_t n_rows = T - 1;
+
+    Saved sv[6];
+    int64_t count = 0;
+    for (int64_t k = 0; k < n_pairs; ++k) {
+        const int32_t p = pairs_in[k * 2], r = pairs_in[k * 2 + 1];
+        kept_out[k] = 0;
+        if (t.is_tip(p) || t.back[r] < 0)
+            continue;
+        if (!apply_spr(t, p, r, sv))
+            continue;
+        int32_t* table = tables_out + count * n_rows * 8;
+        double* blens = blens_out + count * n_matrices;
+        std::memset(table, 0, (size_t)(n_rows * 8) * 4);
+        std::memset(blens, 0, (size_t)n_matrices * 8);
+        const int32_t ns = pack_walk(t, vroot, w, n_rows, table, blens,
+                                     roots_out + count * 5);
+        undo_spr(t, sv);
+        if (ns < 0)
+            return -1;
+        slots_out[count] = ns;
+        kept_out[k] = 1;
+        ++count;
+    }
+    return count;
+}
+
+}  // extern "C"

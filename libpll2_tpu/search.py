@@ -49,6 +49,43 @@ def _all_edges(tree: UTree) -> List[UNode]:
     return out
 
 
+def _flatten_tree(tree: UTree):
+    """Flat half-edge arrays for the native candidate builder: tips get
+    id = clv_index (0..T-1), inner node i owns ids T+3i+{0,1,2} in ring
+    order. Returns (back, next, clv, scaler, pmat, length, node_of) where
+    node_of[id] is the live UNode (to apply the winning move)."""
+    T = tree.tip_count
+    inner = [n for n in tree.nodes() if not n.is_tip()]
+    H = T + 3 * len(inner)
+    ids = {}
+    node_of: List[Optional[UNode]] = [None] * H
+    for n in tree.nodes():
+        if n.is_tip():
+            ids[id(n)] = n.clv_index
+            node_of[n.clv_index] = n
+    for i, n in enumerate(inner):
+        for k, h in enumerate((n, n.next, n.next.next)):
+            hid = T + 3 * i + k
+            ids[id(h)] = hid
+            node_of[hid] = h
+    back = np.full(H, -1, np.int32)
+    nxt = np.full(H, -1, np.int32)
+    clv = np.zeros(H, np.int32)
+    scaler = np.zeros(H, np.int32)
+    pmat = np.zeros(H, np.int32)
+    length = np.zeros(H, np.float64)
+    for hid, h in enumerate(node_of):
+        clv[hid] = h.clv_index
+        scaler[hid] = h.scaler_index
+        pmat[hid] = h.pmatrix_index
+        length[hid] = h.length or 0.0
+        if h.back is not None:
+            back[hid] = ids[id(h.back)]
+        if h.next is not None:
+            nxt[hid] = ids[id(h.next)]
+    return back, nxt, clv, scaler, pmat, length, node_of, ids
+
+
 def _radius_targets(p: UNode, radius: int) -> List[UNode]:
     """Regraft targets within `radius` edges of the prune point — the
     RAxML/IQ-TREE SPR neighborhood bound. Walks outward from p's node
@@ -196,7 +233,11 @@ class TreeSearch:
         accepted = 0
         rng = np.random.default_rng(seed)
         while True:
-            candidates, applied = [], []
+            # pair enumeration (radius BFS / full neighborhood +
+            # subsampling) happens ONCE per iteration — it is
+            # O(candidates); the rng must never be consumed twice for one
+            # iteration (native fallback) or paths diverge
+            pair_list = []
             for p in list(_internal_edges(self.tree)):
                 if radius is not None:
                     targets = _radius_targets(p, radius)
@@ -209,29 +250,55 @@ class TreeSearch:
                 if max_candidates and len(targets) > max_candidates:
                     idx = rng.permutation(len(targets))[:max_candidates]
                     targets = [targets[i] for i in idx]
-                for r in targets:
-                    rb = moves.Rollback()
-                    try:
-                        moves.spr(p, r, rb, safe=True)
-                    except C.PllError:
-                        continue
-                    vr = self.tree.vroot
-                    # one-pass packed candidate (fused path): skips the
-                    # Operation-object pipeline — the per-candidate host
-                    # cost that dominates 1000-taxon rounds
-                    pc = eng.pack_candidate(vr)
-                    if pc is not None:
-                        candidates.append(pc)
-                    else:
-                        trav = traverse(vr)
-                        ops, br, pidx = create_operations(trav)
-                        root_info = (vr.clv_index, vr.scaler_index,
-                                     vr.back.clv_index,
-                                     vr.back.scaler_index,
-                                     vr.pmatrix_index)
-                        candidates.append((ops, br, pidx, root_info))
-                    applied.append((p, r))
-                    moves.rollback_move(rb)
+                pair_list.extend((p, r) for r in targets)
+            # native fast path: the per-candidate apply-SPR + pack-table +
+            # rollback walk runs in ONE C++ call over flat half-edge
+            # arrays — the Python walk below costs ~2.2 us/node x ~2000
+            # candidates x ~2N nodes at 1000 taxa, leaving the chip idle
+            if pair_list and getattr(eng, "use_fused", False):
+                nat = self._native_spr_candidates(pair_list)
+                if nat is not None:
+                    tables, blens, roots, slots, kept_pairs = nat
+                    if tables.shape[0] == 0:
+                        return best, accepted
+                    step = batch or tables.shape[0]
+                    scores = np.concatenate(
+                        [eng.evaluate_packed_arrays(
+                            tables[i:i + step], blens[i:i + step],
+                            roots[i:i + step], int(slots.max()))
+                         for i in range(0, tables.shape[0], step)])
+                    i = int(np.argmax(scores))
+                    if scores[i] <= best + self.epsilon:
+                        return best, accepted
+                    p, r = kept_pairs[i]
+                    moves.spr(p, r, None, safe=True)
+                    best = float(scores[i])
+                    accepted += 1
+                    continue
+            candidates, applied = [], []
+            for p, r in pair_list:
+                rb = moves.Rollback()
+                try:
+                    moves.spr(p, r, rb, safe=True)
+                except C.PllError:
+                    continue
+                vr = self.tree.vroot
+                # one-pass packed candidate (fused path): skips the
+                # Operation-object pipeline — the per-candidate host
+                # cost that dominates 1000-taxon rounds
+                pc = eng.pack_candidate(vr)
+                if pc is not None:
+                    candidates.append(pc)
+                else:
+                    trav = traverse(vr)
+                    ops, br, pidx = create_operations(trav)
+                    root_info = (vr.clv_index, vr.scaler_index,
+                                 vr.back.clv_index,
+                                 vr.back.scaler_index,
+                                 vr.pmatrix_index)
+                    candidates.append((ops, br, pidx, root_info))
+                applied.append((p, r))
+                moves.rollback_move(rb)
             if not candidates:
                 return best, accepted
             # homogeneous by construction: pack_candidate succeeds for
@@ -251,6 +318,31 @@ class TreeSearch:
             moves.spr(p, r, None, safe=True)
             best = float(scores[i])
             accepted += 1
+
+    def _native_spr_candidates(self, pairs):
+        """Whole-round candidate construction via the native builder
+        (apply + pack + rollback per (prune, regraft) pair). Returns
+        (tables, blens, roots, slots, kept_pairs) or None (no native
+        lib / unpackable topology -> Python fallback)."""
+        from . import native
+        from .engine import _ctip_rows
+
+        eng = self._engine
+        part = eng.partition
+        flat = _flatten_tree(self.tree)
+        back, nxt, clv, scaler, pmat, length, node_of, ids = flat
+        pair_ids = np.asarray([[ids[id(p)], ids[id(r)]] for p, r in pairs],
+                              np.int32)
+        ctips = _ctip_rows(part) if eng._packed_ctips else None
+        res = native.spr_candidates(
+            back, nxt, clv, scaler, pmat, length, self.tree.tip_count,
+            int(clv.max()) + 1, ctips, pair_ids,
+            ids[id(self.tree.vroot)], part.prob_matrices)
+        if res is None:
+            return None
+        tables, blens, roots, slots, kept = res
+        kept_pairs = [pairs[i] for i in np.flatnonzero(kept)]
+        return tables, blens, roots, slots, kept_pairs
 
     def spr_round(self, max_candidates: Optional[int] = None,
                   seed: int = 0) -> Tuple[float, int]:
