@@ -725,9 +725,6 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
     e, r, s = pmatrix.shape[0], rates, states
     rs = rates * states
     sc_rows = rates if rate_scalers else 1
-    if rate_scalers and rates > 8:
-        raise ValueError("fused kernel per-rate scalers support at most "
-                         "8 rate categories")
     n_ctips = 0 if tip_clvs is None else tip_clvs.shape[0]
     has_ctips = n_ctips > 0
     if planes is None:
@@ -740,6 +737,16 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
         planes = (states < PLANE_STATES_MAX
                   and sites % kernel_grain(states) == 0
                   and smem_bytes <= SMEM_BUDGET)
+    if rate_scalers and rates > 8 and not planes:
+        # the row layout keeps rate r's count in sublane row r of one
+        # [8, tile] block — a structural 8-category bound; the plane
+        # layout carries one [8, C] plane per rate (any count). Callers
+        # (engine.py eligibility) route >8-category per-rate configs
+        # here only when per_rate_planes_ok says the plane kernel fits.
+        raise ValueError(
+            "fused-kernel per-rate scalers above 8 rate categories need "
+            "the plane layout (alphabet < 16 states, lane-grain sites, "
+            "SMEM-resident P-matrices)")
     if planes:
         # plane layout: site axis viewed as [8, sites/8] so every
         # (rate, state) row is a full vreg plane (the reshape is a pure
@@ -872,6 +879,18 @@ def fused_traversal(tip_codes: jnp.ndarray,   # [n_tips, S] int32 bitmasks
 
 PLANE_STATES_MAX = 16       # plane layout for alphabets below this
 PLANE_GRAIN = 1024          # sites per plane-layout tile grain (8 x 128)
+
+
+def per_rate_planes_ok(states: int, rates: int, n_matrices: int,
+                       n_ops: int) -> bool:
+    """True when a >8-category per-rate-scaler config can run the fused
+    PLANE-layout kernel (one scaler plane per rate — category-count-
+    agnostic, matching /root/reference/src/core_partials.c:760-771). The
+    row layout's [8, tile] scaler block is structurally capped at 8.
+    Sites alignment is not checked: the engine pads tip codes to the
+    plane grain internally."""
+    smem = (n_matrices * rates * states * states + (n_ops + 1) * 8) * 4
+    return states < PLANE_STATES_MAX and smem <= SMEM_BUDGET
 
 
 def kernel_grain(states: int) -> int:

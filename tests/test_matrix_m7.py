@@ -234,3 +234,89 @@ def test_attribute_grid(alphabet, rate_sc, asc, mode):
         lk, golden, rtol=3e-5,
         err_msg=f"{alphabet}/{'rate' if rate_sc else 'site'}/"
                 f"{'lewis' if asc else 'noasc'}/{mode}")
+
+
+def test_per_rate_scalers_many_categories():
+    """Per-rate scalers beyond 8 Gamma categories (VERDICT r3 item 9):
+    the reference's per-rate machinery is category-count-agnostic
+    (/root/reference/src/core_partials.c:760-771). Here 12 categories
+    must (a) match the oracle on the XLA levels path, (b) run the fused
+    PLANE-layout kernel for DNA (one scaler plane per rate — the row
+    layout is structurally capped at 8 sublane rows), and (c) silently
+    downgrade to levels for AA (row layout only at 20 states)."""
+    if not oracle.available():
+        pytest.skip("reference not available")
+    from libpll2_tpu.trees import parse_newick
+
+    R = 12
+    n = 100
+    text = f"t{n-1}:0.1"
+    for i in range(n - 2, 1, -1):
+        text = f"(t{i}:0.1,{text}):0.1"
+    tree = parse_newick(f"(t0:0.1,t1:0.1,{text});")
+    headers, seqs = simulate_alignment(tree, 256, FREQS, SUBST,
+                                       alpha=0.3, seed=23)
+    by = dict(zip(headers, seqs))
+    rates = compute_gamma_cats(0.3, R)
+
+    def build(dtype=None):
+        part = Partition(tree.tip_count, tree.inner_count, 4, 256, 1,
+                         tree.edge_count, R, tree.inner_count,
+                         rate_scalers=True, dtype=dtype)
+        for tip in tree.tips():
+            part.set_tip_states(tip.clv_index, maps.map_nt, by[tip.label])
+        part.set_frequencies(0, FREQS)
+        part.set_subst_params(0, SUBST)
+        part.set_category_rates(rates)
+        return part
+
+    ref = oracle.OraclePartition(tree.tip_count, tree.inner_count, 4, 256,
+                                 1, tree.edge_count, R, tree.inner_count,
+                                 attributes=oracle.ATTRIB_RATE_SCALERS)
+    for tip in tree.tips():
+        ref.set_tip_states(tip.clv_index, "nt", by[tip.label])
+    ref.set_frequencies(0, FREQS)
+    ref.set_subst_params(0, SUBST)
+    ref.set_category_rates(rates)
+    trav = traverse(tree.vroot)
+    ops, branches, pmat_idx = create_operations(trav)
+    ref.update_prob_matrices([0] * R, pmat_idx, branches)
+    ref.update_partials([(o.parent_clv_index, o.parent_scaler_index,
+                          o.child1_clv_index, o.child1_matrix_index,
+                          o.child1_scaler_index, o.child2_clv_index,
+                          o.child2_matrix_index, o.child2_scaler_index)
+                         for o in ops])
+    root = tree.vroot
+    lk_ref = ref.edge_loglikelihood(
+        root.clv_index, root.scaler_index, root.back.clv_index,
+        root.back.scaler_index, root.pmatrix_index, [0] * R)
+    ref.destroy()
+
+    # (a) fp64 levels path
+    eng_lv = TreeEngine(build(), tree, pallas=False)
+    assert eng_lv.execution_path == "levels"
+    np.testing.assert_allclose(eng_lv.loglikelihood(), lk_ref, rtol=1e-10)
+    # per-rate counts must actually diverge across categories
+    sc = np.asarray(eng_lv.partition.scale_buffer)
+    assert sc.max() > 0 and (sc.max(axis=1) != sc.min(axis=1)).any()
+
+    # (b) DNA fused plane layout at 12 categories
+    eng_f = TreeEngine(build(jnp.float32), tree, pallas="interpret")
+    assert eng_f.execution_path == "fused", eng_f.execution_path
+    np.testing.assert_allclose(eng_f.loglikelihood(), lk_ref, rtol=5e-5)
+
+    # (c) AA at 12 categories: row layout only -> documented downgrade
+    aa_part = Partition(8, 6, 20, 128, 1, 13, R, 6,
+                        rate_scalers=True, dtype=jnp.float32)
+    aa_tree = random_utree([f"a{i}" for i in range(8)], seed=5)
+    rng = np.random.default_rng(5)
+    for tip in aa_tree.tips():
+        aa_part.set_tip_states(
+            tip.clv_index, maps.map_aa,
+            "".join(rng.choice(list("ARNDCQEGHILKMFPSTWYV"), size=128)))
+    aa_part.set_frequencies(0, np.full(20, 0.05))
+    aa_part.set_subst_params(0, np.ones(190))
+    aa_part.set_category_rates(compute_gamma_cats(0.5, R))
+    eng_aa = TreeEngine(aa_part, aa_tree, pallas="interpret")
+    assert eng_aa.execution_path == "levels", eng_aa.execution_path
+    assert np.isfinite(eng_aa.loglikelihood())
