@@ -118,13 +118,32 @@ def _fused_loglikelihood(clv, scaler, eigenvals, inv_eigenvecs, eigenvecs,
         p_clv, p_sc_i, c_clv, c_sc_i, mat = root_idx
 
         def _traverse(codes, pm, tbl, *ctips):
-            return ops_fused.fused_traversal(
+            # under a mesh this body runs PER SHARD (shard_map): pad the
+            # local column block to the kernel grain here — zero codes
+            # produce zero CLVs that are sliced off before the logL — so
+            # real alignments need only sites_padded % mesh_size == 0,
+            # not lane alignment per shard (VERDICT r3 missing #5)
+            w_local = codes.shape[1]
+            grain = ops_fused.kernel_grain(clv.shape[2])
+            pad = (-w_local) % grain
+            cts = ctips[0] if ctips else None
+            if pad:
+                codes = jnp.concatenate(
+                    [codes, jnp.zeros((codes.shape[0], pad),
+                                      codes.dtype)], axis=1)
+                if cts is not None:
+                    cts = jnp.concatenate(
+                        [cts, jnp.zeros(cts.shape[:-1] + (pad,),
+                                        cts.dtype)], axis=-1)
+            out = ops_fused.fused_traversal(
                 codes, pm, tbl,
                 rates=clv.shape[1], states=clv.shape[2],
                 n_slots=fused_slots, threshold=scale_threshold,
                 factor=scale_factor, interpret=pallas_interpret,
-                rate_scalers=rate_scalers,
-                tip_clvs=ctips[0] if ctips else None, mxu=mxu)
+                rate_scalers=rate_scalers, tip_clvs=cts, mxu=mxu)
+            if pad:
+                out = tuple(o[..., :w_local] for o in out)
+            return out
 
         with jax.named_scope("pll.fused_traversal"):
             if fused_mesh is not None:
@@ -818,17 +837,29 @@ class TreeEngine:
                            and ops_fused.per_rate_planes_ok(
                                p.states, p.rate_cats, p.prob_matrices,
                                len(operations))))
+        # under a mesh the per-shard column block is padded to the kernel
+        # grain INSIDE the shard_map body, so the only alignment demand
+        # is equal shards (the same condition shard_partition enforces)
         fused_core_ok = (p.dtype == jnp.float32 and per_rate_ok
                          and (mesh is None
-                              or p.sites_padded % (128 * mesh_n) == 0))
+                              or p.sites_padded % mesh_n == 0))
         eligible = fused_core_ok and p.repeats is None
         # the per-level kernel has no shard_map path, no per-rate scaler
         # mode, and operates on the partition buffers directly, so it
         # keeps the alignment demand
         levelk_ok = (eligible and mesh is None and not p.rate_scalers
                      and p.sites_padded % 128 == 0)
-        on_target = (jax.default_backend() == "tpu" if pallas == "auto"
-                     else True)
+        # 'auto' compiles Pallas only for TPU execution: the partition's
+        # mesh platform when sharded (a virtual CPU mesh under a TPU
+        # default backend must NOT pick compiled kernels), the default
+        # backend otherwise
+        if pallas == "auto":
+            if mesh is not None:
+                on_target = mesh.devices.flat[0].platform == "tpu"
+            else:
+                on_target = jax.default_backend() == "tpu"
+        else:
+            on_target = True
         self.pallas_interpret = pallas in ("interpret", "levels-interpret",
                                            "pool-interpret")
         want_fused = pallas in ("auto", True, "interpret")

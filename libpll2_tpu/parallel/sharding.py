@@ -411,9 +411,13 @@ class ShardedRepeatsEngine:
         from ..trees import create_operations, traverse
         from .. import constants as C
 
-        n = mesh.devices.size
+        # multi-process: each process supplies one partition per LOCAL
+        # device (its column slice of the global alignment, reference MPI
+        # mapping); single-process supplies all of them
+        n = owned_shards(mesh)
         if len(parts) != n:
-            raise ValueError(f"need {n} shard partitions, got {len(parts)}")
+            raise ValueError(f"need {n} shard partitions (one per device "
+                             f"this process owns), got {len(parts)}")
         p0 = parts[0]
         for p in parts:
             if p.repeats is None:
@@ -452,71 +456,16 @@ class ShardedRepeatsEngine:
         ri = (root.clv_index, root.scaler_index, root.back.clv_index,
               root.back.scaler_index, root.pmatrix_index)
 
-        # pass 1: learn per-width op counts; pass 2: repack aligned
-        counts = {}
-        for p in parts:
-            for f, gl, _ in pack_repeats_canonical(p, operations, ri)[0]:
-                counts[gl.shape[1]] = max(counts.get(gl.shape[1], 0),
-                                          f.shape[0])
-        packs = [pack_repeats_canonical(p, operations, ri,
-                                        pad_counts=counts) for p in parts]
-
-        # stack tables; shard blocks ride the 'sites' mesh axis
-        n_widths = len(packs[0][0])
-        self._buckets = tuple(
-            (self._put(np.concatenate([pk[0][w][0] for pk in packs]),
-                       P(SITES_AXIS, None)),
-             self._put(np.concatenate([pk[0][w][1] for pk in packs]),
-                       P(SITES_AXIS, None)),
-             self._put(np.concatenate([pk[0][w][2] for pk in packs]),
-                       P(SITES_AXIS, None)))
-            for w in range(n_widths))
-        self._root_cols = tuple(
-            self._put(np.concatenate([pk[1][i] for pk in packs]),
-                      P(SITES_AXIS))
-            for i in range(4))
-        self._mat = self._put(np.asarray(packs[0][2], np.int32), P())
-
-        # pools, padded to the largest shard
-        t_max = max(p.clv_flat.shape[-1] for p in parts)
-        sc_max = max(p.sc_flat.shape[-1] for p in parts)
-
-        def pad_to(a, width):
-            pad = [(0, 0)] * (a.ndim - 1) + [(0, width - a.shape[-1])]
-            return np.pad(np.asarray(a), pad)
-
-        self.clv_flat = self._put(
-            np.concatenate([pad_to(p.clv_flat, t_max) for p in parts],
-                           axis=-1), P(None, None, SITES_AXIS))
-        self.sc_flat = self._put(
-            np.concatenate([pad_to(p.sc_flat, sc_max) for p in parts],
-                           axis=-1),
-            P(None, SITES_AXIS) if self.rate_scalers else P(SITES_AXIS))
-        self._pw = self._put(
-            np.concatenate([np.asarray(p.pattern_weights) for p in parts]),
-            P(SITES_AXIS))
-        self._inv = self._put(
-            np.concatenate([np.asarray(p.invariant) for p in parts]),
-            P(SITES_AXIS))
-
-        blen = np.zeros(p0.prob_matrices)
-        blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
-        self.branches = self._put(np.asarray(blen, self.dtype), P())
-
-        p0._ensure_eigen([params_index])
-        d = self.dtype
-        self._model = tuple(
-            self._put(np.asarray(a, d), P()) for a in (
-                p0.eigenvals, p0.inv_eigenvecs, p0.eigenvecs,
-                p0.prop_invar, p0.rates, p0.rate_weights, p0.frequencies)
-        ) + (self._put(np.asarray([params_index] * p0.rate_cats,
-                                  np.int32), P()),)
-
         # dense-fused evaluation per shard: the POOLED storage stays (the
         # memory win), but each device evaluates its column slice through
         # the fused kernel on dense tip codes (~7x the pool kernel;
         # engine.repeats_dense_fused extended across the mesh). The fused
         # kernel supports per-rate scalers (<= 8 categories) since r3.
+        # Decided FIRST: the dense-fused program touches only tip codes +
+        # site vectors, so the pooled arrays are never assembled — which
+        # also makes this path multi-process capable (each process feeds
+        # its local column blocks via put_global; pool-bucket shapes, by
+        # contrast, need global canonicalization and stay single-process).
         from ..ops import pallas_fused as ops_fused
         self.dense_fused = False
         self._fused = None
@@ -550,11 +499,86 @@ class ShardedRepeatsEngine:
                 C.ERROR_PARAM_INVALID,
                 "dense_fused requires fp32 shards with every tip set "
                 "from state codes on a TPU backend (or interpret=True)")
+
+        if not self.dense_fused:
+            if is_multiprocess(mesh):
+                raise C.PllError(
+                    C.ERROR_PARAM_INVALID,
+                    "the pooled compute path needs globally-canonicalized "
+                    "bucket shapes and is single-process only; "
+                    "multi-process sharded repeats run dense-fused "
+                    "(fp32 shards, tips from state codes)")
+            # pass 1: learn per-width op counts; pass 2: repack aligned
+            counts = {}
+            for p in parts:
+                for f, gl, _ in pack_repeats_canonical(p, operations,
+                                                       ri)[0]:
+                    counts[gl.shape[1]] = max(counts.get(gl.shape[1], 0),
+                                              f.shape[0])
+            packs = [pack_repeats_canonical(p, operations, ri,
+                                            pad_counts=counts)
+                     for p in parts]
+
+            # stack tables; shard blocks ride the 'sites' mesh axis
+            n_widths = len(packs[0][0])
+            self._buckets = tuple(
+                (self._put(np.concatenate([pk[0][w][0] for pk in packs]),
+                           P(SITES_AXIS, None)),
+                 self._put(np.concatenate([pk[0][w][1] for pk in packs]),
+                           P(SITES_AXIS, None)),
+                 self._put(np.concatenate([pk[0][w][2] for pk in packs]),
+                           P(SITES_AXIS, None)))
+                for w in range(n_widths))
+            self._root_cols = tuple(
+                self._put(np.concatenate([pk[1][i] for pk in packs]),
+                          P(SITES_AXIS))
+                for i in range(4))
+            self._mat = self._put(np.asarray(packs[0][2], np.int32), P())
+
+            # pools, padded to the largest shard
+            t_max = max(p.clv_flat.shape[-1] for p in parts)
+            sc_max = max(p.sc_flat.shape[-1] for p in parts)
+
+            def pad_to(a, width):
+                pad = ([(0, 0)] * (a.ndim - 1)
+                       + [(0, width - a.shape[-1])])
+                return np.pad(np.asarray(a), pad)
+
+            self.clv_flat = self._put(
+                np.concatenate([pad_to(p.clv_flat, t_max) for p in parts],
+                               axis=-1), P(None, None, SITES_AXIS))
+            self.sc_flat = self._put(
+                np.concatenate([pad_to(p.sc_flat, sc_max) for p in parts],
+                               axis=-1),
+                P(None, SITES_AXIS) if self.rate_scalers
+                else P(SITES_AXIS))
+
+        self._pw = self._put(
+            np.concatenate([np.asarray(p.pattern_weights) for p in parts]),
+            P(SITES_AXIS))
+        self._inv = self._put(
+            np.concatenate([np.asarray(p.invariant) for p in parts]),
+            P(SITES_AXIS))
+
+        blen = np.zeros(p0.prob_matrices)
+        blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
+        self.branches = self._put(np.asarray(blen, self.dtype), P())
+
+        p0._ensure_eigen([params_index])
+        d = self.dtype
+        self._model = tuple(
+            self._put(np.asarray(a, d), P()) for a in (
+                p0.eigenvals, p0.inv_eigenvecs, p0.eigenvecs,
+                p0.prop_invar, p0.rates, p0.rate_weights, p0.frequencies)
+        ) + (self._put(np.asarray([params_index] * p0.rate_cats,
+                                  np.int32), P()),)
         self._root_mat_host = int(ri[4])
 
     def _put(self, a, spec):
-        import jax.numpy as jnp
-        return jax.device_put(jnp.asarray(a), NamedSharding(self.mesh, spec))
+        # put_global handles both modes: device_put single-process,
+        # make_array_from_process_local_data when the mesh spans processes
+        # (each process passes its local column block for sharded specs)
+        return put_global(np.asarray(a), self.mesh, spec)
 
     def _fused_loop(self, k: int, newton: bool):
         codes, table, slots = self._fused

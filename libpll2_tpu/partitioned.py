@@ -23,6 +23,22 @@ class PartitionedEngine:
     unlinked (each partition optimizes its own root branch).
     """
 
+    @staticmethod
+    def shard(partitions: Sequence[Partition], mesh) -> None:
+        """Distribute a partitioned analysis over a device mesh: every
+        partition's site axis is sharded in place (build each with
+        sites_alignment=mesh.devices.size), after which the engines run
+        one SPMD program per partition — per-partition logL/d1/d2 ride
+        `psum` over the mesh, the cross-partition sums stay host-side
+        scalars. This is the consumers' MPI partitioned-analysis layout
+        (each rank holds a column slice of EVERY partition, reference
+        pll_set_pattern_weights /root/reference/src/pll.c:1112 per
+        partition) on ICI instead of MPI. Call before constructing the
+        PartitionedEngine."""
+        from .parallel import shard_partition
+        for p in partitions:
+            shard_partition(p, mesh)
+
     def __init__(self, partitions: Sequence[Partition], tree: UTree,
                  params_indices: Optional[Sequence[int]] = None,
                  linked: bool = True, **engine_kwargs):

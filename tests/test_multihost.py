@@ -61,5 +61,12 @@ def test_process_count_invariance():
             np.testing.assert_allclose(
                 rank[key], one[0][key], rtol=1e-12,
                 err_msg=f"{key} diverged between 1x8 and 2x4 processes")
+        # dense-fused sharded site repeats (fp32): per-rank local class
+        # tables, same SPMD program and psums — process-count invariant
+        for key in ("lk_rep", "d1_rep"):
+            np.testing.assert_allclose(
+                rank[key], one[0][key], rtol=1e-6,
+                err_msg=f"{key} diverged between 1x8 and 2x4 processes")
     # and the two ranks with each other (replicated outputs)
     assert two[0]["lk"] == two[1]["lk"]
+    assert two[0]["lk_rep"] == two[1]["lk_rep"]

