@@ -13,6 +13,22 @@ themselves oracle-validated by the test suite, so agreement certifies the
 fp32 chip path end to end.
 
 Exit code 0 = all cases within fp32-justified tolerances.
+
+TOLERANCE POLICY (one budget per error class, applied uniformly):
+  * logL relative: TOL_LOGL = 5e-5. Per-site logs carry ~1e-7 relative
+    fp32 round-off; a weighted sum over up to 2048 sites and ~10 scaling
+    undo events accumulates to ~1e-6-1e-5. 20-state 'split'-mode matvecs
+    add ~2.5e-6/op. 5e-5 is ~5x the worst observed headroom.
+  * d1/d2 relative: TOL_D1 = 5e-3 with ATOL_D1 = 5e-2 absolute floor —
+    derivatives are DIFFERENCES of same-magnitude fp32 sums, so 2-3
+    digits cancel near optima; cases are constructed away from
+    pathological conditioning (branch lengths >= 0.02: at ~0.001 d2
+    reaches ~1e6 and fp32 d1 loses 3+ digits to cancellation — a
+    conditioning property, not a kernel bug, so the gate does not
+    measure it).
+  Every case class (DNA/AA/odd-5, scalers, repeats, asc, heterotachy,
+  rooted) is held to the SAME two budgets; the loosest observed case
+  (aa_repeats d1 at ~2e-3) sits inside TOL_D1 by 2.5x.
 """
 from __future__ import annotations
 
@@ -48,7 +64,7 @@ def _odd5_map():
 
 def _build(tree, headers, seqs, states, sites, dtype, asc=None,
            alpha=0.8, repeats=False, rate_scalers=False, charmap=None,
-           tip_clv=0, rate_matrices=1, rooted=False):
+           tip_clv=0, rate_matrices=1, rooted=False, rate_cats=4):
     import numpy as np
     from libpll2_tpu import Partition, compute_gamma_cats
     from libpll2_tpu import constants as C
@@ -65,7 +81,7 @@ def _build(tree, headers, seqs, states, sites, dtype, asc=None,
     inner = tree.inner_count
     edges = 2 * tree.tip_count - 2 if rooted else tree.edge_count
     part = Partition(tree.tip_count, inner, states, sites,
-                     rate_matrices, edges, 4, inner, dtype=dtype,
+                     rate_matrices, edges, rate_cats, inner, dtype=dtype,
                      **kwargs)
     if charmap is None:
         charmap = maps.map_nt if states == 4 else maps.map_aa
@@ -82,7 +98,7 @@ def _build(tree, headers, seqs, states, sites, dtype, asc=None,
             part.set_subst_params(
                 m, rng.uniform(0.5, 2.0,
                                size=states * (states - 1) // 2))
-    part.set_category_rates(compute_gamma_cats(alpha, 4))
+    part.set_category_rates(compute_gamma_cats(alpha, rate_cats))
     if asc:
         part.set_asc_state_weights([2] * states)
     # raw-probability tips (pll_set_tip_clv): smear each observed state
@@ -138,6 +154,21 @@ def _problems():
     # core_partials.c:760-771); every rate block rescales independently
     add("dna_rate_scalers", t2, h2, s2, 4, 512, alpha=0.5,
         rate_scalers=True)
+
+    # site repeats x PER-RATE scalers (the reference ships the combo:
+    # pll_fill_parent_scaler_repeats_per_rate, pll.h:703): same deep
+    # caterpillar, low alpha so the rate blocks underflow at different
+    # depths and the per-rate planes genuinely diverge
+    h2b, s2b = simulate_alignment(t2, 512, [0.25] * 4, [1, 2, 1, 1, 2, 1],
+                                  alpha=0.3, seed=15)
+    add("dna_rep_rate", t2, h2b, s2b, 4, 512, alpha=0.3,
+        repeats=True, rate_scalers=True)
+
+    # per-rate scalers ABOVE the row-layout 8-category bound: 12
+    # categories ride the plane-layout kernel's per-rate scaler planes
+    # (category-count-agnostic, reference core_partials.c:760-771)
+    add("dna_rate12", t2, h2b, s2b, 4, 512, alpha=0.3,
+        rate_scalers=True, rate_cats=12)
 
     t3 = random_utree([f"t{i}" for i in range(12)], seed=6)
     h3, s3 = simulate_alignment(t3, 512, [1 / 20] * 20, [1.0] * 190,
