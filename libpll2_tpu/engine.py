@@ -1376,9 +1376,7 @@ class TreeEngine:
             b[np.asarray(pmatrix_indices)] = np.asarray(branches)
             blens.append(b)
         if fused_tables is not None:
-            # round the shared slot count up so minor per-candidate
-            # variation does not trigger fresh kernel compiles
-            fused_slots = max(-(-fused_slots // 4) * 4, self.fused_slots)
+            fused_slots = self._stable_slots(fused_slots)
             ops_k = ((jnp.asarray(np.stack(fused_tables)),)
                      + self._tip_codes())
         elif self.repeats_dense_fused:
@@ -1404,6 +1402,18 @@ class TreeEngine:
             pallas_interpret=self.pallas_interpret,
             edge_params=self.edge_params, mxu=self.mxu)
         return np.asarray(totals)[:k]
+
+    def _stable_slots(self, n_slots: int) -> int:
+        """Slot count for candidate-batch programs. fused_slots is a
+        STATIC argument — every new value costs a full recompile of the
+        multi-topology program (~10-15 s at 1000 taxa), and the max live
+        slot count drifts by 1-2 as accepted moves reshape the tree. So:
+        round up to a grain of 8 and keep the running maximum — the
+        count is monotone across a search, giving at most one or two
+        compiles per search instead of one per round."""
+        grain = -(-max(int(n_slots), self.fused_slots) // 8) * 8
+        self._cand_slots = max(getattr(self, "_cand_slots", 0), grain)
+        return self._cand_slots
 
     def pack_candidate(self, vroot):
         """(table, blens, root_info, n_slots) for the CURRENT topology
@@ -1435,8 +1445,7 @@ class TreeEngine:
         tables = [packed[min(ci, k - 1)][0] for ci in range(w)]
         blens = [packed[min(ci, k - 1)][1] for ci in range(w)]
         roots = [list(packed[min(ci, k - 1)][2]) for ci in range(w)]
-        fused_slots = max(pc[3] for pc in packed)
-        fused_slots = max(-(-fused_slots // 4) * 4, self.fused_slots)
+        fused_slots = self._stable_slots(max(pc[3] for pc in packed))
         ops_k = ((jnp.asarray(np.stack(tables)),) + self._tip_codes())
         totals = _fused_multi_topology(
             *self._dense_bufs(), *self._model_args(),
@@ -1473,7 +1482,7 @@ class TreeEngine:
                 [blens, np.repeat(reps[1], w - k, axis=0)])
             roots = np.concatenate(
                 [roots, np.repeat(reps[2], w - k, axis=0)])
-        fused_slots = max(-(-int(n_slots) // 4) * 4, self.fused_slots)
+        fused_slots = self._stable_slots(int(n_slots))
         ops_k = ((jnp.asarray(tables),) + self._tip_codes())
         totals = _fused_multi_topology(
             *self._dense_bufs(), *self._model_args(),
