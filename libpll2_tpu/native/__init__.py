@@ -64,12 +64,12 @@ def load() -> Optional[ct.CDLL]:
                                      i64p, i64p, ct.c_int64, i32p, i32p]
     f64p = ct.POINTER(ct.c_double)
     u8p = ct.POINTER(ct.c_uint8)
-    lib.pll_tpu_spr_candidates.restype = ct.c_int64
-    lib.pll_tpu_spr_candidates.argtypes = [
+    lib.pll_tpu_move_candidates.restype = ct.c_int64
+    lib.pll_tpu_move_candidates.argtypes = [
         i32p, i32p, i32p, i32p, i32p, f64p,          # tree arrays
         ct.c_int64, ct.c_int64, ct.c_int64,          # H, T, n_clv
         i32p,                                        # ctip_rows (or None)
-        i32p, ct.c_int64,                            # pairs [K, 2]
+        i32p, ct.c_int64,                            # moves [K, 3]
         ct.c_int32, ct.c_int64,                      # vroot, n_matrices
         i32p, f64p, i32p, i32p, u8p]                 # outputs
     _lib = lib
@@ -136,15 +136,16 @@ def stepwise(tip_vecs: np.ndarray,       # [T, stride] uint32
     return back, int(cost)
 
 
-def spr_candidates(back, next_, clv, scaler, pmat, length, T: int,
-                   n_clv: int, ctip_rows, pairs, vroot: int,
-                   n_matrices: int):
-    """One SPR round's candidate construction in one native call (see
-    pllnative.cpp pll_tpu_spr_candidates): apply each (prune, regraft)
-    half-edge pair, pack the fused-kernel candidate, roll back. Returns
-    (tables [K, T-1, 8], blens [K, M], roots [K, 5], slots [K],
-    kept [n_pairs] bool) or None when the native lib is absent / a
-    topology cannot be packed (callers fall back to the Python walk)."""
+def move_candidates(back, next_, clv, scaler, pmat, length, T: int,
+                    n_clv: int, ctip_rows, moves, vroot: int,
+                    n_matrices: int):
+    """One search round's candidate construction in one native call (see
+    pllnative.cpp pll_tpu_move_candidates): apply each move (kind 0 =
+    SPR(prune, regraft); 1/2 = NNI-left/right on an edge), pack the
+    fused-kernel candidate, roll back. Returns (tables [K, T-1, 8],
+    blens [K, M], roots [K, 5], slots [K], kept [n_moves] bool) or None
+    when the native lib is absent / a topology cannot be packed (callers
+    fall back to the Python walk)."""
     lib = load()
     if lib is None:
         return None
@@ -155,22 +156,22 @@ def spr_candidates(back, next_, clv, scaler, pmat, length, T: int,
     scaler = np.ascontiguousarray(scaler, np.int32)
     pmat = np.ascontiguousarray(pmat, np.int32)
     length = np.ascontiguousarray(length, np.float64)
-    pr = np.ascontiguousarray(pairs, np.int32)
-    n_pairs = pr.shape[0]
+    mv = np.ascontiguousarray(moves, np.int32)
+    n_moves = mv.shape[0]
     ct_rows = (None if ctip_rows is None
                else np.ascontiguousarray(ctip_rows, np.int32))
-    tables = np.zeros((n_pairs, T - 1, 8), np.int32)
-    blens = np.zeros((n_pairs, n_matrices), np.float64)
-    roots = np.zeros((n_pairs, 5), np.int32)
-    slots = np.zeros(n_pairs, np.int32)
-    kept = np.zeros(n_pairs, np.uint8)
-    k = lib.pll_tpu_spr_candidates(
+    tables = np.zeros((n_moves, T - 1, 8), np.int32)
+    blens = np.zeros((n_moves, n_matrices), np.float64)
+    roots = np.zeros((n_moves, 5), np.int32)
+    slots = np.zeros(n_moves, np.int32)
+    kept = np.zeros(n_moves, np.uint8)
+    k = lib.pll_tpu_move_candidates(
         _ptr(back, ct.c_int32), _ptr(next_, ct.c_int32),
         _ptr(clv, ct.c_int32), _ptr(scaler, ct.c_int32),
         _ptr(pmat, ct.c_int32), _ptr(length, ct.c_double),
         H, T, n_clv,
         None if ct_rows is None else _ptr(ct_rows, ct.c_int32),
-        _ptr(pr, ct.c_int32), n_pairs,
+        _ptr(mv, ct.c_int32), n_moves,
         vroot, n_matrices,
         _ptr(tables, ct.c_int32), _ptr(blens, ct.c_double),
         _ptr(roots, ct.c_int32), _ptr(slots, ct.c_int32),

@@ -423,13 +423,34 @@ static bool apply_spr(Tree& t, int32_t p, int32_t r, Saved* sv)
     return true;
 }
 
-static void undo_spr(Tree& t, const Saved* sv)
+static void undo_move(Tree& t, const Saved* sv, int n)
 {
-    for (int i = 0; i < 6; ++i) {
+    for (int i = 0; i < n; ++i) {
         t.back[sv[i].h] = sv[i].back;
         t.pmat[sv[i].h] = sv[i].pmat;
         t.len[sv[i].h] = sv[i].len;
     }
+}
+
+// trees/moves.py nni() + _swap(): kind 1 = LEFT (p.back.next), kind 2 =
+// RIGHT (p.back.next.next). Returns false on a terminal branch.
+static bool apply_nni(Tree& t, int32_t p, int32_t kind, Saved* sv)
+{
+    if (t.is_tip(p) || t.back[p] < 0 || t.is_tip(t.back[p]))
+        return false;
+    const int32_t t1 = t.next[p];
+    const int32_t pb = t.back[p];
+    const int32_t t2 = (kind == 1) ? t.next[pb] : t.next[t.next[pb]];
+    const int32_t b1 = t.back[t1], b2 = t.back[t2];
+    const int32_t touched[4] = {t1, t2, b1, b2};
+    for (int i = 0; i < 4; ++i) {
+        const int32_t h = touched[i];
+        sv[i] = {h, t.back[h], t.pmat[h], t.len[h]};
+    }
+    // _swap: each subtree keeps the branch to its NEW parent
+    t.link(t1, b2, sv[3].len, sv[3].pmat);
+    t.link(t2, b1, sv[2].len, sv[2].pmat);
+    return true;
 }
 
 struct WalkScratch {
@@ -549,26 +570,26 @@ static int32_t pack_walk(Tree& t, int32_t vroot, WalkScratch& w,
 
 extern "C" {
 
-// One call = one SPR round's candidate construction: for each (prune,
-// regraft) half-edge pair, apply the SPR, emit the packed fused-kernel
-// candidate, roll back. The caller enumerates the pairs (radius BFS /
-// subsampling are cheap; this walk is the 95% host cost). `kept_out[k]`
-// is 1 when pair k produced a candidate (0 = rejected no-change move);
-// outputs are written densely in kept order. Returns the number of
-// candidates written, or -1 when a topology cannot be packed (caller
-// falls back to the Python path).
-int64_t pll_tpu_spr_candidates(
+// One call = one search round's candidate construction: for each move
+// (kind 0 = SPR(a=prune, b=regraft); kind 1/2 = NNI-left/right on edge
+// a), apply it, emit the packed fused-kernel candidate, roll back. The
+// caller enumerates the moves (radius BFS / subsampling are cheap; this
+// walk is the 95% host cost). `kept_out[k]` is 1 when move k produced a
+// candidate (0 = rejected no-change/terminal move); outputs are written
+// densely in kept order. Returns the number of candidates written, or
+// -1 when a topology cannot be packed (caller falls back to Python).
+int64_t pll_tpu_move_candidates(
     const int32_t* back, const int32_t* next_, const int32_t* clv,
     const int32_t* scaler, const int32_t* pmat, const double* length,
     int64_t H, int64_t T, int64_t n_clv,
     const int32_t* ctip_rows,                 // [T] or NULL
-    const int32_t* pairs_in, int64_t n_pairs, // [n_pairs, 2]
+    const int32_t* moves_in, int64_t n_moves, // [n_moves, 3] (kind, a, b)
     int32_t vroot, int64_t n_matrices,
-    int32_t* tables_out,                      // [n_pairs, T-1, 8]
-    double* blens_out,                        // [n_pairs, n_matrices]
-    int32_t* roots_out,                       // [n_pairs, 5]
-    int32_t* slots_out,                       // [n_pairs]
-    uint8_t* kept_out)                        // [n_pairs]
+    int32_t* tables_out,                      // [n_moves, T-1, 8]
+    double* blens_out,                        // [n_moves, n_matrices]
+    int32_t* roots_out,                       // [n_moves, 5]
+    int32_t* slots_out,                       // [n_moves]
+    uint8_t* kept_out)                        // [n_moves]
 {
     using namespace sprcand;
     Tree t;
@@ -587,20 +608,29 @@ int64_t pll_tpu_spr_candidates(
 
     Saved sv[6];
     int64_t count = 0;
-    for (int64_t k = 0; k < n_pairs; ++k) {
-        const int32_t p = pairs_in[k * 2], r = pairs_in[k * 2 + 1];
+    for (int64_t k = 0; k < n_moves; ++k) {
+        const int32_t kind = moves_in[k * 3];
+        const int32_t a = moves_in[k * 3 + 1], b = moves_in[k * 3 + 2];
         kept_out[k] = 0;
-        if (t.is_tip(p) || t.back[r] < 0)
-            continue;
-        if (!apply_spr(t, p, r, sv))
-            continue;
+        int n_saved;
+        if (kind == 0) {
+            if (t.is_tip(a) || t.back[b] < 0)
+                continue;
+            if (!apply_spr(t, a, b, sv))
+                continue;
+            n_saved = 6;
+        } else {
+            if (!apply_nni(t, a, kind, sv))
+                continue;
+            n_saved = 4;
+        }
         int32_t* table = tables_out + count * n_rows * 8;
         double* blens = blens_out + count * n_matrices;
         std::memset(table, 0, (size_t)(n_rows * 8) * 4);
         std::memset(blens, 0, (size_t)n_matrices * 8);
         const int32_t ns = pack_walk(t, vroot, w, n_rows, table, blens,
                                      roots_out + count * 5);
-        undo_spr(t, sv);
+        undo_move(t, sv, n_saved);
         if (ns < 0)
             return -1;
         slots_out[count] = ns;

@@ -174,8 +174,29 @@ class TreeSearch:
         eng = self._engine
         accepted = 0
         while True:
+            edges = _internal_edges(self.tree)
+            # native fast path: the whole round's apply-NNI + pack +
+            # rollback in one C++ call (same machinery as the SPR round)
+            if edges and getattr(eng, "use_fused", False):
+                mv = [(mt, e, None) for e in edges
+                      for mt in (C.UTREE_MOVE_NNI_LEFT,
+                                 C.UTREE_MOVE_NNI_RIGHT)]
+                nat = self._native_candidates(mv)
+                if nat is not None:
+                    tables, blens, roots, slots, kept = nat
+                    if tables.shape[0] == 0:
+                        return best, accepted
+                    scores = eng.evaluate_packed_arrays(
+                        tables, blens, roots, int(slots.max()))
+                    i = int(np.argmax(scores))
+                    if scores[i] <= best + self.epsilon:
+                        return best, accepted
+                    moves.nni(kept[i][1], kept[i][0], None)
+                    best = float(scores[i])
+                    accepted += 1
+                    continue
             candidates, applied = [], []
-            for edge in _internal_edges(self.tree):
+            for edge in edges:
                 for mt in (C.UTREE_MOVE_NNI_LEFT, C.UTREE_MOVE_NNI_RIGHT):
                     rb = moves.Rollback()
                     moves.nni(edge, mt, rb)
@@ -319,11 +340,13 @@ class TreeSearch:
             best = float(scores[i])
             accepted += 1
 
-    def _native_spr_candidates(self, pairs):
+    def _native_candidates(self, moves_list):
         """Whole-round candidate construction via the native builder
-        (apply + pack + rollback per (prune, regraft) pair). Returns
-        (tables, blens, roots, slots, kept_pairs) or None (no native
-        lib / unpackable topology -> Python fallback)."""
+        (apply + pack + rollback per move). `moves_list` holds
+        (kind, a[, b]) tuples of UNodes with kind 0 = SPR(prune,
+        regraft), 1/2 = NNI-left/right on edge a. Returns (tables,
+        blens, roots, slots, kept_moves) or None (no native lib /
+        unpackable topology -> Python fallback)."""
         from . import native
         from .engine import _ctip_rows
 
@@ -331,18 +354,29 @@ class TreeSearch:
         part = eng.partition
         flat = _flatten_tree(self.tree)
         back, nxt, clv, scaler, pmat, length, node_of, ids = flat
-        pair_ids = np.asarray([[ids[id(p)], ids[id(r)]] for p, r in pairs],
-                              np.int32)
+        mv = np.asarray(
+            [[m[0], ids[id(m[1])],
+              ids[id(m[2])] if m[0] == 0 else 0] for m in moves_list],
+            np.int32).reshape(-1, 3)
         ctips = _ctip_rows(part) if eng._packed_ctips else None
-        res = native.spr_candidates(
+        res = native.move_candidates(
             back, nxt, clv, scaler, pmat, length, self.tree.tip_count,
-            int(clv.max()) + 1, ctips, pair_ids,
+            int(clv.max()) + 1, ctips, mv,
             ids[id(self.tree.vroot)], part.prob_matrices)
         if res is None:
             return None
         tables, blens, roots, slots, kept = res
-        kept_pairs = [pairs[i] for i in np.flatnonzero(kept)]
-        return tables, blens, roots, slots, kept_pairs
+        kept_moves = [moves_list[i] for i in np.flatnonzero(kept)]
+        return tables, blens, roots, slots, kept_moves
+
+    def _native_spr_candidates(self, pairs):
+        """SPR-pair wrapper over _native_candidates (kept for tests)."""
+        res = self._native_candidates([(0, p, r) for p, r in pairs])
+        if res is None:
+            return None
+        tables, blens, roots, slots, kept_moves = res
+        return tables, blens, roots, slots, [(m[1], m[2])
+                                             for m in kept_moves]
 
     def spr_round(self, max_candidates: Optional[int] = None,
                   seed: int = 0) -> Tuple[float, int]:

@@ -712,9 +712,13 @@ the time goes:
   pair, lo terms K-stacked into one dot -> fp32-class ~2.5e-6/op),
   'bf16' (one pass, ~1.2e-3/op, for exploratory search) and 'highest'
   (full-fp32 dots). tools/mxu_probe.py shows the v5e systolic array is
-  PASS-QUANTIZED (a [20,20] dot costs the same as [128,128]), so the
-  mode table IS the roofline: split ~0.73 G su/s (4 passes/op + VPU
-  epilogue), bf16 ~0.96 G, highest ~0.52 G.
+  PASS-QUANTIZED (a [20,20] dot costs the same as [128,128]); round 4
+  removed two pathological VPU lowerings from the row-layout epilogue
+  (the full-block underflow select is now a [1, T]-factor broadcast
+  multiply; the tip decode is one broadcast bit-test instead of
+  `states` single-sublane ops), after which the dots and the epilogue
+  genuinely overlap: split ~2.1 G su/s (was 0.73), bf16 ~2.9 G,
+  with the same gate-asserted accuracy per mode.
 - The XLA epilogue (pmatrix einsum + root-edge logL + Newton d1/d2)
   is <15% of an eval. Two epilogue defects used to dominate (round-1:
   11% of chip): a per-iteration scatter of the root rows copied the
@@ -752,16 +756,18 @@ directional-CLV walk, reduce each (query, edge, site) cell to a
 full-traversal path and ~9 q/s dispatch-bound single queries.
 
 **Search at scale.** The no-recompile invariant (topology is data;
-candidate counts pad to power-of-two buckets) is pinned by a
-compile-log counter test. At 1000 taxa the full SPR neighborhood is
-host-bound in candidate ENUMERATION (the O(edges x tree) pruned-subtree
-filter), so production rounds use radius-limited targets
-(search.py _radius_targets, the RAxML neighborhood bound), and
-candidates are packed by a one-pass tree walk (engine.pack_candidate /
-evaluate_packed — no Operation objects): a radius-5 round over ~2000
-grafts of 998-op traversals runs in ~7.6 s warm (2.4x the object
-pipeline), with the one-time ~48 s compile amortized across the whole
-search.
+candidate counts pad to power-of-two buckets; candidate-batch slot
+counts round to a grain of 8 and grow monotonically per engine) is
+pinned by a compile-log counter test. At 1000 taxa production rounds
+use radius-limited targets (search.py _radius_targets, the RAxML
+neighborhood bound), and the whole round's candidate construction —
+apply-SPR, pack the fused op table, roll back, ~2000 times — runs in
+ONE native C++ call over flat half-edge arrays
+(native/pllnative.cpp pll_tpu_spr_candidates; bit-identical tables to
+the Python packer, identical accepted moves). A radius-5 round over
+~2000 grafts of 998-op traversals runs in ~2.6 s warm at ~10% host
+share (r3: 18.5 s table / 7.6 s best, ~95% host), with the one-time
+~19 s compile amortized across the whole search.
 
 **Site repeats.** The pooled class-column storage delivers the
 reference fork's memory promise and more: CLV+scaler bytes at ~0.10x
@@ -781,7 +787,7 @@ gathers, per-chunk [lo, hi) source-block bands) runs the compressed
 work (class columns = ~13% of dense matvecs) ~3x faster than the dense
 XLA path at equal HBM-streaming storage. All three repeats kernels
 (XLA pool, Pallas pool, dense-fused) are asserted on-chip by the
-validation gate, inside the widened 25-case attribute matrix
+validation gate, inside the widened 30-case attribute matrix
 (bench_validate.py; DNA/AA/odd-5 x per-site/per-rate x asc/tip-CLV/
 heterotachy/rooted/deep). Sharded repeats evaluates dense-fused per
 shard too (ShardedRepeatsEngine dense_fused), keeping the 0.10x pooled
@@ -797,6 +803,17 @@ one partial-refresh pass + edge scan per insertion exactly like
 stepwise.c:266-389 — and beats the natively compiled reference 1.8-2.7x
 at 128-1000 taxa, producing newick-identical trees per seed
 (test_stepwise_m5).
+
+**Model-parameter optimization on the fused path.** maximize() never
+needs pallas=False anymore: substitution rates and frequencies optimize
+by batched central differences — per Adam step the 2n+1 trial models
+(eigendecomposition included) evaluate as ONE fused program, `chunk`
+steps per dispatch (optimize.maximize_fused). The model_opt rows price
+it against a single fused-eval dispatch (done criterion <= 5x; the
+batch amortizes the tunnel's dispatch latency, so a step costs about
+one dispatch). Parity vs the fp64 differentiable path:
+tests/test_optimize.py::test_maximize_fused_parity_with_grad_path
+(logL within 5e-2, params within 3%).
 """
 
 if __name__ == "__main__":
