@@ -156,8 +156,41 @@ class PartitionedEngine:
         lengths + per-partition model parameters, the standard partitioned
         analysis (consumers' linked-branches mode). Applies the best
         parameters back to every engine/partition; returns
-        (total logL, params, history)."""
+        (total logL, params, history).
+
+        On Pallas-path engines the model groups route to the fused FD
+        optimizer per partition — with branch lengths held fixed the
+        joint objective DECOMPOSES exactly (each partition's model
+        parameters touch only its own term), so the sequential
+        per-partition optimization reaches the same optimum as the
+        joint ascent. Branch lengths on Pallas engines belong to the
+        Newton machinery (newton_step / newton_smooth_all)."""
         from .optimize import _apply, adam_ascent
+
+        if any(e.use_pallas or e.repeats_dense_fused
+               for e in self.engines):
+            from . import constants as C
+            from .optimize import maximize_fused
+
+            if "branches" in tuple(optimize):
+                raise C.PllError(
+                    C.ERROR_PARAM_INVALID,
+                    "branch lengths on Pallas-path engines are optimized "
+                    "by the Newton machinery (newton_step loops); "
+                    "maximize() here covers 'subst'/'freqs' only")
+            total = 0.0
+            params = {}
+            history = []
+            for i, e in enumerate(self.engines):
+                lk, best, hist = maximize_fused(
+                    e, optimize, steps=steps,
+                    learning_rate=learning_rate, tol=tol,
+                    patience=patience, chunk=chunk)
+                total += lk
+                history.append(hist)
+                for k, v in best.items():
+                    params[f"p{i}:{k}"] = v
+            return total, params, history
 
         fn, params = self.make_joint_loglikelihood_fn(optimize)
         final, best, history = adam_ascent(

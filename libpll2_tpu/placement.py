@@ -255,8 +255,8 @@ class EdgePlacer:
                 *margs, *sargs, p.scale_threshold, p.scale_factor,
                 fused_slots=n_slots,
                 pallas_interpret=eng.pallas_interpret))
-        return {lab: self._rank_rows(out[qi], top_k)
-                for qi, lab in enumerate(labels)}
+        return dict(zip(labels,
+                        self._rank_rows_batch(out[:len(labels)], top_k)))
 
     def prepare_stream(self):
         """Precompute the query-independent attachment tensors for
@@ -354,8 +354,8 @@ class EdgePlacer:
             out[q0:q0 + chunk] = np.asarray(_stream_scores(
                 jnp.asarray(codes[q0:q0 + chunk]), a_w, cnt, pend, pw,
                 log_thr, n_states=p.states, tile=tile))
-        return {lab: self._rank_rows(out[qi], top_k)
-                for qi, lab in enumerate(labels)}
+        return dict(zip(labels,
+                        self._rank_rows_batch(out[:Q], top_k)))
 
     def place(self, query_seq: str, top_k: Optional[int] = None
               ) -> List[dict]:
@@ -370,14 +370,31 @@ class EdgePlacer:
         return self._rank_rows(scores, top_k)
 
     def _rank_rows(self, scores, top_k=None):
-        w = np.exp(scores - scores.max())
-        lwr = w / w.sum()
-        order = np.argsort(-scores)
+        return self._rank_rows_batch(np.asarray(scores)[None, :],
+                                     top_k)[0]
+
+    def _rank_rows_batch(self, scores, top_k=None):
+        """Ranked jplace rows for a [Q, E] score matrix. Vectorized
+        across queries: at EPA-ng scale (1000s of queries x 100s of
+        edges) the per-query exp/argsort and numpy-scalar->float
+        conversions dominated the streaming path's host share."""
+        scores = np.asarray(scores, np.float64)
+        w = np.exp(scores - scores.max(axis=1, keepdims=True))
+        lwr = w / w.sum(axis=1, keepdims=True)
+        order = np.argsort(-scores, axis=1)
         if top_k:
-            order = order[:top_k]
-        return [{"edge": int(e), "edge_nodes": self._edge_names[e],
-                 "logL": float(scores[e]), "lwr": float(lwr[e])}
-                for e in order]
+            order = order[:, :top_k]
+        names = self._edge_names
+        out = []
+        for qi in range(scores.shape[0]):
+            oq = order[qi]
+            # tolist() yields native Python floats in one pass
+            sq = scores[qi, oq].tolist()
+            lq = lwr[qi, oq].tolist()
+            out.append([{"edge": e, "edge_nodes": names[e],
+                         "logL": s, "lwr": l}
+                        for e, s, l in zip(oq.tolist(), sq, lq)])
+        return out
 
 
 @partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',

@@ -216,3 +216,43 @@ def test_partitioned_engine_on_mesh():
     # linked update applied identically across sharded engines
     lens = {float(e.branches[int(e.root_idx[4])]) for e in pe.engines}
     assert len(lens) == 1
+
+
+def test_partitioned_maximize_fused_routing():
+    """PartitionedEngine.maximize on Pallas engines routes model groups
+    to the per-partition fused FD optimizer (exact decomposition at
+    fixed branches) and rejects 'branches' with a clear error."""
+    import jax.numpy as jnp
+    import pytest
+    from libpll2_tpu import constants as C
+
+    tree = random_utree([f"t{i}" for i in range(10)], seed=61)
+
+    def build():
+        parts = []
+        for k in range(2):
+            headers, seqs = simulate_alignment(
+                tree, 300, FREQS, SUBST, alpha=0.9, seed=70 + k)
+            by = dict(zip(headers, seqs))
+            p = Partition(tree.tip_count, tree.inner_count, 4, 300, 1,
+                          tree.edge_count, 4, tree.inner_count,
+                          dtype=jnp.float32)
+            for t in tree.tips():
+                p.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+            p.set_frequencies(0, [0.25] * 4)
+            p.set_subst_params(0, [1, 1.1, 0.9, 1.05, 0.95, 1])
+            p.set_category_rates(compute_gamma_cats(0.9, 4))
+            parts.append(p)
+        return parts
+
+    pe = PartitionedEngine(build(), tree, pallas="interpret")
+    assert all(e.use_fused for e in pe.engines)
+    lk0 = pe.loglikelihood()
+    with pytest.raises(C.PllError):
+        pe.maximize(("branches",))
+    lk, params, hist = pe.maximize(("subst", "freqs"), steps=120,
+                                   learning_rate=0.05)
+    assert lk > lk0 + 1.0
+    assert "p0:log_subst" in params and "p1:freq_logits" in params
+    # reported optimum reproduces through the engines (fp32 noise)
+    assert abs(pe.loglikelihood() - lk) < 5e-2
