@@ -1,0 +1,425 @@
+"""Streamed SPR scoring from directional CLVs — the reference's
+partial-traversal pattern (reference: /root/reference/test/src/
+partial-traversal.c, /root/reference/src/utree_moves.c:119-255) done the
+TPU way.
+
+The batched SPR round (engine.evaluate_packed_arrays) re-runs a FULL
+postorder per candidate: ~2000 candidates x ~N ops at 1000 taxa, even
+though an SPR changes only the few CLVs between the prune and regraft
+points. This module scores every candidate of a round from three
+precomputed pieces instead:
+
+  1. directional CLVs D[h] for every half-edge h of the CURRENT tree
+     (down CLVs = the ordinary postorder; up CLVs = one extra op per
+     edge, computed into persistent aux rows);
+  2. per prune point, "corrected" CLVs A[t] for each regraft target t
+     within the radius: the directional CLV at t's near side in the
+     REMAINING tree (prune node excised, its two other edges merged at
+     summed length — exactly moves.spr's relink). Each A[t] is ONE
+     pruning op: combine the corrected CLV arriving from the prune site
+     with the unchanged off-path directional CLV D[sibling];
+  3. per candidate (p, t): the regraft splits t's branch in half
+     (moves.spr: r.length/2 each side), so
+
+        parent = (P(t.len/2) @ A[t]) * (P(t.len/2) @ D[t.back])
+        logL   = edge_loglikelihood(parent, D[p.back], P(p.length))
+
+     with scaler counts summed from the three contributing rows plus the
+     parent product's own underflow event.
+
+Per candidate this is ~3 op-equivalents instead of a full traversal —
+at 1000 taxa a ~300x device-work reduction for the same scores (parity
+asserted against full evaluation in tests/test_spr_stream.py).
+
+All three passes run through ops.partials.update_partials_levels on ONE
+extended buffer (partition rows | aux up rows | A rows | scratch), as
+wavefront-packed level tables: fixed width W, ops greedily packed into
+the earliest non-full wave after their dependencies, so padded work is
+O(W * waves) over the op count instead of the rectangle blowup of
+strict depth-levels. Wave counts and candidate counts pad to buckets so
+a topology change almost never recompiles.
+
+Eligibility (the search falls back to the batched full-traversal round
+otherwise): per-site scalers, no ascertainment bias, no site repeats,
+homogeneous models (no per-edge heterotachy), single device.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .likelihood import _finalize_site_lk, _mix_rates
+from .partials import Operations, update_partials_levels
+from . import pmatrix as ops_pmatrix
+
+WAVE_W = 256          # ops per wave (one batched einsum launch)
+
+
+def _bucket(n: int, m: int) -> int:
+    return max(m, -(-n // m) * m)
+
+
+def _pow2(n: int) -> int:
+    k = 1
+    while k < n:
+        k *= 2
+    return k
+
+
+def pack_waves(rows: Sequence[Sequence[int]], deps: Sequence[int],
+               scratch_clv: int, width: int = WAVE_W,
+               wave_bucket: int = 4):
+    """Greedy wavefront packing of op rows into [L, W] level tables.
+
+    rows: 8-int op rows (update_partials_levels format); deps[i] lists
+    the indices of the ops whose outputs op i consumes (possibly empty).
+    An op lands in the earliest non-full wave strictly after ALL of its
+    dependencies — op-index order says nothing about wave order (a deep
+    child produced early can sit in a later wave than a shallow child
+    produced late), so every dependency must be consulted. Returns
+    (table [L, W, 8] np.int32, valid [L, W] bool).
+    """
+    n = len(rows)
+    wave_of = np.empty(n, np.int64)
+    fills: List[int] = []
+    for i in range(n):
+        w = 0
+        for d in deps[i]:
+            if d >= 0:
+                w = max(w, wave_of[d] + 1)
+        while w < len(fills) and fills[w] >= width:
+            w += 1
+        while w >= len(fills):
+            fills.append(0)
+        wave_of[i] = w
+        fills[w] += 1
+    L = _bucket(max(len(fills), 1), wave_bucket)
+    table = np.zeros((L, width, 8), np.int32)
+    table[:, :, 0] = scratch_clv
+    table[:, :, 1] = -1
+    valid = np.zeros((L, width), bool)
+    cursor = np.zeros(L, np.int64)
+    for i in range(n):
+        w = wave_of[i]
+        k = cursor[w]
+        table[w, k] = rows[i]
+        valid[w, k] = True
+        cursor[w] = k + 1
+    return table, valid
+
+
+def ops_from_table(table: np.ndarray) -> Operations:
+    t = jnp.asarray(table)
+    return Operations(
+        parent_clv=t[:, :, 0], parent_scaler=t[:, :, 1],
+        child1_clv=t[:, :, 2], child1_matrix=t[:, :, 3],
+        child1_scaler=t[:, :, 4], child2_clv=t[:, :, 5],
+        child2_matrix=t[:, :, 6], child2_scaler=t[:, :, 7])
+
+
+def enumerate_targets(p, radius: int):
+    """Regraft targets within `radius` of the prune half-edge p, in the
+    same DFS order and target set as search._radius_targets. Returns
+    [(t, arrival_key, sibling)]: t points AWAY from the prune site;
+    arrival_key is id() of the half-edge by which the walk entered t's
+    node (p.next / p.next.next at depth 1, else the previous target);
+    sibling is the node's third half-edge."""
+    out = []
+    stack = []
+    for h in (p.next, p.next.next):
+        if h.back is not None:
+            stack.append((h.back, h, 1))
+    while stack:
+        nd, entry, d = stack.pop()
+        if nd.is_tip() or d >= radius:
+            continue
+        for h, sib in ((nd.next, nd.next.next), (nd.next.next, nd.next)):
+            if h.back is None:
+                continue
+            out.append((h, id(entry), sib))
+            stack.append((h.back, h, d + 1))
+    return out
+
+
+@dataclass
+class SprStreamSchedule:
+    """Host-built tables for one streamed SPR round (all numpy)."""
+    post_table: np.ndarray        # [Lp, W, 8] postorder refresh
+    post_valid: np.ndarray
+    up_table: np.ndarray          # [Lu, W, 8] directional up pass
+    up_valid: np.ndarray
+    a_table: np.ndarray           # [La, W, 8] corrected-CLV pass
+    a_valid: np.ndarray
+    cand_rows: np.ndarray         # [C, 7] a_row, a_sc, rb_row, rb_sc,
+    #                                      pb_row, pb_sc, score_pm
+    half_len: np.ndarray          # [C] regraft half lengths
+    blen_full: np.ndarray         # [E] current branch length per pmatrix
+    merged_len: np.ndarray        # [P] per-prune merged edge length
+    n_candidates: int             # real candidates (<= C, rest padding)
+    n_aux: int
+    n_arows: int
+    pairs: list                   # [(prune_halfedge, target_halfedge)]
+
+
+def build_spr_stream(tree, prune_targets, n_nodes: int, n_scalers: int,
+                     n_edges: int, width: int = WAVE_W
+                     ) -> SprStreamSchedule:
+    """Build one round's tables from (prune half-edge, targets) groups.
+
+    `prune_targets`: [(p, [(t, arrival_key, sibling), ...])] as produced
+    by enumerate_targets — p's node plus the subtree at p.back is what
+    moves.spr(p, t) prunes. Row address space: [0, n_nodes) partition
+    CLV rows, then n_aux up rows, then n_arows A rows, then one scratch
+    row; scaler rows follow the same layout after the partition's
+    n_scalers rows, with the trash and guaranteed-zero rows last.
+    """
+    vroot = tree.vroot
+    if vroot.next is None:
+        vroot = vroot.back
+    vback = vroot.back
+
+    base_aux = n_nodes
+    sc_aux = n_scalers
+    rowmap = {}          # id(halfedge) -> (clv_row, sc_row or -1)
+
+    def down_entry(h):
+        sc = h.scaler_index
+        return (h.clv_index, sc if sc is not None and sc >= 0 else -1)
+
+    blen_full = np.zeros(n_edges)
+    for node in tree.nodes():
+        halves = [node] if node.is_tip() else list(node.ring())
+        for h in halves:
+            if h.back is not None:
+                blen_full[h.pmatrix_index] = h.length or 0.0
+
+    up_rows: List[List[int]] = []
+    up_deps: List[int] = []
+    n_aux = 0
+
+    def new_aux():
+        nonlocal n_aux
+        k = n_aux
+        n_aux += 1
+        return base_aux + k, sc_aux + k
+
+    rowmap[id(vroot)] = down_entry(vroot)
+    rowmap[id(vback)] = down_entry(vback)
+
+    def recurse(u, parent_mat, pside_row, pside_sc, pside_op):
+        """u: half-edge of the current node toward the parent side;
+        (pside_row, pside_sc) hold D[toward-parent direction] seen from
+        this node; pside_op is the up-op index producing it (-1 when it
+        is a postorder row). Iterative to survive 1000-taxon
+        caterpillars (CPython recursion limit)."""
+        stack = [(u, parent_mat, pside_row, pside_sc, pside_op)]
+        while stack:
+            u, parent_mat, pside_row, pside_sc, pside_op = stack.pop()
+            rowmap[id(u)] = down_entry(u)
+            if u.is_tip():
+                continue
+            for hc, hsib in ((u.next, u.next.next),
+                             (u.next.next, u.next)):
+                crow, csc = new_aux()
+                rowmap[id(hc)] = (crow, csc)
+                sib_row, sib_sc = down_entry(hsib.back)
+                up_rows.append([crow, csc,
+                                pside_row, parent_mat, pside_sc,
+                                sib_row, hsib.pmatrix_index, sib_sc])
+                up_deps.append([pside_op])
+                stack.append((hc.back, hc.pmatrix_index, crow, csc,
+                              len(up_rows) - 1))
+
+    rmat = vroot.pmatrix_index
+    recurse(vback, rmat, *down_entry(vroot), -1)
+    recurse(vroot, rmat, *down_entry(vback), -1)
+
+    # postorder refresh of the down rows
+    from ..trees.utree import traverse
+    from ..trees import create_operations
+    operations, _, _ = create_operations(traverse(tree.vroot))
+    post_rows, post_deps = [], []
+    producer = {}
+    for op in operations:
+        post_rows.append([op.parent_clv_index, op.parent_scaler_index,
+                          op.child1_clv_index, op.child1_matrix_index,
+                          op.child1_scaler_index, op.child2_clv_index,
+                          op.child2_matrix_index, op.child2_scaler_index])
+        post_deps.append([producer.get(op.child1_clv_index, -1),
+                          producer.get(op.child2_clv_index, -1)])
+        producer[op.parent_clv_index] = len(post_rows) - 1
+
+    # corrected-CLV (A) pass + candidate rows, per prune group
+    a_rows: List[List[int]] = []
+    a_deps: List[int] = []
+    cand: List[List[int]] = []
+    half_len: List[float] = []
+    merged_len: List[float] = []
+    pairs: List[Tuple] = []
+    base_a = base_aux + n_aux
+    sc_a = sc_aux + n_aux
+
+    for p, targets in prune_targets:
+        if not targets:
+            continue
+        merged_len.append((p.next.back.length or 0.0)
+                          + (p.next.next.back.length or 0.0))
+        mi = n_edges + len(merged_len) - 1        # merged pmatrix index
+        pb_row, pb_sc = rowmap[id(p.back)]
+        # per-node arrival state keyed by the half-edge the walk entered
+        # through: (clv_row, sc_row, pmatrix index, producing a-op)
+        arrive = {id(p.next): (*rowmap[id(p.next.next.back)], mi, -1),
+                  id(p.next.next): (*rowmap[id(p.next.back)], mi, -1)}
+        for t, akey, sib in targets:
+            x_row, x_sc, gmat, gop = arrive[akey]
+            sib_row, sib_sc = rowmap[id(sib.back)]
+            k = len(a_rows)
+            arow, asc = base_a + k, sc_a + k
+            a_rows.append([arow, asc, x_row, gmat, x_sc,
+                           sib_row, sib.pmatrix_index, sib_sc])
+            a_deps.append([gop])
+            arrive[id(t)] = (arow, asc, t.pmatrix_index, k)
+            rb_row, rb_sc = rowmap[id(t.back)]
+            cand.append([arow, asc, rb_row, rb_sc, pb_row, pb_sc,
+                         p.pmatrix_index])
+            half_len.append((t.length or 0.0) / 2.0)
+            pairs.append((p, t))
+
+    n_candidates = len(cand)
+    n_arows = _pow2(max(len(a_rows), 1))
+    scratch = base_a + n_arows
+    zero_sc = sc_a + n_arows + 1                 # trash, zero rows last
+
+    def fix_sc(rows):
+        for r in rows:
+            for col in (4, 7):
+                if r[col] < 0:
+                    r[col] = zero_sc
+        return rows
+
+    post_table, post_valid = pack_waves(fix_sc(post_rows), post_deps,
+                                        scratch, width)
+    up_table, up_valid = pack_waves(fix_sc(up_rows), up_deps, scratch,
+                                    width)
+    a_table, a_valid = pack_waves(fix_sc(a_rows), a_deps, scratch, width)
+
+    C = _pow2(max(n_candidates, 1))
+    cand_arr = np.zeros((C, 7), np.int32)
+    hl = np.zeros(C)
+    if n_candidates:
+        cand_arr[:n_candidates] = cand
+        cand_arr[n_candidates:] = cand[-1]   # pad: harmless recompute
+        hl[:n_candidates] = half_len
+        hl[n_candidates:] = half_len[-1] if half_len else 0.0
+    cand_arr[:, (1, 3, 5)] = np.where(cand_arr[:, (1, 3, 5)] < 0,
+                                      zero_sc, cand_arr[:, (1, 3, 5)])
+    return SprStreamSchedule(
+        post_table=post_table, post_valid=post_valid,
+        up_table=up_table, up_valid=up_valid,
+        a_table=a_table, a_valid=a_valid,
+        cand_rows=cand_arr, half_len=hl, blen_full=blen_full,
+        merged_len=np.asarray(merged_len if merged_len else [0.0]),
+        n_candidates=n_candidates, n_aux=n_aux, n_arows=n_arows,
+        pairs=pairs)
+
+
+@partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',
+                                   'n_aux', 'n_arows', 'chunk'))
+def spr_stream_scores(clv, scaler,
+                      eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
+                      rates, rate_weights, freqs, params_idx_rates,
+                      post_ops, post_valid, up_ops, up_valid,
+                      a_ops, a_valid,
+                      blen_full, merged_len, half_len,
+                      cand_rows,               # [C, 7] int32
+                      pattern_weights, invariant,
+                      scale_threshold: float, scale_factor: float,
+                      n_aux: int, n_arows: int, chunk: int = 256):
+    """All candidate logLs of one streamed SPR round in ONE program.
+
+    Returns totals [C] (padded tail repeats the last real candidate).
+    """
+    dtype = clv.dtype
+    NB, R, s, S = clv.shape
+    K = scaler.shape[0] - 2
+    extra = n_aux + n_arows
+
+    pm_full = ops_pmatrix.update_prob_matrices(
+        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+        params_idx_rates, blen_full)
+    pm_merged = ops_pmatrix.update_prob_matrices(
+        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+        params_idx_rates, merged_len)
+    pm_ext = jnp.concatenate([pm_full, pm_merged], axis=0)
+
+    clv_ext = jnp.concatenate(
+        [clv, jnp.zeros((extra + 1, R, s, S), dtype)], axis=0)
+    sc_ext = jnp.concatenate(
+        [scaler[:K], jnp.zeros((extra + 2,) + scaler.shape[1:],
+                               scaler.dtype)], axis=0)
+
+    for ops, valid in ((post_ops, post_valid), (up_ops, up_valid),
+                       (a_ops, a_valid)):
+        clv_ext, sc_ext = update_partials_levels(
+            clv_ext, sc_ext, pm_ext, ops, valid,
+            scale_threshold, scale_factor)
+
+    pm_half = ops_pmatrix.update_prob_matrices(
+        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+        params_idx_rates, half_len)
+
+    f = jnp.take(freqs, params_idx_rates, axis=0).astype(dtype)  # [R, s]
+    pinv = jnp.take(prop_invar, params_idx_rates, axis=0)
+    thresh = jnp.asarray(scale_threshold, dtype)
+    factor = jnp.asarray(scale_factor, dtype)
+    HI = jax.lax.Precision.HIGHEST
+    pw = pattern_weights.astype(dtype)
+
+    C = cand_rows.shape[0]
+    n_chunks = max(C // chunk, 1)
+
+    def score_chunk(carry, xs):
+        rows, ph = xs
+        A = jnp.take(clv_ext, rows[:, 0], axis=0)        # [c, R, s, S]
+        Asc = jnp.take(sc_ext, rows[:, 1], axis=0)       # [c, S]
+        Drb = jnp.take(clv_ext, rows[:, 2], axis=0)
+        Drbsc = jnp.take(sc_ext, rows[:, 3], axis=0)
+        Dpb = jnp.take(clv_ext, rows[:, 4], axis=0)
+        Dpbsc = jnp.take(sc_ext, rows[:, 5], axis=0)
+        pe = jnp.take(pm_full, rows[:, 6], axis=0)       # [c, R, s, s]
+        cm = (jnp.einsum('crij,crjs->cris', ph, A,
+                         preferred_element_type=dtype, precision=HI)
+              * jnp.einsum('crij,crjs->cris', ph, Drb,
+                           preferred_element_type=dtype, precision=HI))
+        # the regraft node's own underflow event (a real traversal
+        # scales this product exactly like any other op)
+        mask = jnp.all(cm < thresh, axis=(1, 2))         # [c, S]
+        cm = jnp.where(mask[:, None, None, :], cm * factor, cm)
+        termb = jnp.einsum('crjk,crks->crjs', pe, Dpb,
+                           preferred_element_type=dtype, precision=HI)
+        terma_r = jnp.einsum('crjs,rj->crs', cm * termb, f,
+                             preferred_element_type=dtype, precision=HI)
+        site_sc = Asc + Drbsc + Dpbsc + mask.astype(Asc.dtype)
+
+        def mix_one(tr):
+            return _mix_rates(tr, None, f, pinv, rate_weights,
+                              invariant, dtype)
+
+        terma, terminv = jax.vmap(mix_one)(terma_r)
+
+        def fin_one(ta, ti, sc):
+            return _finalize_site_lk(ta, ti, sc, scale_threshold, dtype)
+
+        site_lk = jax.vmap(fin_one)(terma, terminv, site_sc)
+        weighted = jnp.where(pw[None, :] > 0, site_lk * pw[None, :], 0.0)
+        return carry, jnp.sum(weighted, axis=1)
+
+    rows_c = cand_rows.reshape(n_chunks, -1, 7)
+    ph_c = pm_half.reshape((n_chunks, -1) + pm_half.shape[1:])
+    _, totals = jax.lax.scan(score_chunk, 0, (rows_c, ph_c))
+    return totals.reshape(-1)

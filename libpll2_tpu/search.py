@@ -340,6 +340,86 @@ class TreeSearch:
             best = float(scores[i])
             accepted += 1
 
+    def _streamed_eligible(self) -> bool:
+        """The streamed scorer supports the fused production configs:
+        per-site scalers, no asc, dense storage, homogeneous models,
+        single device, plain TreeEngine."""
+        eng = self._engine
+        p = self.partition
+        return (p is not None and isinstance(eng, TreeEngine)
+                and p.repeats is None and not p.rate_scalers
+                and p.asc_bias == C.AscBias.NONE
+                and getattr(eng, "edge_params", None) is None
+                and getattr(p, "mesh", None) is None)
+
+    def spr_round_streamed(self, radius: int = 5, seed: int = 0,
+                           chunk: int = 256, verify_top: int = 4
+                           ) -> Tuple[float, int]:
+        """Steepest-ascent SPR round scored from DIRECTIONAL CLVs — the
+        reference consumers' partial-traversal rescoring (SURVEY call
+        stack 3.4, test/src/partial-traversal.c) as one batched device
+        program: every candidate costs ~3 pruning-op equivalents instead
+        of a full traversal (ops/spr_stream.py). Ranking uses the
+        streamed scores; the winning move is verified with a FULL
+        engine evaluation before acceptance (fp association differs
+        between a streamed composition and a from-scratch traversal),
+        falling through the next-best candidates on a near-tie. Falls
+        back to spr_round_batched for configurations the streamed
+        scorer excludes."""
+        best = self.evaluate()
+        if not self._streamed_eligible():
+            return self.spr_round_batched(radius=radius, seed=seed)
+        from .ops import spr_stream
+        import jax.numpy as jnp
+
+        eng = self._engine
+        p = eng.partition
+        accepted = 0
+        while True:
+            groups = [(pr, spr_stream.enumerate_targets(pr, radius))
+                      for pr in list(_internal_edges(self.tree))]
+            if not any(ts for _, ts in groups):
+                return best, accepted
+            sched = spr_stream.build_spr_stream(
+                self.tree, groups, p.clv.shape[0], p.scale_buffers,
+                p.prob_matrices)
+            margs = eng._model_args()
+            pw, invariant = eng._site_args()
+            totals = spr_stream.spr_stream_scores(
+                p.clv, p.scale_buffer, *margs,
+                spr_stream.ops_from_table(sched.post_table),
+                jnp.asarray(sched.post_valid),
+                spr_stream.ops_from_table(sched.up_table),
+                jnp.asarray(sched.up_valid),
+                spr_stream.ops_from_table(sched.a_table),
+                jnp.asarray(sched.a_valid),
+                jnp.asarray(sched.blen_full, p.dtype),
+                jnp.asarray(sched.merged_len, p.dtype),
+                jnp.asarray(sched.half_len, p.dtype),
+                jnp.asarray(sched.cand_rows), pw, invariant,
+                p.scale_threshold, p.scale_factor,
+                n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk)
+            scores = np.asarray(totals)[:sched.n_candidates]
+            applied = False
+            for i in np.argsort(-scores)[:verify_top]:
+                if scores[i] <= best + self.epsilon:
+                    break
+                pr, t = sched.pairs[i]
+                rb = moves.Rollback()
+                try:
+                    moves.spr(pr, t, rb, safe=True)
+                except C.PllError:
+                    continue
+                lk = self.evaluate()
+                if lk > best + self.epsilon:
+                    best = lk
+                    accepted += 1
+                    applied = True
+                    break
+                moves.rollback_move(rb)
+            if not applied:
+                return best, accepted
+
     def _native_candidates(self, moves_list):
         """Whole-round candidate construction via the native builder
         (apply + pack + rollback per move). `moves_list` holds

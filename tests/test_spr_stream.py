@@ -1,0 +1,164 @@
+"""Streamed SPR scoring (ops/spr_stream.py) parity vs full evaluation.
+
+Every candidate's streamed logL — composed from directional CLVs, the
+corrected remaining-tree CLVs and the half-branch regraft pmatrices —
+must equal a from-scratch full-tree evaluation of the APPLIED topology
+(reference semantics: moves.spr's relink at utree_moves.c:119-255, edge
+logL at likelihood.c:586). fp64 here; the fp32 TPU path is covered by
+the round-parity test + the on-chip gate.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from libpll2_tpu import Partition, TreeEngine, compute_gamma_cats
+from libpll2_tpu import constants as C
+from libpll2_tpu.io import maps
+from libpll2_tpu.ops import spr_stream
+from libpll2_tpu.search import TreeSearch, _internal_edges
+from libpll2_tpu.trees import moves, random_alignment, random_utree
+
+
+def _problem(n_taxa, n_sites, seed=3, states=4, alpha=0.8, pinv=0.0,
+             scale_stress=False, dtype=None):
+    alphabet = "ACGT" if states == 4 else "ARNDCQEGHILKMFPSTWYV"
+    headers, seqs = random_alignment(n_taxa, n_sites, alphabet=alphabet,
+                                     seed=seed)
+    if pinv:
+        # guarantee invariant columns for the +I machinery
+        seqs = [s[:-8] + alphabet[0] * 4 + alphabet[1] * 4 for s in seqs]
+    tree = random_utree(headers, seed=seed)
+    if scale_stress:
+        # long branches + tiny alpha drive per-site underflow scalings
+        for node in tree.nodes():
+            halves = [node] if node.is_tip() else list(node.ring())
+            for h in halves:
+                if h.back is not None:
+                    h.length = h.back.length = (h.length or 0.1) * 40.0
+    part = Partition(tree.tip_count, tree.inner_count, states, n_sites, 1,
+                     tree.edge_count, 4, tree.inner_count, dtype=dtype)
+    by = dict(zip(headers, seqs))
+    cm = maps.map_nt if states == 4 else maps.map_aa
+    for tip in tree.tips():
+        part.set_tip_states(tip.clv_index, cm, by[tip.label])
+    rng = np.random.default_rng(seed)
+    part.set_frequencies(0, rng.dirichlet(np.ones(states) * 10))
+    part.set_subst_params(0, rng.uniform(0.5, 2.0,
+                                         size=states * (states - 1) // 2))
+    part.set_category_rates(compute_gamma_cats(alpha, 4))
+    if pinv:
+        part.update_invariant_sites_proportion(0, pinv)
+    return part, tree
+
+
+def _stream_all(part, tree, eng, radius, chunk=64):
+    groups = [(pr, spr_stream.enumerate_targets(pr, radius))
+              for pr in list(_internal_edges(tree))]
+    sched = spr_stream.build_spr_stream(
+        tree, groups, part.clv.shape[0], part.scale_buffers,
+        part.prob_matrices)
+    margs = eng._model_args()
+    pw, invariant = eng._site_args()
+    totals = spr_stream.spr_stream_scores(
+        part.clv, part.scale_buffer, *margs,
+        spr_stream.ops_from_table(sched.post_table),
+        jnp.asarray(sched.post_valid),
+        spr_stream.ops_from_table(sched.up_table),
+        jnp.asarray(sched.up_valid),
+        spr_stream.ops_from_table(sched.a_table),
+        jnp.asarray(sched.a_valid),
+        jnp.asarray(sched.blen_full, part.dtype),
+        jnp.asarray(sched.merged_len, part.dtype),
+        jnp.asarray(sched.half_len, part.dtype),
+        jnp.asarray(sched.cand_rows), pw, invariant,
+        part.scale_threshold, part.scale_factor,
+        n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk)
+    return sched, np.asarray(totals)[:sched.n_candidates]
+
+
+def _full_scores(tree, eng, pairs):
+    out = np.zeros(len(pairs))
+    for i, (p, r) in enumerate(pairs):
+        rb = moves.Rollback()
+        moves.spr(p, r, rb, safe=True)
+        eng.set_topology(tree)
+        out[i] = eng.loglikelihood()
+        moves.rollback_move(rb)
+    return out
+
+
+@pytest.mark.parametrize("states,pinv", [
+    (4, 0.0),
+    (4, 0.3),
+    (20, 0.0),
+])
+def test_streamed_scores_match_full_eval(states, pinv):
+    part, tree = _problem(13, 64, seed=5, states=states, pinv=pinv)
+    eng = TreeEngine(part, tree, level_schedule=True, pallas=False)
+    sched, scores = _stream_all(part, tree, eng, radius=4)
+    assert sched.n_candidates > 20
+    full = _full_scores(tree, eng, sched.pairs)
+    np.testing.assert_allclose(scores, full, rtol=1e-9, atol=1e-7)
+
+
+def test_streamed_scores_fp32_scaling_stress():
+    """fp32 (threshold 2^-32) at 40 taxa underflows without the per-site
+    scalers; parity with the fp64 full evaluation proves the streamed
+    composition propagates and undoes scaler counts correctly."""
+    part32, tree32 = _problem(40, 64, seed=7, dtype=jnp.float32)
+    eng32 = TreeEngine(part32, tree32, level_schedule=True, pallas=False)
+    sched32, scores32 = _stream_all(part32, tree32, eng32, radius=4)
+
+    part64, tree64 = _problem(40, 64, seed=7)
+    eng64 = TreeEngine(part64, tree64, level_schedule=True, pallas=False)
+    groups64 = [(pr, spr_stream.enumerate_targets(pr, 4))
+                for pr in list(_internal_edges(tree64))]
+    pairs64 = [(p, t) for p, ts in groups64 for t, _, _ in ts]
+    assert len(pairs64) == sched32.n_candidates
+    full64 = _full_scores(tree64, eng64, pairs64)
+    # per-site likelihoods ~2^-50 here: far below the fp32 threshold, so
+    # agreement with fp64 is impossible unless scaling engaged
+    assert float(np.max(full64) / 64) < -30
+    assert np.all(np.isfinite(scores32))
+    np.testing.assert_allclose(scores32, full64, rtol=5e-4)
+
+
+def test_streamed_candidate_set_matches_radius_targets():
+    from libpll2_tpu.search import _radius_targets
+    part, tree = _problem(16, 32, seed=9)
+    for pr in _internal_edges(tree):
+        want = [id(t) for t in _radius_targets(pr, 4)]
+        got = [id(t) for t, _, _ in spr_stream.enumerate_targets(pr, 4)]
+        assert got == want
+
+
+def test_streamed_round_matches_batched_round():
+    part, tree = _problem(16, 96, seed=11)
+    s1 = TreeSearch(part, tree)
+    best1, acc1 = s1.spr_round_streamed(radius=4)
+
+    part2, tree2 = _problem(16, 96, seed=11)
+    s2 = TreeSearch(part2, tree2)
+    best2, acc2 = s2.spr_round_batched(radius=4)
+    assert acc1 == acc2
+    np.testing.assert_allclose(best1, best2, rtol=1e-9)
+
+
+def test_streamed_round_fallback_on_asc():
+    # asc-bias partitions are ineligible: the round must still work
+    # (delegating to the batched full-traversal scorer)
+    headers, seqs = random_alignment(8, 48, seed=2)
+    tree = random_utree(headers, seed=2)
+    part = Partition(tree.tip_count, tree.inner_count, 4, 48, 1,
+                     tree.edge_count, 4, tree.inner_count,
+                     asc_bias=C.AscBias.LEWIS)
+    by = dict(zip(headers, seqs))
+    for tip in tree.tips():
+        part.set_tip_states(tip.clv_index, maps.map_nt, by[tip.label])
+    part.set_frequencies(0, [0.3, 0.2, 0.2, 0.3])
+    part.set_subst_params(0, [1, 2, 1, 1, 2, 1.0])
+    part.set_category_rates(compute_gamma_cats(0.8, 4))
+    s = TreeSearch(part, tree)
+    best, acc = s.spr_round_streamed(radius=3)
+    assert np.isfinite(best)
