@@ -164,19 +164,24 @@ class SprStreamSchedule:
     n_aux: int
     n_arows: int
     pairs: list                   # [(prune_halfedge, target_halfedge)]
+    rowmap: dict                  # id(halfedge) -> (clv_row, sc_row)
 
 
 def build_spr_stream(tree, prune_targets, n_nodes: int, n_scalers: int,
                      n_edges: int, width: int = WAVE_W
                      ) -> SprStreamSchedule:
-    """Build one round's tables from (prune half-edge, targets) groups.
+    """Build one round's tables from (prune half-edge, targets[, kept])
+    groups.
 
     `prune_targets`: [(p, [(t, arrival_key, sibling), ...])] as produced
     by enumerate_targets — p's node plus the subtree at p.back is what
-    moves.spr(p, t) prunes. Row address space: [0, n_nodes) partition
-    CLV rows, then n_aux up rows, then n_arows A rows, then one scratch
-    row; scaler rows follow the same layout after the partition's
-    n_scalers rows, with the trash and guaranteed-zero rows last.
+    moves.spr(p, t) prunes. An optional third group element lists the
+    target indices to emit as candidates (subsampled rounds); corrected
+    CLVs are then built only along the ancestor chains of kept targets.
+    Row address space: [0, n_nodes) partition CLV rows, then n_aux up
+    rows, then n_arows A rows, then one scratch row; scaler rows follow
+    the same layout after the partition's n_scalers rows, with the trash
+    and guaranteed-zero rows last.
     """
     vroot = tree.vroot
     if vroot.next is None:
@@ -264,9 +269,21 @@ def build_spr_stream(tree, prune_targets, n_nodes: int, n_scalers: int,
     base_a = base_aux + n_aux
     sc_a = sc_aux + n_aux
 
-    for p, targets in prune_targets:
-        if not targets:
+    for group in prune_targets:
+        p, targets = group[0], group[1]
+        kept = group[2] if len(group) > 2 else None
+        if not targets or (kept is not None and len(kept) == 0):
             continue
+        if kept is not None:
+            # a kept target needs the corrected CLVs of its whole
+            # ancestor chain back to the prune site
+            tix = {id(t): i for i, (t, _, _) in enumerate(targets)}
+            needed = set()
+            for i in kept:
+                cur = i
+                while cur is not None and cur not in needed:
+                    needed.add(cur)
+                    cur = tix.get(targets[cur][1])
         merged_len.append((p.next.back.length or 0.0)
                           + (p.next.next.back.length or 0.0))
         mi = n_edges + len(merged_len) - 1        # merged pmatrix index
@@ -275,7 +292,10 @@ def build_spr_stream(tree, prune_targets, n_nodes: int, n_scalers: int,
         # through: (clv_row, sc_row, pmatrix index, producing a-op)
         arrive = {id(p.next): (*rowmap[id(p.next.next.back)], mi, -1),
                   id(p.next.next): (*rowmap[id(p.next.back)], mi, -1)}
-        for t, akey, sib in targets:
+        slot_of = {}
+        for i, (t, akey, sib) in enumerate(targets):
+            if kept is not None and i not in needed:
+                continue
             x_row, x_sc, gmat, gop = arrive[akey]
             sib_row, sib_sc = rowmap[id(sib.back)]
             k = len(a_rows)
@@ -284,6 +304,10 @@ def build_spr_stream(tree, prune_targets, n_nodes: int, n_scalers: int,
                            sib_row, sib.pmatrix_index, sib_sc])
             a_deps.append([gop])
             arrive[id(t)] = (arow, asc, t.pmatrix_index, k)
+            slot_of[i] = (arow, asc)
+        for i in (range(len(targets)) if kept is None else kept):
+            t, akey, sib = targets[i]
+            arow, asc = slot_of[i]
             rb_row, rb_sc = rowmap[id(t.back)]
             cand.append([arow, asc, rb_row, rb_sc, pb_row, pb_sc,
                          p.pmatrix_index])
@@ -325,7 +349,152 @@ def build_spr_stream(tree, prune_targets, n_nodes: int, n_scalers: int,
         cand_rows=cand_arr, half_len=hl, blen_full=blen_full,
         merged_len=np.asarray(merged_len if merged_len else [0.0]),
         n_candidates=n_candidates, n_aux=n_aux, n_arows=n_arows,
-        pairs=pairs)
+        pairs=pairs, rowmap=rowmap)
+
+
+def build_nni_stream(tree, edges, n_nodes: int, n_scalers: int,
+                     n_edges: int, width: int = WAVE_W):
+    """NNI analog of build_spr_stream: both alternatives of every
+    internal edge scored from BASELINE directional CLVs only (an NNI
+    swaps two subtrees across an edge; all four flanking directional
+    CLVs are unchanged, and moves._swap keeps each branch with its
+    node-side stub). Returns (schedule, moves) where schedule reuses
+    SprStreamSchedule with cand_rows [C, 13]:
+
+      [c_row, c_sc, c_pm, b_row, b_sc, b_pm,
+       a_row, a_sc, a_pm, d_row, d_sc, d_pm, center_pm]
+
+    scoring parent = (P[c_pm] @ D[C]) * (P[b_pm] @ D[B]) at p's node and
+    child = (P[a_pm] @ D[A]) * (P[d_pm] @ D[D]) at q's node, across the
+    central edge — exactly what moves.nni + a full evaluation computes.
+    `moves` lists (edge, move_type) aligned with cand rows.
+    """
+    from .. import constants as C
+
+    sched = build_spr_stream(tree, [], n_nodes, n_scalers, n_edges,
+                             width=width)
+    rowmap = sched.rowmap
+    zero_sc = n_scalers + sched.n_aux + sched.n_arows + 1
+
+    def entry(h):
+        row, sc = rowmap[id(h)]
+        return row, (sc if sc >= 0 else zero_sc)
+
+    cand: List[List[int]] = []
+    mv: List[Tuple] = []
+    for p in edges:
+        q = p.back
+        a = p.next            # subtree1 stub (swapped in both moves)
+        b = p.next.next
+        for kind, t2 in ((C.UTREE_MOVE_NNI_LEFT, q.next),
+                         (C.UTREE_MOVE_NNI_RIGHT, q.next.next)):
+            d = q.next.next if t2 is q.next else q.next
+            c_row, c_sc = entry(t2.back)
+            b_row, b_sc = entry(b.back)
+            a_row, a_sc = entry(a.back)
+            d_row, d_sc = entry(d.back)
+            cand.append([c_row, c_sc, t2.pmatrix_index,
+                         b_row, b_sc, b.pmatrix_index,
+                         a_row, a_sc, a.pmatrix_index,
+                         d_row, d_sc, d.pmatrix_index,
+                         p.pmatrix_index])
+            mv.append((p, kind))
+    n_candidates = len(cand)
+    Cp = _pow2(max(n_candidates, 1))
+    cand_arr = np.zeros((Cp, 13), np.int32)
+    if n_candidates:
+        cand_arr[:n_candidates] = cand
+        cand_arr[n_candidates:] = cand[-1]
+    sched.cand_rows = cand_arr
+    sched.n_candidates = n_candidates
+    sched.pairs = mv
+    return sched
+
+
+@partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',
+                                   'n_aux', 'n_arows', 'chunk'))
+def nni_stream_scores(clv, scaler,
+                      eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
+                      rates, rate_weights, freqs, params_idx_rates,
+                      post_ops, post_valid, up_ops, up_valid,
+                      blen_full, cand_rows,      # [C, 13] int32
+                      pattern_weights, invariant,
+                      scale_threshold: float, scale_factor: float,
+                      n_aux: int, n_arows: int, chunk: int = 256):
+    """All NNI candidate logLs of one round in ONE program (directional
+    CLVs only — no corrected pass). Returns totals [C]."""
+    dtype = clv.dtype
+    NB, R, s, S = clv.shape
+    K = scaler.shape[0] - 2
+    extra = n_aux + n_arows
+
+    pm_full = ops_pmatrix.update_prob_matrices(
+        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+        params_idx_rates, blen_full)
+
+    clv_ext = jnp.concatenate(
+        [clv, jnp.zeros((extra + 1, R, s, S), dtype)], axis=0)
+    sc_ext = jnp.concatenate(
+        [scaler[:K], jnp.zeros((extra + 2,) + scaler.shape[1:],
+                               scaler.dtype)], axis=0)
+    for ops, valid in ((post_ops, post_valid), (up_ops, up_valid)):
+        clv_ext, sc_ext = update_partials_levels(
+            clv_ext, sc_ext, pm_full, ops, valid,
+            scale_threshold, scale_factor)
+
+    f = jnp.take(freqs, params_idx_rates, axis=0).astype(dtype)
+    pinv = jnp.take(prop_invar, params_idx_rates, axis=0)
+    thresh = jnp.asarray(scale_threshold, dtype)
+    factor = jnp.asarray(scale_factor, dtype)
+    HI = jax.lax.Precision.HIGHEST
+    pw = pattern_weights.astype(dtype)
+
+    C = cand_rows.shape[0]
+    n_chunks = max(C // chunk, 1)
+
+    def compose(rows, i0):
+        """(P[pm1] @ D[row1]) * (P[pm2] @ D[row2]) with the underflow
+        check a real traversal applies at this node."""
+        x1 = jnp.take(clv_ext, rows[:, i0], axis=0)
+        s1 = jnp.take(sc_ext, rows[:, i0 + 1], axis=0)
+        p1 = jnp.take(pm_full, rows[:, i0 + 2], axis=0)
+        x2 = jnp.take(clv_ext, rows[:, i0 + 3], axis=0)
+        s2 = jnp.take(sc_ext, rows[:, i0 + 4], axis=0)
+        p2 = jnp.take(pm_full, rows[:, i0 + 5], axis=0)
+        x = (jnp.einsum('crij,crjs->cris', p1, x1,
+                        preferred_element_type=dtype, precision=HI)
+             * jnp.einsum('crij,crjs->cris', p2, x2,
+                          preferred_element_type=dtype, precision=HI))
+        mask = jnp.all(x < thresh, axis=(1, 2))
+        x = jnp.where(mask[:, None, None, :], x * factor, x)
+        return x, s1 + s2 + mask.astype(s1.dtype)
+
+    def score_chunk(carry, rows):
+        parent, psc = compose(rows, 0)
+        child, csc = compose(rows, 6)
+        pe = jnp.take(pm_full, rows[:, 12], axis=0)
+        termb = jnp.einsum('crjk,crks->crjs', pe, child,
+                           preferred_element_type=dtype, precision=HI)
+        terma_r = jnp.einsum('crjs,rj->crs', parent * termb, f,
+                             preferred_element_type=dtype, precision=HI)
+        site_sc = psc + csc
+
+        def mix_one(tr):
+            return _mix_rates(tr, None, f, pinv, rate_weights,
+                              invariant, dtype)
+
+        terma, terminv = jax.vmap(mix_one)(terma_r)
+
+        def fin_one(ta, ti, sc):
+            return _finalize_site_lk(ta, ti, sc, scale_threshold, dtype)
+
+        site_lk = jax.vmap(fin_one)(terma, terminv, site_sc)
+        weighted = jnp.where(pw[None, :] > 0, site_lk * pw[None, :], 0.0)
+        return carry, jnp.sum(weighted, axis=1)
+
+    _, totals = jax.lax.scan(score_chunk, 0,
+                             cand_rows.reshape(n_chunks, -1, 13))
+    return totals.reshape(-1)
 
 
 @partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',

@@ -352,7 +352,62 @@ class TreeSearch:
                 and getattr(eng, "edge_params", None) is None
                 and getattr(p, "mesh", None) is None)
 
+    def nni_round_streamed(self, chunk: int = 256, verify_top: int = 4
+                           ) -> Tuple[float, int]:
+        """Steepest-ascent NNI round scored from directional CLVs: both
+        alternatives of every internal edge cost 5 op-equivalents each
+        (4 flanking matvecs + the central-edge contraction) instead of a
+        full traversal — no corrected-CLV pass at all, since an NNI only
+        swaps subtrees whose directional CLVs are unchanged. The winner
+        is verified with a full engine evaluation before acceptance.
+        Falls back to nni_round_batched for ineligible configurations."""
+        best = self.evaluate()
+        if not self._streamed_eligible():
+            return self.nni_round_batched()
+        from .ops import spr_stream
+        import jax.numpy as jnp
+
+        eng = self._engine
+        p = eng.partition
+        accepted = 0
+        while True:
+            edges = _internal_edges(self.tree)
+            if not edges:
+                return best, accepted
+            sched = spr_stream.build_nni_stream(
+                self.tree, edges, p.clv.shape[0], p.scale_buffers,
+                p.prob_matrices)
+            margs = eng._model_args()
+            pw, invariant = eng._site_args()
+            totals = spr_stream.nni_stream_scores(
+                p.clv, p.scale_buffer, *margs,
+                spr_stream.ops_from_table(sched.post_table),
+                jnp.asarray(sched.post_valid),
+                spr_stream.ops_from_table(sched.up_table),
+                jnp.asarray(sched.up_valid),
+                jnp.asarray(sched.blen_full, p.dtype),
+                jnp.asarray(sched.cand_rows), pw, invariant,
+                p.scale_threshold, p.scale_factor,
+                n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk)
+            scores = np.asarray(totals)[:sched.n_candidates]
+            applied = False
+            for i in np.argsort(-scores)[:verify_top]:
+                if scores[i] <= best + self.epsilon:
+                    break
+                edge, kind = sched.pairs[i]
+                moves.nni(edge, kind, None)
+                lk = self.evaluate()
+                if lk > best + self.epsilon:
+                    best = lk
+                    accepted += 1
+                    applied = True
+                    break
+                moves.nni(edge, kind, None)       # NNI is an involution
+            if not applied:
+                return best, accepted
+
     def spr_round_streamed(self, radius: int = 5, seed: int = 0,
+                           max_candidates: Optional[int] = None,
                            chunk: int = 256, verify_top: int = 4
                            ) -> Tuple[float, int]:
         """Steepest-ascent SPR round scored from DIRECTIONAL CLVs — the
@@ -368,17 +423,26 @@ class TreeSearch:
         scorer excludes."""
         best = self.evaluate()
         if not self._streamed_eligible():
-            return self.spr_round_batched(radius=radius, seed=seed)
+            return self.spr_round_batched(radius=radius, seed=seed,
+                                          max_candidates=max_candidates)
         from .ops import spr_stream
         import jax.numpy as jnp
 
         eng = self._engine
         p = eng.partition
         accepted = 0
+        rng = np.random.default_rng(seed)
         while True:
-            groups = [(pr, spr_stream.enumerate_targets(pr, radius))
-                      for pr in list(_internal_edges(self.tree))]
-            if not any(ts for _, ts in groups):
+            groups = []
+            for pr in list(_internal_edges(self.tree)):
+                ts = spr_stream.enumerate_targets(pr, radius)
+                kept = None
+                if max_candidates and len(ts) > max_candidates:
+                    # same rng consumption pattern as spr_round_batched,
+                    # so both rounds score the same candidate subsets
+                    kept = list(rng.permutation(len(ts))[:max_candidates])
+                groups.append((pr, ts, kept))
+            if not any(ts for _, ts, _ in groups):
                 return best, accepted
             sched = spr_stream.build_spr_stream(
                 self.tree, groups, p.clv.shape[0], p.scale_buffers,

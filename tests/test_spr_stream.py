@@ -145,6 +145,63 @@ def test_streamed_round_matches_batched_round():
     np.testing.assert_allclose(best1, best2, rtol=1e-9)
 
 
+def test_streamed_round_matches_batched_subsampled():
+    # max_candidates subsampling consumes the rng exactly like the
+    # batched round, so both score the same candidate subsets and
+    # accept the same moves
+    part, tree = _problem(16, 96, seed=13)
+    s1 = TreeSearch(part, tree)
+    best1, acc1 = s1.spr_round_streamed(radius=4, max_candidates=3,
+                                        seed=5)
+    part2, tree2 = _problem(16, 96, seed=13)
+    s2 = TreeSearch(part2, tree2)
+    best2, acc2 = s2.spr_round_batched(radius=4, max_candidates=3,
+                                       seed=5)
+    assert acc1 == acc2
+    np.testing.assert_allclose(best1, best2, rtol=1e-9)
+
+
+def test_nni_streamed_scores_match_full_eval():
+    part, tree = _problem(13, 64, seed=5)
+    eng = TreeEngine(part, tree, level_schedule=True, pallas=False)
+    edges = list(_internal_edges(tree))
+    sched = spr_stream.build_nni_stream(
+        tree, edges, part.clv.shape[0], part.scale_buffers,
+        part.prob_matrices)
+    margs = eng._model_args()
+    pw, invariant = eng._site_args()
+    totals = spr_stream.nni_stream_scores(
+        part.clv, part.scale_buffer, *margs,
+        spr_stream.ops_from_table(sched.post_table),
+        jnp.asarray(sched.post_valid),
+        spr_stream.ops_from_table(sched.up_table),
+        jnp.asarray(sched.up_valid),
+        jnp.asarray(sched.blen_full, part.dtype),
+        jnp.asarray(sched.cand_rows), pw, invariant,
+        part.scale_threshold, part.scale_factor,
+        n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=64)
+    scores = np.asarray(totals)[:sched.n_candidates]
+    assert sched.n_candidates == 2 * len(edges)
+    full = np.zeros_like(scores)
+    for i, (edge, kind) in enumerate(sched.pairs):
+        moves.nni(edge, kind, None)
+        eng.set_topology(tree)
+        full[i] = eng.loglikelihood()
+        moves.nni(edge, kind, None)          # involution: undo
+    np.testing.assert_allclose(scores, full, rtol=1e-9, atol=1e-7)
+
+
+def test_nni_streamed_round_matches_batched():
+    part, tree = _problem(16, 96, seed=17)
+    s1 = TreeSearch(part, tree)
+    best1, acc1 = s1.nni_round_streamed()
+    part2, tree2 = _problem(16, 96, seed=17)
+    s2 = TreeSearch(part2, tree2)
+    best2, acc2 = s2.nni_round_batched()
+    assert acc1 == acc2
+    np.testing.assert_allclose(best1, best2, rtol=1e-9)
+
+
 def test_streamed_round_fallback_on_asc():
     # asc-bias partitions are ineligible: the round must still work
     # (delegating to the batched full-traversal scorer)

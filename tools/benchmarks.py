@@ -502,6 +502,98 @@ def bench_spr_1000():
            "host share of the warm round (target < 0.30)")
 
 
+def bench_search_1000_streamed():
+    """Streamed (directional-CLV) candidate scoring at production scale:
+    the reference consumers' partial-traversal rescoring pattern
+    (test/src/partial-traversal.c) as one batched program — ~3
+    op-equivalents per SPR candidate / ~5 per NNI instead of a full
+    998-op traversal (libpll2_tpu/ops/spr_stream.py)."""
+    if QUICK:
+        return
+    log("[4f] 1000-taxon STREAMED rounds (directional-CLV scoring)")
+    import jax.numpy as jnp
+
+    from libpll2_tpu.ops import spr_stream
+    from libpll2_tpu.search import TreeSearch, _internal_edges
+    from libpll2_tpu.trees import moves
+
+    part, tree, *_ = build(1000, 1024, seed=29, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    edges = _internal_edges(tree)
+    for i in rng.permutation(len(edges))[:12]:
+        try:
+            moves.nni(edges[i], 1, None)
+        except Exception:
+            pass
+    s = TreeSearch(part, tree)
+    s.evaluate()
+    dev = [0.0]
+    orig_spr, orig_nni = (spr_stream.spr_stream_scores,
+                          spr_stream.nni_stream_scores)
+
+    def _timed(orig):
+        def run(*a, **k):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(orig(*a, **k))
+            dev[0] += time.perf_counter() - t0
+            return out
+        return run
+
+    spr_stream.spr_stream_scores = _timed(orig_spr)
+    spr_stream.nni_stream_scores = _timed(orig_nni)
+    try:
+        # same candidate subsets as spr_round_1000 (identical rng walk)
+        t0 = time.perf_counter()
+        lk1, acc1 = s.spr_round_streamed(radius=5, max_candidates=2,
+                                         seed=1)
+        dt_first = time.perf_counter() - t0
+        dev[0] = 0.0
+        t0 = time.perf_counter()
+        lk2, acc2 = s.spr_round_streamed(radius=5, max_candidates=2,
+                                         seed=2)
+        dt = time.perf_counter() - t0
+        record("spr_round_1000_streamed_seconds", dt, "s",
+               f"same radius-5/2-per-prune candidate set as "
+               f"spr_round_1000_seconds, scored from directional CLVs; "
+               f"device {dev[0]:.2f} s ({dev[0] / dt:.0%}); {acc2} "
+               f"moves, logL {lk2:.1f}; first round (incl. compiles) "
+               f"{dt_first:.1f} s ({acc1} moves, logL {lk1:.1f})")
+
+        # the FULL radius-5 neighborhood — unaffordable by traversal
+        # scoring (~26000 candidates), routine for the streamed scorer
+        n_full = sum(len(spr_stream.enumerate_targets(pr, 5))
+                     for pr in _internal_edges(s.tree))
+        t0 = time.perf_counter()
+        lkf1, accf1 = s.spr_round_streamed(radius=5, seed=1)
+        dtf_first = time.perf_counter() - t0
+        dev[0] = 0.0
+        t0 = time.perf_counter()
+        lkf2, accf2 = s.spr_round_streamed(radius=5, seed=2)
+        dtf = time.perf_counter() - t0
+        record("spr_round_1000_full_neighborhood_seconds", dtf, "s",
+               f"FULL radius-5 neighborhood (~{n_full} candidates) per "
+               f"pass; device {dev[0]:.2f} s ({dev[0] / dtf:.0%}); "
+               f"{accf2} moves, logL {lkf2:.1f}; first round "
+               f"{dtf_first:.1f} s ({accf1} moves, logL {lkf1:.1f})")
+
+        t0 = time.perf_counter()
+        lkn1, accn1 = s.nni_round_streamed()
+        dtn_first = time.perf_counter() - t0
+        dev[0] = 0.0
+        t0 = time.perf_counter()
+        lkn2, accn2 = s.nni_round_streamed()
+        dtn = time.perf_counter() - t0
+        record("nni_round_1000_streamed_seconds", dtn, "s",
+               f"all ~2000 NNI alternatives from directional CLVs "
+               f"(no corrected pass); device {dev[0]:.2f} s "
+               f"({dev[0] / dtn:.0%}); {accn2} moves, logL {lkn2:.1f}; "
+               f"first round {dtn_first:.1f} s ({accn1} moves, "
+               f"logL {lkn1:.1f})")
+    finally:
+        spr_stream.spr_stream_scores = orig_spr
+        spr_stream.nni_stream_scores = orig_nni
+
+
 def bench_placement():
     if QUICK:
         return
@@ -661,6 +753,7 @@ def main():
     bench_newton_sweep()
     bench_spr()
     bench_spr_1000()
+    bench_search_1000_streamed()
     bench_placement()
     bench_stepwise()
     bench_model_opt()
@@ -717,8 +810,10 @@ the time goes:
   (the full-block underflow select is now a [1, T]-factor broadcast
   multiply; the tip decode is one broadcast bit-test instead of
   `states` single-sublane ops), after which the dots and the epilogue
-  genuinely overlap: split ~2.1 G su/s (was 0.73), bf16 ~2.9 G,
-  with the same gate-asserted accuracy per mode.
+  genuinely overlap: split ~1.3 G su/s (was 0.73) — ~86% of the
+  mxu_probe-measured ~1.5 G three-pass dot ceiling — and bf16 ~2.0 G,
+  with the same gate-asserted accuracy per mode (shared-chip runs vary
+  ~±10%; the table rows are the measurement of record).
 - The XLA epilogue (pmatrix einsum + root-edge logL + Newton d1/d2)
   is <15% of an eval. Two epilogue defects used to dominate (round-1:
   11% of chip): a per-iteration scatter of the root rows copied the
@@ -765,9 +860,30 @@ apply-SPR, pack the fused op table, roll back, ~2000 times — runs in
 ONE native C++ call over flat half-edge arrays
 (native/pllnative.cpp pll_tpu_spr_candidates; bit-identical tables to
 the Python packer, identical accepted moves). A radius-5 round over
-~2000 grafts of 998-op traversals runs in ~2.6 s warm at ~10% host
+~2000 grafts of 998-op traversals runs in ~2.2-2.6 s warm at ~10% host
 share (r3: 18.5 s table / 7.6 s best, ~95% host), with the one-time
 ~19 s compile amortized across the whole search.
+
+Round 4 adds STREAMED candidate scoring (ops/spr_stream.py) — the
+reference consumers' partial-traversal rescoring
+(test/src/partial-traversal.c) as one batched program. Directional
+CLVs for every half-edge (one up-op per edge) plus, per prune point, a
+corrected-CLV chain through the remaining tree make an SPR candidate
+cost ~3 op-equivalents (NNI: ~5) instead of a full 998-op traversal;
+the three passes run as wavefront-packed level tables (greedy
+multi-dependency packing into fixed-width waves, bucketed shapes — no
+recompiles across topologies), and the winning move is re-verified
+with a full fused evaluation before acceptance. The same 2000-candidate
+round drops to ~0.26 s warm (8x over the traversal-scored round,
+identical accepted moves), first-round compiles drop 21 s -> ~9 s, and
+the FULL radius-5 neighborhood — ~26000 candidates, unaffordable by
+traversal scoring — runs in ~0.5 s per pass and reaches a better
+optimum (the 2-per-prune subsample plateaus ~215 logL units short on
+the benchmark tree). An NNI sweep of all ~2000 alternatives scores in
+~0.2 s from the same directional CLVs with no corrected pass at all.
+Streamed parity vs full evaluation is pinned per candidate
+(tests/test_spr_stream.py) including an fp32 scaling-stress case
+against fp64.
 
 **Site repeats.** The pooled class-column storage delivers the
 reference fork's memory promise and more: CLV+scaler bytes at ~0.10x
