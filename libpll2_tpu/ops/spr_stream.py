@@ -73,7 +73,7 @@ def _pow2(n: int) -> int:
 
 def pack_waves(rows: Sequence[Sequence[int]], deps: Sequence[int],
                scratch_clv: int, width: int = WAVE_W,
-               wave_bucket: int = 4):
+               wave_bucket: int = 4, min_waves: int = 0):
     """Greedy wavefront packing of op rows into [L, W] level tables.
 
     rows: 8-int op rows (update_partials_levels format); deps[i] lists
@@ -98,7 +98,7 @@ def pack_waves(rows: Sequence[Sequence[int]], deps: Sequence[int],
             fills.append(0)
         wave_of[i] = w
         fills[w] += 1
-    L = _bucket(max(len(fills), 1), wave_bucket)
+    L = _bucket(max(len(fills), min_waves, 1), wave_bucket)
     table = np.zeros((L, width, 8), np.int32)
     table[:, :, 0] = scratch_clv
     table[:, :, 1] = -1
@@ -168,8 +168,8 @@ class SprStreamSchedule:
 
 
 def build_spr_stream(tree, prune_targets, n_nodes: int, n_scalers: int,
-                     n_edges: int, width: int = WAVE_W
-                     ) -> SprStreamSchedule:
+                     n_edges: int, width: int = WAVE_W,
+                     min_waves=None) -> SprStreamSchedule:
     """Build one round's tables from (prune half-edge, targets[, kept])
     groups.
 
@@ -326,11 +326,17 @@ def build_spr_stream(tree, prune_targets, n_nodes: int, n_scalers: int,
                     r[col] = zero_sc
         return rows
 
+    # wave counts follow the tree's depth; `min_waves` floors (callers
+    # carry the historical max) keep the compiled shapes monotone so a
+    # depth wobble across rounds cannot recompile
+    mw = min_waves or {}
     post_table, post_valid = pack_waves(fix_sc(post_rows), post_deps,
-                                        scratch, width)
+                                        scratch, width,
+                                        min_waves=mw.get("post", 0))
     up_table, up_valid = pack_waves(fix_sc(up_rows), up_deps, scratch,
-                                    width)
-    a_table, a_valid = pack_waves(fix_sc(a_rows), a_deps, scratch, width)
+                                    width, min_waves=mw.get("up", 0))
+    a_table, a_valid = pack_waves(fix_sc(a_rows), a_deps, scratch, width,
+                                  min_waves=mw.get("a", 0))
 
     C = _pow2(max(n_candidates, 1))
     cand_arr = np.zeros((C, 7), np.int32)
@@ -342,18 +348,23 @@ def build_spr_stream(tree, prune_targets, n_nodes: int, n_scalers: int,
         hl[n_candidates:] = half_len[-1] if half_len else 0.0
     cand_arr[:, (1, 3, 5)] = np.where(cand_arr[:, (1, 3, 5)] < 0,
                                       zero_sc, cand_arr[:, (1, 3, 5)])
+    # merged pmatrix count pads to a power of two: the prune-group count
+    # shifts by a few per topology and must not change program shapes
+    # (pad entries are computed-but-unreferenced identity-at-0 matrices)
+    ml = np.zeros(_pow2(max(len(merged_len), 1)))
+    ml[:len(merged_len)] = merged_len
     return SprStreamSchedule(
         post_table=post_table, post_valid=post_valid,
         up_table=up_table, up_valid=up_valid,
         a_table=a_table, a_valid=a_valid,
         cand_rows=cand_arr, half_len=hl, blen_full=blen_full,
-        merged_len=np.asarray(merged_len if merged_len else [0.0]),
+        merged_len=ml,
         n_candidates=n_candidates, n_aux=n_aux, n_arows=n_arows,
         pairs=pairs, rowmap=rowmap)
 
 
 def build_nni_stream(tree, edges, n_nodes: int, n_scalers: int,
-                     n_edges: int, width: int = WAVE_W):
+                     n_edges: int, width: int = WAVE_W, min_waves=None):
     """NNI analog of build_spr_stream: both alternatives of every
     internal edge scored from BASELINE directional CLVs only (an NNI
     swaps two subtrees across an edge; all four flanking directional
@@ -372,7 +383,7 @@ def build_nni_stream(tree, edges, n_nodes: int, n_scalers: int,
     from .. import constants as C
 
     sched = build_spr_stream(tree, [], n_nodes, n_scalers, n_edges,
-                             width=width)
+                             width=width, min_waves=min_waves)
     rowmap = sched.rowmap
     zero_sc = n_scalers + sched.n_aux + sched.n_arows + 1
 

@@ -130,6 +130,19 @@ class TreeSearch:
         # pattern over one shared tree)
         self._engine = engine
         self._engine_injected = engine is not None
+        # monotone wave-count floors for the streamed rounds' level
+        # tables (ops/spr_stream.py): compiled shapes never shrink, so a
+        # depth wobble across topologies cannot recompile
+        self._stream_waves = {}
+
+    def _stream_build(self, builder, *args, **kwargs):
+        sched = builder(*args, min_waves=self._stream_waves, **kwargs)
+        for key, table in (("post", sched.post_table),
+                           ("up", sched.up_table),
+                           ("a", sched.a_table)):
+            self._stream_waves[key] = max(self._stream_waves.get(key, 0),
+                                          table.shape[0])
+        return sched
 
     def evaluate(self) -> float:
         # one engine for the whole search: only the op/branch/root arrays
@@ -374,9 +387,9 @@ class TreeSearch:
             edges = _internal_edges(self.tree)
             if not edges:
                 return best, accepted
-            sched = spr_stream.build_nni_stream(
-                self.tree, edges, p.clv.shape[0], p.scale_buffers,
-                p.prob_matrices)
+            sched = self._stream_build(
+                spr_stream.build_nni_stream, self.tree, edges,
+                p.clv.shape[0], p.scale_buffers, p.prob_matrices)
             margs = eng._model_args()
             pw, invariant = eng._site_args()
             totals = spr_stream.nni_stream_scores(
@@ -444,9 +457,9 @@ class TreeSearch:
                 groups.append((pr, ts, kept))
             if not any(ts for _, ts, _ in groups):
                 return best, accepted
-            sched = spr_stream.build_spr_stream(
-                self.tree, groups, p.clv.shape[0], p.scale_buffers,
-                p.prob_matrices)
+            sched = self._stream_build(
+                spr_stream.build_spr_stream, self.tree, groups,
+                p.clv.shape[0], p.scale_buffers, p.prob_matrices)
             margs = eng._model_args()
             pw, invariant = eng._site_args()
             totals = spr_stream.spr_stream_scores(

@@ -202,6 +202,61 @@ def test_nni_streamed_round_matches_batched():
     np.testing.assert_allclose(best1, best2, rtol=1e-9)
 
 
+def test_streamed_rounds_no_recompile_at_established_shapes():
+    """Streamed-round program shapes are bucketed AND monotone per
+    search (wave-count floors carry the historical max, candidate /
+    merged-pmatrix counts pad to powers of two), so rounds recompile
+    only while the tree is outgrowing every previously seen depth
+    bucket — never on a mere wobble. After one post-perturbation round
+    has established the grown shapes, further perturbed rounds must be
+    compile-free."""
+    import logging
+
+    import jax as _jax
+    from libpll2_tpu.trees import moves as _mv
+    from libpll2_tpu import constants as _C
+
+    part, tree = _problem(20, 96, seed=21)
+    s = TreeSearch(part, tree)
+    s.spr_round_streamed(radius=3)
+    s.nni_round_streamed()
+
+    rng = np.random.default_rng(3)
+
+    def perturb(k):
+        for _ in range(k):
+            edges = _internal_edges(tree)
+            _mv.nni(edges[rng.integers(len(edges))],
+                    _C.UTREE_MOVE_NNI_LEFT, None)
+
+    # heavy perturbation: this round may compile once (depth grew past
+    # the historical bucket; the floors absorb it for all later rounds)
+    perturb(5)
+    s.spr_round_streamed(radius=3)
+    s.nni_round_streamed()
+
+    compiles = []
+
+    class _Counter(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if msg.startswith("Finished XLA compilation"):
+                compiles.append(msg)
+
+    handler = _Counter()
+    logger = logging.getLogger("jax._src.dispatch")
+    _jax.config.update("jax_log_compiles", True)
+    logger.addHandler(handler)
+    try:
+        perturb(2)
+        s.spr_round_streamed(radius=3)
+        s.nni_round_streamed()
+    finally:
+        logger.removeHandler(handler)
+        _jax.config.update("jax_log_compiles", False)
+    assert compiles == [], f"streamed rounds recompiled: {compiles}"
+
+
 def test_streamed_round_fallback_on_asc():
     # asc-bias partitions are ineligible: the round must still work
     # (delegating to the batched full-traversal scorer)
