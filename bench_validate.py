@@ -229,6 +229,13 @@ def _problems():
                                 [1, 2, 1, 1, 2, 1], alpha=0.8, seed=9)
     add("dna_deep", t5, h5, s5, 4, 2048)
 
+    # streamed SPR scoring (ops/spr_stream.py) on the scaling-stressed
+    # caterpillar: every radius-3 candidate's logL composed from
+    # directional CLVs + corrected chains, fp32 on chip vs fp64 CPU —
+    # certifies the search fast path end to end (scaler propagation
+    # through the up/corrected passes included)
+    add("dna_stream", t2, h2, s2, 4, 512, alpha=0.5, stream=3)
+
     # rooted tree (rtree path: step-by-step update_partials +
     # compute_root_loglikelihood, reference test/src/rooted.c analog)
     sub = [f"r{i}" for i in range(8)]
@@ -241,6 +248,41 @@ def _problems():
           for _ in range(8)]
     add("dna_rooted", t8, sub, s8, 4, 768, rooted=True)
     return cases
+
+
+def _stream_summary(part, tree, radius: int):
+    """(max, mean) over the full radius-limited streamed SPR candidate
+    scores — deterministic enumeration, identical on both sides."""
+    import jax.numpy as jnp
+    import numpy as np
+    from libpll2_tpu import TreeEngine
+    from libpll2_tpu.ops import spr_stream
+    from libpll2_tpu.search import _internal_edges
+
+    eng = TreeEngine(part, tree, level_schedule=True, pallas=False)
+    groups = [(pr, spr_stream.enumerate_targets(pr, radius))
+              for pr in _internal_edges(tree)]
+    sched = spr_stream.build_spr_stream(
+        tree, groups, part.clv.shape[0], part.scale_buffers,
+        part.prob_matrices)
+    margs = eng._model_args()
+    pw, invariant = eng._site_args()
+    totals = spr_stream.spr_stream_scores(
+        part.clv, part.scale_buffer, *margs,
+        spr_stream.ops_from_table(sched.post_table),
+        jnp.asarray(sched.post_valid),
+        spr_stream.ops_from_table(sched.up_table),
+        jnp.asarray(sched.up_valid),
+        spr_stream.ops_from_table(sched.a_table),
+        jnp.asarray(sched.a_valid),
+        jnp.asarray(sched.blen_full, part.dtype),
+        jnp.asarray(sched.merged_len, part.dtype),
+        jnp.asarray(sched.half_len, part.dtype),
+        jnp.asarray(sched.cand_rows), pw, invariant,
+        part.scale_threshold, part.scale_factor,
+        n_aux=sched.n_aux, n_arows=sched.n_arows)
+    scores = np.asarray(totals)[:sched.n_candidates]
+    return float(scores.max()), float(scores.mean())
 
 
 def _rooted_logl(part, tree):
@@ -298,6 +340,14 @@ def fp32_worker():
                         "lk": _rooted_logl(p32, tree),
                         "d1": 0.0, "d2": 0.0})
             continue
+        if bkw.get("stream"):
+            log(f"  {name}: fp32 streamed SPR scores ...")
+            radius = bkw.pop("stream")
+            p32 = _build(tree, headers, seqs, dtype=jnp.float32, **bkw)
+            best, mean = _stream_summary(p32, tree, radius)
+            out.append({"case": name, "mode": "stream", "kernel": "xla",
+                        "lk": best, "d1": mean, "d2": 0.0})
+            continue
         rep = bkw.get("repeats", False)
         for mode, kw in _modes(target.platform, repeats=rep):
             if mode == "fused" and target.platform == "cpu":
@@ -343,6 +393,12 @@ def main():
     refs = {}
     for (name, tree, headers, seqs, bkw, ekw) in _problems():
         log(f"  {name}: fp64 reference on cpu ...")
+        if bkw.get("stream"):
+            radius = bkw.pop("stream")
+            p64 = _build(tree, headers, seqs, dtype=jnp.float64, **bkw)
+            best, mean = _stream_summary(p64, tree, radius)
+            refs[name] = (best, mean, 0.0)
+            continue
         p64 = _build(tree, headers, seqs, dtype=jnp.float64, **bkw)
         if bkw.get("rooted"):
             refs[name] = (_rooted_logl(p64, tree), 0.0, 0.0)

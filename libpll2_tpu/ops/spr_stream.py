@@ -41,7 +41,9 @@ a topology change almost never recompiles.
 
 Eligibility (the search falls back to the batched full-traversal round
 otherwise): per-site scalers, no ascertainment bias, no site repeats,
-homogeneous models (no per-edge heterotachy), single device.
+homogeneous models (no per-edge heterotachy). Site-sharded partitions
+run the scoring body per shard under `jax.shard_map` with ONE psum of
+the per-candidate logL sums — the library's only collective.
 """
 from __future__ import annotations
 
@@ -422,44 +424,59 @@ def build_nni_stream(tree, edges, n_nodes: int, n_scalers: int,
     return sched
 
 
-@partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',
-                                   'n_aux', 'n_arows', 'chunk'))
-def nni_stream_scores(clv, scaler,
-                      eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
-                      rates, rate_weights, freqs, params_idx_rates,
-                      post_ops, post_valid, up_ops, up_valid,
-                      blen_full, cand_rows,      # [C, 13] int32
-                      pattern_weights, invariant,
-                      scale_threshold: float, scale_factor: float,
-                      n_aux: int, n_arows: int, chunk: int = 256):
-    """All NNI candidate logLs of one round in ONE program (directional
-    CLVs only — no corrected pass). Returns totals [C]."""
+def _extend_buffers(clv, scaler, n_aux: int, n_arows: int):
+    """Per-shard extended buffers: partition rows | aux up rows | A rows
+    | scratch (CLV) and partition rows | aux | A | trash | zero
+    (scalers)."""
     dtype = clv.dtype
-    NB, R, s, S = clv.shape
-    K = scaler.shape[0] - 2
     extra = n_aux + n_arows
-
-    pm_full = ops_pmatrix.update_prob_matrices(
-        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
-        params_idx_rates, blen_full)
-
+    K = scaler.shape[0] - 2
     clv_ext = jnp.concatenate(
-        [clv, jnp.zeros((extra + 1, R, s, S), dtype)], axis=0)
+        [clv, jnp.zeros((extra + 1,) + clv.shape[1:], dtype)], axis=0)
     sc_ext = jnp.concatenate(
         [scaler[:K], jnp.zeros((extra + 2,) + scaler.shape[1:],
                                scaler.dtype)], axis=0)
+    return clv_ext, sc_ext
+
+
+def _site_totals(terma_r, site_sc, f, pinv, rate_weights, invariant, pw,
+                 scale_threshold: float, dtype):
+    """[c, R, S] per-rate site terms + [c, S] scaler counts -> [c]
+    pattern-weighted logL sums (the edge-likelihood epilogue,
+    reference likelihood.c:586 semantics, batched over candidates)."""
+    def mix_one(tr):
+        return _mix_rates(tr, None, f, pinv, rate_weights,
+                          invariant, dtype)
+
+    terma, terminv = jax.vmap(mix_one)(terma_r)
+
+    def fin_one(ta, ti, sc):
+        return _finalize_site_lk(ta, ti, sc, scale_threshold, dtype)
+
+    site_lk = jax.vmap(fin_one)(terma, terminv, site_sc)
+    weighted = jnp.where(pw[None, :] > 0, site_lk * pw[None, :], 0.0)
+    return jnp.sum(weighted, axis=1)
+
+
+def _nni_core(clv, scaler, pm_full, post_ops, post_valid, up_ops,
+              up_valid, cand_rows, pattern_weights, invariant,
+              f, pinv, rate_weights,
+              scale_threshold: float, scale_factor: float,
+              n_aux: int, n_arows: int, chunk: int, axis):
+    """Per-shard NNI scoring body (everything after the replicated
+    pmatrix computation). `axis` is the mesh axis name for the final
+    logL psum, or None single-device."""
+    dtype = clv.dtype
+    clv_ext, sc_ext = _extend_buffers(clv, scaler, n_aux, n_arows)
     for ops, valid in ((post_ops, post_valid), (up_ops, up_valid)):
         clv_ext, sc_ext = update_partials_levels(
             clv_ext, sc_ext, pm_full, ops, valid,
             scale_threshold, scale_factor)
 
-    f = jnp.take(freqs, params_idx_rates, axis=0).astype(dtype)
-    pinv = jnp.take(prop_invar, params_idx_rates, axis=0)
     thresh = jnp.asarray(scale_threshold, dtype)
     factor = jnp.asarray(scale_factor, dtype)
     HI = jax.lax.Precision.HIGHEST
     pw = pattern_weights.astype(dtype)
-
     C = cand_rows.shape[0]
     n_chunks = max(C // chunk, 1)
 
@@ -488,78 +505,36 @@ def nni_stream_scores(clv, scaler,
                            preferred_element_type=dtype, precision=HI)
         terma_r = jnp.einsum('crjs,rj->crs', parent * termb, f,
                              preferred_element_type=dtype, precision=HI)
-        site_sc = psc + csc
-
-        def mix_one(tr):
-            return _mix_rates(tr, None, f, pinv, rate_weights,
-                              invariant, dtype)
-
-        terma, terminv = jax.vmap(mix_one)(terma_r)
-
-        def fin_one(ta, ti, sc):
-            return _finalize_site_lk(ta, ti, sc, scale_threshold, dtype)
-
-        site_lk = jax.vmap(fin_one)(terma, terminv, site_sc)
-        weighted = jnp.where(pw[None, :] > 0, site_lk * pw[None, :], 0.0)
-        return carry, jnp.sum(weighted, axis=1)
+        return carry, _site_totals(terma_r, psc + csc, f, pinv,
+                                   rate_weights, invariant, pw,
+                                   scale_threshold, dtype)
 
     _, totals = jax.lax.scan(score_chunk, 0,
                              cand_rows.reshape(n_chunks, -1, 13))
-    return totals.reshape(-1)
+    totals = totals.reshape(-1)
+    if axis is not None:
+        totals = jax.lax.psum(totals, axis)
+    return totals
 
 
-@partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',
-                                   'n_aux', 'n_arows', 'chunk'))
-def spr_stream_scores(clv, scaler,
-                      eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
-                      rates, rate_weights, freqs, params_idx_rates,
-                      post_ops, post_valid, up_ops, up_valid,
-                      a_ops, a_valid,
-                      blen_full, merged_len, half_len,
-                      cand_rows,               # [C, 7] int32
-                      pattern_weights, invariant,
-                      scale_threshold: float, scale_factor: float,
-                      n_aux: int, n_arows: int, chunk: int = 256):
-    """All candidate logLs of one streamed SPR round in ONE program.
-
-    Returns totals [C] (padded tail repeats the last real candidate).
-    """
+def _spr_core(clv, scaler, pm_ext, pm_full, pm_half, post_ops,
+              post_valid, up_ops, up_valid, a_ops, a_valid, cand_rows,
+              pattern_weights, invariant, f, pinv, rate_weights,
+              scale_threshold: float, scale_factor: float,
+              n_aux: int, n_arows: int, chunk: int, axis):
+    """Per-shard streamed-SPR scoring body (post-pmatrix)."""
     dtype = clv.dtype
-    NB, R, s, S = clv.shape
-    K = scaler.shape[0] - 2
-    extra = n_aux + n_arows
-
-    pm_full = ops_pmatrix.update_prob_matrices(
-        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
-        params_idx_rates, blen_full)
-    pm_merged = ops_pmatrix.update_prob_matrices(
-        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
-        params_idx_rates, merged_len)
-    pm_ext = jnp.concatenate([pm_full, pm_merged], axis=0)
-
-    clv_ext = jnp.concatenate(
-        [clv, jnp.zeros((extra + 1, R, s, S), dtype)], axis=0)
-    sc_ext = jnp.concatenate(
-        [scaler[:K], jnp.zeros((extra + 2,) + scaler.shape[1:],
-                               scaler.dtype)], axis=0)
-
+    clv_ext, sc_ext = _extend_buffers(clv, scaler, n_aux, n_arows)
     for ops, valid in ((post_ops, post_valid), (up_ops, up_valid),
                        (a_ops, a_valid)):
         clv_ext, sc_ext = update_partials_levels(
             clv_ext, sc_ext, pm_ext, ops, valid,
             scale_threshold, scale_factor)
 
-    pm_half = ops_pmatrix.update_prob_matrices(
-        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
-        params_idx_rates, half_len)
-
-    f = jnp.take(freqs, params_idx_rates, axis=0).astype(dtype)  # [R, s]
-    pinv = jnp.take(prop_invar, params_idx_rates, axis=0)
     thresh = jnp.asarray(scale_threshold, dtype)
     factor = jnp.asarray(scale_factor, dtype)
     HI = jax.lax.Precision.HIGHEST
     pw = pattern_weights.astype(dtype)
-
     C = cand_rows.shape[0]
     n_chunks = max(C // chunk, 1)
 
@@ -585,21 +560,121 @@ def spr_stream_scores(clv, scaler,
         terma_r = jnp.einsum('crjs,rj->crs', cm * termb, f,
                              preferred_element_type=dtype, precision=HI)
         site_sc = Asc + Drbsc + Dpbsc + mask.astype(Asc.dtype)
-
-        def mix_one(tr):
-            return _mix_rates(tr, None, f, pinv, rate_weights,
-                              invariant, dtype)
-
-        terma, terminv = jax.vmap(mix_one)(terma_r)
-
-        def fin_one(ta, ti, sc):
-            return _finalize_site_lk(ta, ti, sc, scale_threshold, dtype)
-
-        site_lk = jax.vmap(fin_one)(terma, terminv, site_sc)
-        weighted = jnp.where(pw[None, :] > 0, site_lk * pw[None, :], 0.0)
-        return carry, jnp.sum(weighted, axis=1)
+        return carry, _site_totals(terma_r, site_sc, f, pinv,
+                                   rate_weights, invariant, pw,
+                                   scale_threshold, dtype)
 
     rows_c = cand_rows.reshape(n_chunks, -1, 7)
     ph_c = pm_half.reshape((n_chunks, -1) + pm_half.shape[1:])
     _, totals = jax.lax.scan(score_chunk, 0, (rows_c, ph_c))
-    return totals.reshape(-1)
+    totals = totals.reshape(-1)
+    if axis is not None:
+        totals = jax.lax.psum(totals, axis)
+    return totals
+
+
+def _shard_specs():
+    """(clv, scaler, site-vector, replicated) PartitionSpecs + axis name
+    for the shard-mapped scoring cores."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sharding import SITES_AXIS
+    return P(None, None, None, SITES_AXIS), P(None, SITES_AXIS), \
+        P(SITES_AXIS), P(), SITES_AXIS
+
+
+@partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',
+                                   'n_aux', 'n_arows', 'chunk', 'mesh'))
+def nni_stream_scores(clv, scaler,
+                      eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
+                      rates, rate_weights, freqs, params_idx_rates,
+                      post_ops, post_valid, up_ops, up_valid,
+                      blen_full, cand_rows,      # [C, 13] int32
+                      pattern_weights, invariant,
+                      scale_threshold: float, scale_factor: float,
+                      n_aux: int, n_arows: int, chunk: int = 256,
+                      mesh=None):
+    """All NNI candidate logLs of one round in ONE program (directional
+    CLVs only — no corrected pass). Returns totals [C]. With `mesh`
+    (site-sharded partitions) the body runs per shard via shard_map and
+    the logL sums psum over the site axis — the library's only
+    collective (SURVEY §2.3)."""
+    dtype = clv.dtype
+    pm_full = ops_pmatrix.update_prob_matrices(
+        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+        params_idx_rates, blen_full)
+    f = jnp.take(freqs, params_idx_rates, axis=0).astype(dtype)
+    pinv = jnp.take(prop_invar, params_idx_rates, axis=0)
+    if mesh is None:
+        return _nni_core(clv, scaler, pm_full, post_ops, post_valid,
+                         up_ops, up_valid, cand_rows, pattern_weights,
+                         invariant, f, pinv, rate_weights,
+                         scale_threshold, scale_factor, n_aux, n_arows,
+                         chunk, None)
+    from jax import shard_map
+    clv_s, sc_s, site_s, rep, axis = _shard_specs()
+    core = partial(_nni_core, scale_threshold=scale_threshold,
+                   scale_factor=scale_factor, n_aux=n_aux,
+                   n_arows=n_arows, chunk=chunk, axis=axis)
+    return shard_map(
+        core, mesh=mesh,
+        in_specs=(clv_s, sc_s, rep, rep, rep, rep, rep, rep,
+                  site_s, site_s, rep, rep, rep),
+        out_specs=rep,
+    )(clv, scaler, pm_full, post_ops, post_valid, up_ops, up_valid,
+      cand_rows, pattern_weights, invariant, f, pinv, rate_weights)
+
+
+@partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',
+                                   'n_aux', 'n_arows', 'chunk', 'mesh'))
+def spr_stream_scores(clv, scaler,
+                      eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
+                      rates, rate_weights, freqs, params_idx_rates,
+                      post_ops, post_valid, up_ops, up_valid,
+                      a_ops, a_valid,
+                      blen_full, merged_len, half_len,
+                      cand_rows,               # [C, 7] int32
+                      pattern_weights, invariant,
+                      scale_threshold: float, scale_factor: float,
+                      n_aux: int, n_arows: int, chunk: int = 256,
+                      mesh=None):
+    """All candidate logLs of one streamed SPR round in ONE program.
+
+    Returns totals [C] (padded tail repeats the last real candidate).
+    With `mesh` (site-sharded partitions) the body runs per shard via
+    shard_map — pmatrices are computed once (replicated), the three CLV
+    passes and the scoring are site-elementwise per shard, and the
+    per-candidate logL sums psum over the site axis."""
+    dtype = clv.dtype
+    pm_full = ops_pmatrix.update_prob_matrices(
+        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+        params_idx_rates, blen_full)
+    pm_merged = ops_pmatrix.update_prob_matrices(
+        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+        params_idx_rates, merged_len)
+    pm_ext = jnp.concatenate([pm_full, pm_merged], axis=0)
+    pm_half = ops_pmatrix.update_prob_matrices(
+        eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
+        params_idx_rates, half_len)
+    f = jnp.take(freqs, params_idx_rates, axis=0).astype(dtype)
+    pinv = jnp.take(prop_invar, params_idx_rates, axis=0)
+    if mesh is None:
+        return _spr_core(clv, scaler, pm_ext, pm_full, pm_half,
+                         post_ops, post_valid, up_ops, up_valid,
+                         a_ops, a_valid, cand_rows, pattern_weights,
+                         invariant, f, pinv, rate_weights,
+                         scale_threshold, scale_factor, n_aux, n_arows,
+                         chunk, None)
+    from jax import shard_map
+    clv_s, sc_s, site_s, rep, axis = _shard_specs()
+    core = partial(_spr_core, scale_threshold=scale_threshold,
+                   scale_factor=scale_factor, n_aux=n_aux,
+                   n_arows=n_arows, chunk=chunk, axis=axis)
+    return shard_map(
+        core, mesh=mesh,
+        in_specs=(clv_s, sc_s, rep, rep, rep, rep, rep, rep, rep,
+                  rep, rep, rep, site_s, site_s, rep, rep, rep),
+        out_specs=rep,
+    )(clv, scaler, pm_ext, pm_full, pm_half, post_ops, post_valid,
+      up_ops, up_valid, a_ops, a_valid, cand_rows, pattern_weights,
+      invariant, f, pinv, rate_weights)

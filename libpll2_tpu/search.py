@@ -356,14 +356,19 @@ class TreeSearch:
     def _streamed_eligible(self) -> bool:
         """The streamed scorer supports the fused production configs:
         per-site scalers, no asc, dense storage, homogeneous models,
-        single device, plain TreeEngine."""
+        plain TreeEngine — single device or a single-process site mesh
+        (the scoring body runs per shard with one logL psum)."""
         eng = self._engine
         p = self.partition
+        mesh = getattr(p, "mesh", None)
+        if mesh is not None:
+            from .parallel.sharding import is_multiprocess
+            if is_multiprocess(mesh):
+                return False
         return (p is not None and isinstance(eng, TreeEngine)
                 and p.repeats is None and not p.rate_scalers
                 and p.asc_bias == C.AscBias.NONE
-                and getattr(eng, "edge_params", None) is None
-                and getattr(p, "mesh", None) is None)
+                and getattr(eng, "edge_params", None) is None)
 
     def nni_round_streamed(self, chunk: int = 256, verify_top: int = 4
                            ) -> Tuple[float, int]:
@@ -401,7 +406,8 @@ class TreeSearch:
                 jnp.asarray(sched.blen_full, p.dtype),
                 jnp.asarray(sched.cand_rows), pw, invariant,
                 p.scale_threshold, p.scale_factor,
-                n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk)
+                n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
+                mesh=getattr(p, "mesh", None))
             scores = np.asarray(totals)[:sched.n_candidates]
             applied = False
             for i in np.argsort(-scores)[:verify_top]:
@@ -475,7 +481,8 @@ class TreeSearch:
                 jnp.asarray(sched.half_len, p.dtype),
                 jnp.asarray(sched.cand_rows), pw, invariant,
                 p.scale_threshold, p.scale_factor,
-                n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk)
+                n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
+                mesh=getattr(p, "mesh", None))
             scores = np.asarray(totals)[:sched.n_candidates]
             applied = False
             for i in np.argsort(-scores)[:verify_top]:

@@ -86,6 +86,24 @@ def main():
     lk = eng.loglikelihood()
     lk2, d1, d2 = eng.newton_step()
 
+    # multi-process PER-RATE SCALERS (widened multihost matrix): same
+    # global problem with rate_scalers=True — the [K+2, R, S] scaler
+    # layout shards on its trailing site axis; psums unchanged
+    # (reference core_partials.c:760 per-rate semantics under MPI).
+    part_prs = Partition(tree.tip_count, tree.inner_count, 4, hi - lo, 1,
+                         tree.edge_count, 4, tree.inner_count,
+                         rate_scalers=True,
+                         sites_alignment=multihost.owned(mesh))
+    for tip in tree.tips():
+        part_prs.set_tip_states(tip.clv_index, maps.map_nt,
+                                by_label[tip.label][lo:hi])
+    part_prs.set_frequencies(0, freqs)
+    part_prs.set_subst_params(0, subst)
+    part_prs.set_category_rates(compute_gamma_cats(0.6, 4))
+    shard_partition(part_prs, mesh)
+    eng_prs = TreeEngine(part_prs, tree)
+    lk_prs, d1_prs, d2_prs = eng_prs.newton_step()
+
     # multi-process SITE REPEATS (VERDICT r3 weak #6): dense-fused
     # sharded repeats — per-device pooled partitions with LOCAL class
     # tables, fused-kernel evaluation, logL/d1/d2 psums. Each process
@@ -119,6 +137,7 @@ def main():
 
     print(json.dumps({"pid": pid, "nproc": nproc, "lk": lk,
                       "lk2": lk2, "d1": d1, "d2": d2,
+                      "lk_prs": lk_prs, "d1_prs": d1_prs, "d2_prs": d2_prs,
                       "lk_rep": lk_r, "d1_rep": d1_r, "d2_rep": d2_r}),
           flush=True)
 

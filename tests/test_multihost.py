@@ -57,7 +57,8 @@ def test_process_count_invariance():
     two = _run_group(2, 4)
     # every rank of the 2-process run must agree with the 1-process run
     for rank in two:
-        for key in ("lk", "lk2", "d1", "d2"):
+        for key in ("lk", "lk2", "d1", "d2",
+                    "lk_prs", "d1_prs", "d2_prs"):
             np.testing.assert_allclose(
                 rank[key], one[0][key], rtol=1e-12,
                 err_msg=f"{key} diverged between 1x8 and 2x4 processes")
@@ -69,4 +70,5 @@ def test_process_count_invariance():
                 err_msg=f"{key} diverged between 1x8 and 2x4 processes")
     # and the two ranks with each other (replicated outputs)
     assert two[0]["lk"] == two[1]["lk"]
+    assert two[0]["lk_prs"] == two[1]["lk_prs"]
     assert two[0]["lk_rep"] == two[1]["lk_rep"]

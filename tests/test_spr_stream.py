@@ -21,7 +21,7 @@ from libpll2_tpu.trees import moves, random_alignment, random_utree
 
 
 def _problem(n_taxa, n_sites, seed=3, states=4, alpha=0.8, pinv=0.0,
-             scale_stress=False, dtype=None):
+             scale_stress=False, dtype=None, sites_alignment=1):
     alphabet = "ACGT" if states == 4 else "ARNDCQEGHILKMFPSTWYV"
     headers, seqs = random_alignment(n_taxa, n_sites, alphabet=alphabet,
                                      seed=seed)
@@ -37,7 +37,8 @@ def _problem(n_taxa, n_sites, seed=3, states=4, alpha=0.8, pinv=0.0,
                 if h.back is not None:
                     h.length = h.back.length = (h.length or 0.1) * 40.0
     part = Partition(tree.tip_count, tree.inner_count, states, n_sites, 1,
-                     tree.edge_count, 4, tree.inner_count, dtype=dtype)
+                     tree.edge_count, 4, tree.inner_count, dtype=dtype,
+                     sites_alignment=sites_alignment)
     by = dict(zip(headers, seqs))
     cm = maps.map_nt if states == 4 else maps.map_aa
     for tip in tree.tips():
@@ -255,6 +256,31 @@ def test_streamed_rounds_no_recompile_at_established_shapes():
         logger.removeHandler(handler)
         _jax.config.update("jax_log_compiles", False)
     assert compiles == [], f"streamed rounds recompiled: {compiles}"
+
+
+def test_streamed_rounds_under_mesh_match_single_device():
+    """Site-sharded partitions run the streamed scoring per shard with
+    one logL psum; rounds on an 8-device mesh must accept the same
+    moves at the same logL as the single-device rounds."""
+    import jax
+    from libpll2_tpu.parallel import make_mesh, shard_partition
+
+    part, tree = _problem(16, 128, seed=23, sites_alignment=8)
+    mesh = make_mesh(devices=jax.devices("cpu")[:8])
+    shard_partition(part, mesh)
+    s = TreeSearch(part, tree)
+    s.evaluate()
+    assert s._streamed_eligible()       # mesh does NOT force a fallback
+    b_spr, a_spr = s.spr_round_streamed(radius=4)
+    b_nni, a_nni = s.nni_round_streamed()
+
+    part2, tree2 = _problem(16, 128, seed=23)
+    s2 = TreeSearch(part2, tree2)
+    b_spr2, a_spr2 = s2.spr_round_streamed(radius=4)
+    b_nni2, a_nni2 = s2.nni_round_streamed()
+    assert (a_spr, a_nni) == (a_spr2, a_nni2)
+    np.testing.assert_allclose(b_spr, b_spr2, rtol=1e-9)
+    np.testing.assert_allclose(b_nni, b_nni2, rtol=1e-9)
 
 
 def test_streamed_round_fallback_on_asc():
