@@ -353,22 +353,97 @@ class TreeSearch:
             best = float(scores[i])
             accepted += 1
 
+    def _stream_units(self):
+        """(engine, partition) pairs the streamed scorer sums over: one
+        for a plain TreeEngine, one per partition for an injected
+        linked-branch PartitionedEngine (the consumers' partitioned
+        search: identical topology tables, per-partition models, summed
+        candidate scores)."""
+        eng = self._engine
+        if isinstance(eng, TreeEngine):
+            return [(eng, eng.partition)]
+        from .partitioned import PartitionedEngine
+        if isinstance(eng, PartitionedEngine) and eng.linked:
+            return [(e, e.partition) for e in eng.engines]
+        return None
+
     def _streamed_eligible(self) -> bool:
         """The streamed scorer supports the fused production configs:
-        per-site scalers, no asc, dense storage, homogeneous models,
-        plain TreeEngine — single device or a single-process site mesh
-        (the scoring body runs per shard with one logL psum)."""
-        eng = self._engine
-        p = self.partition
-        mesh = getattr(p, "mesh", None)
-        if mesh is not None:
-            from .parallel.sharding import is_multiprocess
-            if is_multiprocess(mesh):
+        per-site scalers, no asc, dense storage, homogeneous models —
+        single device or a single-process site mesh (the scoring body
+        runs per shard with one logL psum), on a plain TreeEngine or a
+        linked PartitionedEngine (per-partition scores summed)."""
+        units = self._stream_units()
+        if not units:
+            return False
+        p0 = units[0][1]
+        for ue, p in units:
+            mesh = getattr(p, "mesh", None)
+            if mesh is not None:
+                from .parallel.sharding import is_multiprocess
+                if is_multiprocess(mesh):
+                    return False
+            if (p is None or p.repeats is not None or p.rate_scalers
+                    or p.asc_bias != C.AscBias.NONE
+                    or getattr(ue, "edge_params", None) is not None):
                 return False
-        return (p is not None and isinstance(eng, TreeEngine)
-                and p.repeats is None and not p.rate_scalers
-                and p.asc_bias == C.AscBias.NONE
-                and getattr(eng, "edge_params", None) is None)
+            # one schedule serves every partition: same topology tables
+            if (p.clv.shape[0] != p0.clv.shape[0]
+                    or p.scale_buffers != p0.scale_buffers
+                    or p.prob_matrices != p0.prob_matrices):
+                return False
+        return True
+
+    def _summed_nni_scores(self, sched, chunk):
+        """Per-candidate NNI scores summed over the stream units (one
+        device program per distinct partition signature)."""
+        import jax.numpy as jnp
+        from .ops import spr_stream
+        totals = None
+        for ue, p in self._stream_units():
+            margs = ue._model_args()
+            pw, invariant = ue._site_args()
+            t = spr_stream.nni_stream_scores(
+                p.clv, p.scale_buffer, *margs,
+                spr_stream.ops_from_table(sched.post_table),
+                jnp.asarray(sched.post_valid),
+                spr_stream.ops_from_table(sched.up_table),
+                jnp.asarray(sched.up_valid),
+                jnp.asarray(sched.blen_full, p.dtype),
+                jnp.asarray(sched.cand_rows), pw, invariant,
+                p.scale_threshold, p.scale_factor,
+                n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
+                mesh=getattr(p, "mesh", None))
+            t = np.asarray(t, np.float64)
+            totals = t if totals is None else totals + t
+        return totals[:sched.n_candidates]
+
+    def _summed_spr_scores(self, sched, chunk):
+        """Per-candidate SPR scores summed over the stream units."""
+        import jax.numpy as jnp
+        from .ops import spr_stream
+        totals = None
+        for ue, p in self._stream_units():
+            margs = ue._model_args()
+            pw, invariant = ue._site_args()
+            t = spr_stream.spr_stream_scores(
+                p.clv, p.scale_buffer, *margs,
+                spr_stream.ops_from_table(sched.post_table),
+                jnp.asarray(sched.post_valid),
+                spr_stream.ops_from_table(sched.up_table),
+                jnp.asarray(sched.up_valid),
+                spr_stream.ops_from_table(sched.a_table),
+                jnp.asarray(sched.a_valid),
+                jnp.asarray(sched.blen_full, p.dtype),
+                jnp.asarray(sched.merged_len, p.dtype),
+                jnp.asarray(sched.half_len, p.dtype),
+                jnp.asarray(sched.cand_rows), pw, invariant,
+                p.scale_threshold, p.scale_factor,
+                n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
+                mesh=getattr(p, "mesh", None))
+            t = np.asarray(t, np.float64)
+            totals = t if totals is None else totals + t
+        return totals[:sched.n_candidates]
 
     def nni_round_streamed(self, chunk: int = 256, verify_top: int = 4
                            ) -> Tuple[float, int]:
@@ -383,10 +458,8 @@ class TreeSearch:
         if not self._streamed_eligible():
             return self.nni_round_batched()
         from .ops import spr_stream
-        import jax.numpy as jnp
 
-        eng = self._engine
-        p = eng.partition
+        p = self._stream_units()[0][1]
         accepted = 0
         while True:
             edges = _internal_edges(self.tree)
@@ -395,20 +468,7 @@ class TreeSearch:
             sched = self._stream_build(
                 spr_stream.build_nni_stream, self.tree, edges,
                 p.clv.shape[0], p.scale_buffers, p.prob_matrices)
-            margs = eng._model_args()
-            pw, invariant = eng._site_args()
-            totals = spr_stream.nni_stream_scores(
-                p.clv, p.scale_buffer, *margs,
-                spr_stream.ops_from_table(sched.post_table),
-                jnp.asarray(sched.post_valid),
-                spr_stream.ops_from_table(sched.up_table),
-                jnp.asarray(sched.up_valid),
-                jnp.asarray(sched.blen_full, p.dtype),
-                jnp.asarray(sched.cand_rows), pw, invariant,
-                p.scale_threshold, p.scale_factor,
-                n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
-                mesh=getattr(p, "mesh", None))
-            scores = np.asarray(totals)[:sched.n_candidates]
+            scores = self._summed_nni_scores(sched, chunk)
             applied = False
             for i in np.argsort(-scores)[:verify_top]:
                 if scores[i] <= best + self.epsilon:
@@ -445,10 +505,8 @@ class TreeSearch:
             return self.spr_round_batched(radius=radius, seed=seed,
                                           max_candidates=max_candidates)
         from .ops import spr_stream
-        import jax.numpy as jnp
 
-        eng = self._engine
-        p = eng.partition
+        p = self._stream_units()[0][1]
         accepted = 0
         rng = np.random.default_rng(seed)
         while True:
@@ -466,24 +524,7 @@ class TreeSearch:
             sched = self._stream_build(
                 spr_stream.build_spr_stream, self.tree, groups,
                 p.clv.shape[0], p.scale_buffers, p.prob_matrices)
-            margs = eng._model_args()
-            pw, invariant = eng._site_args()
-            totals = spr_stream.spr_stream_scores(
-                p.clv, p.scale_buffer, *margs,
-                spr_stream.ops_from_table(sched.post_table),
-                jnp.asarray(sched.post_valid),
-                spr_stream.ops_from_table(sched.up_table),
-                jnp.asarray(sched.up_valid),
-                spr_stream.ops_from_table(sched.a_table),
-                jnp.asarray(sched.a_valid),
-                jnp.asarray(sched.blen_full, p.dtype),
-                jnp.asarray(sched.merged_len, p.dtype),
-                jnp.asarray(sched.half_len, p.dtype),
-                jnp.asarray(sched.cand_rows), pw, invariant,
-                p.scale_threshold, p.scale_factor,
-                n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
-                mesh=getattr(p, "mesh", None))
-            scores = np.asarray(totals)[:sched.n_candidates]
+            scores = self._summed_spr_scores(sched, chunk)
             applied = False
             for i in np.argsort(-scores)[:verify_top]:
                 if scores[i] <= best + self.epsilon:

@@ -256,3 +256,49 @@ def test_partitioned_maximize_fused_routing():
     assert "p0:log_subst" in params and "p1:freq_logits" in params
     # reported optimum reproduces through the engines (fp32 noise)
     assert abs(pe.loglikelihood() - lk) < 5e-2
+
+
+def test_partitioned_streamed_rounds_match_batched():
+    """Streamed SPR/NNI rounds driven by a linked PartitionedEngine sum
+    per-partition directional-CLV scores (one schedule, one scoring
+    program per partition signature); the rounds must accept the same
+    moves at the same summed logL as the batched full-traversal
+    partitioned rounds."""
+    from libpll2_tpu import constants as C
+    from libpll2_tpu.search import TreeSearch, _internal_edges
+    from libpll2_tpu.trees import moves
+
+    def perturbed():
+        tree = random_utree([f"t{i}" for i in range(10)], seed=77)
+        parts = _parts(tree, n_parts=2)
+        rng = np.random.default_rng(3)
+        for _ in range(3):
+            edges = _internal_edges(tree)
+            moves.nni(edges[rng.integers(len(edges))],
+                      C.UTREE_MOVE_NNI_LEFT, None)
+        return parts, tree
+
+    parts, tree = perturbed()
+    s1 = TreeSearch(None, tree,
+                    engine=PartitionedEngine(parts, tree, linked=True))
+    s1.evaluate()
+    assert s1._streamed_eligible()
+    n1, an1 = s1.nni_round_streamed()
+    b1, a1 = s1.spr_round_streamed(radius=3)
+
+    parts2, tree2 = perturbed()
+    s2 = TreeSearch(None, tree2,
+                    engine=PartitionedEngine(parts2, tree2, linked=True))
+    n2, an2 = s2.nni_round_batched()
+    b2, a2 = s2.spr_round_batched(radius=3)
+    assert (an1, a1) == (an2, a2)
+    np.testing.assert_allclose(n1, n2, rtol=1e-9)
+    np.testing.assert_allclose(b1, b2, rtol=1e-9)
+
+    # unlinked branches fall back to the batched rounds (streamed
+    # schedules assume one shared branch-length set on the tree)
+    parts3, tree3 = perturbed()
+    s3 = TreeSearch(None, tree3,
+                    engine=PartitionedEngine(parts3, tree3, linked=False))
+    s3.evaluate()
+    assert not s3._streamed_eligible()
