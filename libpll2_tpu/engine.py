@@ -1176,13 +1176,23 @@ class TreeEngine:
         PMATRIX-INDEX order (the engine's storage order) — traversal-ordered
         lists from create_operations must be permuted through their
         pmatrix_indices first, as the constructor does."""
-        total, _ = self.loglikelihood_persite(branches)
-        return total
+        total, _ = self._loglikelihood_dev(branches)
+        return float(total)
 
     def loglikelihood_persite(self, branches=None):
         """(total logL, per-site WEIGHTED logL [sites_padded]) — the
         reference's persite_lnl output (likelihood.c:122 persite arg);
         synthetic asc columns and lane padding carry 0."""
+        total, per = self._loglikelihood_dev(branches)
+        return float(total), self._persite_host(per)
+
+    def _loglikelihood_dev(self, branches=None):
+        """Full evaluation with NO host sync: returns (total, per-site)
+        as device values; the partition's CLV/scaler/pmatrix buffers
+        update as device futures. Callers overlap host work (schedule
+        builds, ranking) with the device evaluation — on a tunneled
+        device the round-trip otherwise serializes every consumer (the
+        per-site transfer alone cost ~25 ms per plain logL call)."""
         p = self.partition
         if branches is not None:
             self.branches = self._rep(jnp.asarray(branches, p.dtype))
@@ -1197,7 +1207,7 @@ class TreeEngine:
                 pallas_interpret=self.pallas_interpret,
                 edge_params=self.edge_params)
             p.clv_flat, p.sc_flat, p.pmatrix = clv_flat, sc_flat, pmatrix
-            return float(total), self._persite_host(per)
+            return total, per
         clv0, sc0 = self._dense_bufs()
         total, per, clv, scaler, pmatrix = _fused_loglikelihood(
             clv0, sc0, *self._model_args(),
@@ -1213,7 +1223,7 @@ class TreeEngine:
         p.pmatrix = pmatrix
         if not self.repeats_dense_fused:
             p.clv, p.scale_buffer = clv, scaler
-        return float(total), self._persite_host(per)
+        return total, per
 
     def _persite_host(self, per):
         """Per-site vector as numpy. Under a multi-process mesh only this

@@ -196,3 +196,130 @@ def repeats_tips(codes: np.ndarray
         _ptr(c, ct.c_uint64), sites,
         _ptr(site_id, ct.c_int32), _ptr(id_site, ct.c_int32))
     return site_id, id_site[:ids].copy(), int(ids)
+
+
+def _stream_sigs(lib):
+    i32p, i64p = ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int64)
+    f64p = ct.POINTER(ct.c_double)
+    lib.pll_tpu_spr_stream_enum.restype = ct.c_int64
+    lib.pll_tpu_spr_stream_enum.argtypes = [
+        i32p, i32p, ct.c_int64, ct.c_int64, ct.c_int32,
+        i32p, i64p, i32p, i32p, i32p, ct.c_int64, ct.c_int64]
+    lib.pll_tpu_spr_stream_build.restype = ct.c_int64
+    lib.pll_tpu_spr_stream_build.argtypes = [
+        i32p, i32p, i32p, i32p, i32p, f64p,
+        ct.c_int64, ct.c_int64, ct.c_int32, ct.c_int64,
+        i32p, i64p, i32p, i32p, i32p, ct.c_int64,
+        i32p, i64p,
+        ct.c_int64, ct.c_int64, ct.c_int64,
+        i32p, i32p, i32p, i32p, i32p, i32p,
+        i32p, f64p, f64p, i32p, i32p, i32p, i32p, i64p]
+
+
+def spr_stream_enum(back, next_, T: int, radius: int):
+    """Radius-limited target enumeration for every internal edge in
+    one native call (pll_tpu_spr_stream_enum; identical order to
+    search._internal_edges x spr_stream.enumerate_targets). Returns
+    (prune [G], group_off [G+1], tgt, tgt_parent, tgt_sib) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_stream_sigs_done"):
+        _stream_sigs(lib)
+        lib._stream_sigs_done = True
+    H = back.shape[0]
+    back = np.ascontiguousarray(back, np.int32)
+    next_ = np.ascontiguousarray(next_, np.int32)
+    ub_g = max(H - T, 1)
+    ub_t = max(ub_g * min(2 << radius, 2 * T + 8), 16)
+    for _ in range(2):
+        prune = np.zeros(ub_g, np.int32)
+        goff = np.zeros(ub_g + 1, np.int64)
+        tgt = np.zeros(ub_t, np.int32)
+        tpar = np.zeros(ub_t, np.int32)
+        tsib = np.zeros(ub_t, np.int32)
+        ng = lib.pll_tpu_spr_stream_enum(
+            _ptr(back, ct.c_int32), _ptr(next_, ct.c_int32), H, T,
+            radius, _ptr(prune, ct.c_int32), _ptr(goff, ct.c_int64),
+            _ptr(tgt, ct.c_int32), _ptr(tpar, ct.c_int32),
+            _ptr(tsib, ct.c_int32), ub_g, ub_t)
+        if ng >= 0:
+            nt = int(goff[ng])
+            return (prune[:ng], goff[:ng + 1], tgt[:nt], tpar[:nt],
+                    tsib[:nt])
+        ub_t *= 4
+    return None
+
+
+def spr_stream_build(back, next_, clv, scaler, pmat, length, T: int,
+                     vroot: int, width: int,
+                     prune, group_off, tgt, tgt_parent, tgt_sib,
+                     kept, kept_off,
+                     n_nodes: int, n_scalers: int, n_edges: int):
+    """Whole streamed-round schedule construction in one native call
+    (pll_tpu_spr_stream_build; bit-identical rows/waves to the Python
+    build_spr_stream). Returns a dict of dense arrays or None."""
+    lib = load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_stream_sigs_done"):
+        _stream_sigs(lib)
+        lib._stream_sigs_done = True
+    H = back.shape[0]
+    arrs = [np.ascontiguousarray(a, np.int32)
+            for a in (back, next_, clv, scaler, pmat)]
+    length = np.ascontiguousarray(length, np.float64)
+    prune = np.ascontiguousarray(prune, np.int32)
+    group_off = np.ascontiguousarray(group_off, np.int64)
+    tgt = np.ascontiguousarray(tgt, np.int32)
+    tgt_parent = np.ascontiguousarray(tgt_parent, np.int32)
+    tgt_sib = np.ascontiguousarray(tgt_sib, np.int32)
+    kept = np.ascontiguousarray(kept, np.int32)
+    kept_off = np.ascontiguousarray(kept_off, np.int64)
+    n_groups = prune.shape[0]
+    ub_post = T + 2
+    ub_up = 2 * T + 8
+    ub_a = max(tgt.shape[0], 1)
+    ub_c = max(kept.shape[0], 1)
+    post_rows = np.zeros((ub_post, 8), np.int32)
+    post_wave = np.zeros(ub_post, np.int32)
+    up_rows = np.zeros((ub_up, 8), np.int32)
+    up_wave = np.zeros(ub_up, np.int32)
+    a_rows = np.zeros((ub_a, 8), np.int32)
+    a_wave = np.zeros(ub_a, np.int32)
+    cand = np.zeros((ub_c, 7), np.int32)
+    half_len = np.zeros(ub_c, np.float64)
+    merged = np.zeros(max(n_groups, 1), np.float64)
+    pair_p = np.zeros(ub_c, np.int32)
+    pair_t = np.zeros(ub_c, np.int32)
+    rm_clv = np.full(H, -9, np.int32)
+    rm_sc = np.full(H, -9, np.int32)
+    counts = np.zeros(6, np.int64)
+    r = lib.pll_tpu_spr_stream_build(
+        _ptr(arrs[0], ct.c_int32), _ptr(arrs[1], ct.c_int32),
+        _ptr(arrs[2], ct.c_int32), _ptr(arrs[3], ct.c_int32),
+        _ptr(arrs[4], ct.c_int32), _ptr(length, ct.c_double),
+        H, T, vroot, width,
+        _ptr(prune, ct.c_int32), _ptr(group_off, ct.c_int64),
+        _ptr(tgt, ct.c_int32), _ptr(tgt_parent, ct.c_int32),
+        _ptr(tgt_sib, ct.c_int32), n_groups,
+        _ptr(kept, ct.c_int32), _ptr(kept_off, ct.c_int64),
+        n_nodes, n_scalers, n_edges,
+        _ptr(post_rows, ct.c_int32), _ptr(post_wave, ct.c_int32),
+        _ptr(up_rows, ct.c_int32), _ptr(up_wave, ct.c_int32),
+        _ptr(a_rows, ct.c_int32), _ptr(a_wave, ct.c_int32),
+        _ptr(cand, ct.c_int32), _ptr(half_len, ct.c_double),
+        _ptr(merged, ct.c_double),
+        _ptr(pair_p, ct.c_int32), _ptr(pair_t, ct.c_int32),
+        _ptr(rm_clv, ct.c_int32), _ptr(rm_sc, ct.c_int32),
+        _ptr(counts, ct.c_int64))
+    if r != 0:
+        return None
+    n_post, n_up, n_a, n_cand, n_merged, n_aux = (int(c) for c in counts)
+    return {"post_rows": post_rows[:n_post], "post_wave": post_wave[:n_post],
+            "up_rows": up_rows[:n_up], "up_wave": up_wave[:n_up],
+            "a_rows": a_rows[:n_a], "a_wave": a_wave[:n_a],
+            "cand": cand[:n_cand], "half_len": half_len[:n_cand],
+            "merged_len": merged[:n_merged],
+            "pair_prune": pair_p[:n_cand], "pair_tgt": pair_t[:n_cand],
+            "rowmap_clv": rm_clv, "rowmap_sc": rm_sc, "n_aux": n_aux}

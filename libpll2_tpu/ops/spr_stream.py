@@ -115,13 +115,159 @@ def pack_waves(rows: Sequence[Sequence[int]], deps: Sequence[int],
     return table, valid
 
 
+class _LazyPairs:
+    """(prune, target) UNode pairs materialized on access — a round only
+    inspects the few top-ranked candidates of the ~10^4-entry list."""
+
+    def __init__(self, prune_ids, tgt_ids, node_of):
+        self._p, self._t, self._nodes = prune_ids, tgt_ids, node_of
+
+    def __len__(self):
+        return len(self._p)
+
+    def __getitem__(self, i):
+        return self._nodes[self._p[i]], self._nodes[self._t[i]]
+
+
+def _scatter_table(rows: np.ndarray, wave: np.ndarray, scratch: int,
+                   width: int, min_waves_val: int, wave_bucket: int = 4):
+    """Vectorized assembly of a [L, W, 8] level table from dense rows +
+    native greedy wave assignments (pack_waves' layout: within-wave
+    order = creation order)."""
+    n = rows.shape[0]
+    n_waves = int(wave.max()) + 1 if n else 1
+    L = _bucket(max(n_waves, min_waves_val, 1), wave_bucket)
+    table = np.zeros((L, width, 8), np.int32)
+    table[:, :, 0] = scratch
+    table[:, :, 1] = -1
+    valid = np.zeros((L, width), bool)
+    if n:
+        order = np.argsort(wave, kind="stable")
+        w = wave[order]
+        pos = np.arange(n) - np.searchsorted(w, w)
+        table[w, pos] = rows[order]
+        valid[w, pos] = True
+    return table, valid
+
+
+def build_spr_stream_native(tree, radius: int, n_nodes: int,
+                            n_scalers: int, n_edges: int,
+                            max_candidates=None, rng=None,
+                            width: int = WAVE_W, min_waves=None):
+    """Whole-round schedule via the native builder
+    (native/pllnative.cpp pll_tpu_spr_stream_{enum,build}): target
+    enumeration, directional/postorder/corrected row emission and greedy
+    wave assignment run in C++ over flat half-edge arrays; numpy
+    scatters the tables and applies the pow2/zero-scaler padding. Rows,
+    waves and candidate order are bit-identical to build_spr_stream
+    (validated by test_spr_stream); rng subsampling stays host-side for
+    stream parity with the batched rounds. Returns None without the
+    native lib (callers fall back to the Python builder)."""
+    from .. import native
+    if native.load() is None:
+        return None
+    from ..search import _flatten_tree
+    back, nxt, clv, scaler, pmat, length, node_of, ids = \
+        _flatten_tree(tree)
+    T = tree.tip_count
+    vr = tree.vroot
+    if vr.next is None:
+        vr = vr.back
+    enum = native.spr_stream_enum(back, nxt, T, radius)
+    if enum is None:
+        return None
+    prune, goff, tgt, tpar, tsib = enum
+    sizes = np.diff(goff)
+    if not max_candidates:
+        # full round: kept = every target in order, per group
+        kept = (np.arange(goff[-1], dtype=np.int64)
+                - np.repeat(goff[:-1], sizes)).astype(np.int32)
+        kept_off = goff.copy()
+    else:
+        kept_chunks = []
+        for sz in sizes:
+            sz = int(sz)
+            if sz > max_candidates:
+                kept_chunks.append(np.asarray(
+                    rng.permutation(sz)[:max_candidates], np.int32))
+            else:
+                kept_chunks.append(np.arange(sz, dtype=np.int32))
+        kept = (np.concatenate(kept_chunks) if kept_chunks
+                else np.zeros(0, np.int32))
+        kept_off = np.zeros(len(sizes) + 1, np.int64)
+        if kept_chunks:
+            np.cumsum([len(c) for c in kept_chunks], out=kept_off[1:])
+    res = native.spr_stream_build(
+        back, nxt, clv, scaler, pmat, length, T, ids[id(vr)], width,
+        prune, goff, tgt, tpar, tsib, kept, kept_off,
+        n_nodes, n_scalers, n_edges)
+    if res is None:
+        return None
+
+    n_a = res["a_rows"].shape[0]
+    n_aux = res["n_aux"]
+    n_arows = _pow2(max(n_a, 1))
+    scratch = n_nodes + n_aux + n_arows
+    zero_sc = n_scalers + n_aux + n_arows + 1
+    mw = min_waves or {}
+
+    def fix(rows):
+        rows = rows.copy()
+        for col in (4, 7):
+            rows[:, col] = np.where(rows[:, col] < 0, zero_sc,
+                                    rows[:, col])
+        return rows
+
+    post_table, post_valid = _scatter_table(
+        fix(res["post_rows"]), res["post_wave"], scratch, width,
+        mw.get("post", 0))
+    up_table, up_valid = _scatter_table(
+        fix(res["up_rows"]), res["up_wave"], scratch, width,
+        mw.get("up", 0))
+    a_table, a_valid = _scatter_table(
+        fix(res["a_rows"]), res["a_wave"], scratch, width,
+        mw.get("a", 0))
+
+    n_candidates = res["cand"].shape[0]
+    C = _pow2(max(n_candidates, 1))
+    cand_arr = np.zeros((C, 7), np.int32)
+    hl = np.zeros(C)
+    if n_candidates:
+        cand_arr[:n_candidates] = res["cand"]
+        cand_arr[n_candidates:] = res["cand"][-1]
+        hl[:n_candidates] = res["half_len"]
+        hl[n_candidates:] = res["half_len"][-1]
+    cand_arr[:, (1, 3, 5)] = np.where(cand_arr[:, (1, 3, 5)] < 0,
+                                      zero_sc, cand_arr[:, (1, 3, 5)])
+    nm = res["merged_len"].shape[0]
+    ml = np.zeros(_pow2(max(nm, 1)))
+    ml[:nm] = res["merged_len"]
+    blen_full = np.zeros(n_edges)
+    linked = back >= 0
+    blen_full[pmat[linked]] = length[linked]
+    pairs = _LazyPairs(res["pair_prune"], res["pair_tgt"], node_of)
+    return SprStreamSchedule(
+        post_table=post_table, post_valid=post_valid,
+        up_table=up_table, up_valid=up_valid,
+        a_table=a_table, a_valid=a_valid,
+        cand_rows=cand_arr, half_len=hl, blen_full=blen_full,
+        merged_len=ml, n_candidates=n_candidates, n_aux=n_aux,
+        n_arows=n_arows, pairs=pairs,
+        rowmap=(ids, res["rowmap_clv"], res["rowmap_sc"]))
+
+
 def ops_from_table(table: np.ndarray) -> Operations:
-    t = jnp.asarray(table)
+    # host-side slicing on purpose: the columns transfer with the jit
+    # dispatch that consumes them. Slicing a device array here instead
+    # costs 8 eager device ops per table — ~24 tunnel round trips per
+    # streamed round, which dominated the warm-round host share.
+    t = np.asarray(table)
+    col = lambda k: np.ascontiguousarray(t[:, :, k])  # noqa: E731
     return Operations(
-        parent_clv=t[:, :, 0], parent_scaler=t[:, :, 1],
-        child1_clv=t[:, :, 2], child1_matrix=t[:, :, 3],
-        child1_scaler=t[:, :, 4], child2_clv=t[:, :, 5],
-        child2_matrix=t[:, :, 6], child2_scaler=t[:, :, 7])
+        parent_clv=col(0), parent_scaler=col(1),
+        child1_clv=col(2), child1_matrix=col(3),
+        child1_scaler=col(4), child2_clv=col(5),
+        child2_matrix=col(6), child2_scaler=col(7))
 
 
 def enumerate_targets(p, radius: int):
@@ -384,14 +530,26 @@ def build_nni_stream(tree, edges, n_nodes: int, n_scalers: int,
     """
     from .. import constants as C
 
-    sched = build_spr_stream(tree, [], n_nodes, n_scalers, n_edges,
-                             width=width, min_waves=min_waves)
+    sched = build_spr_stream_native(tree, 0, n_nodes, n_scalers,
+                                    n_edges, width=width,
+                                    min_waves=min_waves)
+    if sched is None:
+        sched = build_spr_stream(tree, [], n_nodes, n_scalers, n_edges,
+                                 width=width, min_waves=min_waves)
     rowmap = sched.rowmap
     zero_sc = n_scalers + sched.n_aux + sched.n_arows + 1
 
-    def entry(h):
-        row, sc = rowmap[id(h)]
-        return row, (sc if sc >= 0 else zero_sc)
+    if isinstance(rowmap, dict):
+        def entry(h):
+            row, sc = rowmap[id(h)]
+            return row, (sc if sc >= 0 else zero_sc)
+    else:                      # native: (ids, rowmap_clv, rowmap_sc)
+        ids, rm_clv, rm_sc = rowmap
+
+        def entry(h):
+            hid = ids[id(h)]
+            sc = int(rm_sc[hid])
+            return int(rm_clv[hid]), (sc if sc >= 0 else zero_sc)
 
     cand: List[List[int]] = []
     mv: List[Tuple] = []

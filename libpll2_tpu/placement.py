@@ -349,11 +349,15 @@ class EdgePlacer:
         codes = np.zeros((q_pad, S), np.int32)
         for qi, lab in enumerate(labels):
             codes[qi] = self._query_codes(query_seqs[lab])
-        out = np.zeros((q_pad, a_w.shape[0]))
-        for q0 in range(0, q_pad, chunk):
-            out[q0:q0 + chunk] = np.asarray(_stream_scores(
-                jnp.asarray(codes[q0:q0 + chunk]), a_w, cnt, pend, pw,
-                log_thr, n_states=p.states, tile=tile))
+        # queue every chunk's transfer + dispatch before blocking on any
+        # result: on a tunneled device the per-dispatch latency then
+        # overlaps the compute instead of serializing behind a blocking
+        # np.asarray per chunk
+        devs = [_stream_scores(
+            jnp.asarray(codes[q0:q0 + chunk]), a_w, cnt, pend, pw,
+            log_thr, n_states=p.states, tile=tile)
+            for q0 in range(0, q_pad, chunk)]
+        out = np.concatenate([np.asarray(d) for d in devs], axis=0)
         return dict(zip(labels,
                         self._rank_rows_batch(out[:Q], top_k)))
 

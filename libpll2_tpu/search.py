@@ -137,6 +137,8 @@ class TreeSearch:
 
     def _stream_build(self, builder, *args, **kwargs):
         sched = builder(*args, min_waves=self._stream_waves, **kwargs)
+        if sched is None:
+            return None
         for key, table in (("post", sched.post_table),
                            ("up", sched.up_table),
                            ("a", sched.a_table)):
@@ -406,11 +408,11 @@ class TreeSearch:
             t = spr_stream.nni_stream_scores(
                 p.clv, p.scale_buffer, *margs,
                 spr_stream.ops_from_table(sched.post_table),
-                jnp.asarray(sched.post_valid),
+                np.asarray(sched.post_valid),
                 spr_stream.ops_from_table(sched.up_table),
-                jnp.asarray(sched.up_valid),
-                jnp.asarray(sched.blen_full, p.dtype),
-                jnp.asarray(sched.cand_rows), pw, invariant,
+                np.asarray(sched.up_valid),
+                np.asarray(sched.blen_full, p.dtype),
+                np.asarray(sched.cand_rows), pw, invariant,
                 p.scale_threshold, p.scale_factor,
                 n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
                 mesh=getattr(p, "mesh", None))
@@ -429,21 +431,36 @@ class TreeSearch:
             t = spr_stream.spr_stream_scores(
                 p.clv, p.scale_buffer, *margs,
                 spr_stream.ops_from_table(sched.post_table),
-                jnp.asarray(sched.post_valid),
+                np.asarray(sched.post_valid),
                 spr_stream.ops_from_table(sched.up_table),
-                jnp.asarray(sched.up_valid),
+                np.asarray(sched.up_valid),
                 spr_stream.ops_from_table(sched.a_table),
-                jnp.asarray(sched.a_valid),
-                jnp.asarray(sched.blen_full, p.dtype),
-                jnp.asarray(sched.merged_len, p.dtype),
-                jnp.asarray(sched.half_len, p.dtype),
-                jnp.asarray(sched.cand_rows), pw, invariant,
+                np.asarray(sched.a_valid),
+                np.asarray(sched.blen_full, p.dtype),
+                np.asarray(sched.merged_len, p.dtype),
+                np.asarray(sched.half_len, p.dtype),
+                np.asarray(sched.cand_rows), pw, invariant,
                 p.scale_threshold, p.scale_factor,
                 n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
                 mesh=getattr(p, "mesh", None))
             t = np.asarray(t, np.float64)
             totals = t if totals is None else totals + t
         return totals[:sched.n_candidates]
+
+    def _evaluate_begin(self):
+        """Round-start evaluation WITHOUT host sync where possible: a
+        plain TreeEngine returns the 0-d device logL (CLV buffers update
+        as device futures, so the streamed scoring dispatch chains
+        on-device while the host builds the schedule — the blocking
+        float() lands after the scores dispatch, by which time the eval
+        is long done). First calls and injected engines evaluate
+        eagerly."""
+        if self._engine is None or not isinstance(self._engine,
+                                                  TreeEngine):
+            return self.evaluate()
+        self._engine.set_topology(self.tree)
+        total, _ = self._engine._loglikelihood_dev()
+        return total
 
     def nni_round_streamed(self, chunk: int = 256, verify_top: int = 4
                            ) -> Tuple[float, int]:
@@ -454,7 +471,7 @@ class TreeSearch:
         swaps subtrees whose directional CLVs are unchanged. The winner
         is verified with a full engine evaluation before acceptance.
         Falls back to nni_round_batched for ineligible configurations."""
-        best = self.evaluate()
+        best = self._evaluate_begin()
         if not self._streamed_eligible():
             return self.nni_round_batched()
         from .ops import spr_stream
@@ -464,11 +481,12 @@ class TreeSearch:
         while True:
             edges = _internal_edges(self.tree)
             if not edges:
-                return best, accepted
+                return float(best), accepted
             sched = self._stream_build(
                 spr_stream.build_nni_stream, self.tree, edges,
                 p.clv.shape[0], p.scale_buffers, p.prob_matrices)
             scores = self._summed_nni_scores(sched, chunk)
+            best = float(best)
             applied = False
             for i in np.argsort(-scores)[:verify_top]:
                 if scores[i] <= best + self.epsilon:
@@ -500,7 +518,7 @@ class TreeSearch:
         falling through the next-best candidates on a near-tie. Falls
         back to spr_round_batched for configurations the streamed
         scorer excludes."""
-        best = self.evaluate()
+        best = self._evaluate_begin()
         if not self._streamed_eligible():
             return self.spr_round_batched(radius=radius, seed=seed,
                                           max_candidates=max_candidates)
@@ -510,21 +528,34 @@ class TreeSearch:
         accepted = 0
         rng = np.random.default_rng(seed)
         while True:
-            groups = []
-            for pr in list(_internal_edges(self.tree)):
-                ts = spr_stream.enumerate_targets(pr, radius)
-                kept = None
-                if max_candidates and len(ts) > max_candidates:
-                    # same rng consumption pattern as spr_round_batched,
-                    # so both rounds score the same candidate subsets
-                    kept = list(rng.permutation(len(ts))[:max_candidates])
-                groups.append((pr, ts, kept))
-            if not any(ts for _, ts, _ in groups):
-                return best, accepted
+            # native whole-round schedule construction (C++ enumeration
+            # + row emission + wave packing; bit-identical tables, same
+            # rng consumption) — the Python builder is the fallback
             sched = self._stream_build(
-                spr_stream.build_spr_stream, self.tree, groups,
-                p.clv.shape[0], p.scale_buffers, p.prob_matrices)
+                spr_stream.build_spr_stream_native, self.tree, radius,
+                p.clv.shape[0], p.scale_buffers, p.prob_matrices,
+                max_candidates=max_candidates, rng=rng)
+            if sched is None:
+                groups = []
+                for pr in list(_internal_edges(self.tree)):
+                    ts = spr_stream.enumerate_targets(pr, radius)
+                    kept = None
+                    if max_candidates and len(ts) > max_candidates:
+                        # same rng consumption pattern as
+                        # spr_round_batched, so both rounds score the
+                        # same candidate subsets
+                        kept = list(
+                            rng.permutation(len(ts))[:max_candidates])
+                    groups.append((pr, ts, kept))
+                if not any(ts for _, ts, _ in groups):
+                    return float(best), accepted
+                sched = self._stream_build(
+                    spr_stream.build_spr_stream, self.tree, groups,
+                    p.clv.shape[0], p.scale_buffers, p.prob_matrices)
+            elif sched.n_candidates == 0:
+                return float(best), accepted
             scores = self._summed_spr_scores(sched, chunk)
+            best = float(best)
             applied = False
             for i in np.argsort(-scores)[:verify_top]:
                 if scores[i] <= best + self.epsilon:

@@ -300,3 +300,48 @@ def test_streamed_round_fallback_on_asc():
     s = TreeSearch(part, tree)
     best, acc = s.spr_round_streamed(radius=3)
     assert np.isfinite(best)
+
+
+def test_native_schedule_matches_python_builder():
+    """The native whole-round schedule builder (pllnative.cpp
+    pll_tpu_spr_stream_{enum,build}) must reproduce the Python
+    build_spr_stream BIT-EXACTLY — tables, waves, candidate rows and
+    order, subsample rng consumption — across full and subsampled
+    rounds. The streamed-round tests above already exercise the native
+    path end to end (search prefers it); this pins the equivalence."""
+    from libpll2_tpu import native
+    from libpll2_tpu.search import _internal_edges
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    for n_taxa, seed, radius, maxc in ((16, 3, 4, None), (16, 7, 3, 2),
+                                       (40, 5, 5, 3), (7, 2, 2, None)):
+        part, tree = _problem(n_taxa, 16, seed=seed)
+        args = (part.clv.shape[0], part.scale_buffers,
+                part.prob_matrices)
+
+        rng1 = np.random.default_rng(5)
+        groups = []
+        for pr in _internal_edges(tree):
+            ts = spr_stream.enumerate_targets(pr, radius)
+            kept = None
+            if maxc and len(ts) > maxc:
+                kept = list(rng1.permutation(len(ts))[:maxc])
+            groups.append((pr, ts, kept))
+        sp = spr_stream.build_spr_stream(tree, groups, *args)
+
+        rng2 = np.random.default_rng(5)
+        sn = spr_stream.build_spr_stream_native(
+            tree, radius, *args, max_candidates=maxc, rng=rng2)
+        assert sn is not None
+        for f in ("post_table", "post_valid", "up_table", "up_valid",
+                  "a_table", "a_valid", "cand_rows", "half_len",
+                  "blen_full", "merged_len"):
+            np.testing.assert_array_equal(
+                getattr(sp, f), getattr(sn, f),
+                err_msg=f"{f} taxa={n_taxa} r={radius} maxc={maxc}")
+        assert sp.n_candidates == sn.n_candidates
+        assert (sp.n_aux, sp.n_arows) == (sn.n_aux, sn.n_arows)
+        assert len(sp.pairs) == len(sn.pairs)
+        for (p1, t1), (p2, t2) in zip(sp.pairs, sn.pairs):
+            assert p1 is p2 and t1 is t2
