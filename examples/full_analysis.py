@@ -4,8 +4,10 @@ this framework:
 
   1. alignment -> pattern compression
   2. parsimony stepwise-addition starting tree (bit-reproducible)
-  3. gradient optimization of ALL branch lengths + GTR model parameters
-  4. NNI hill climbing with one-dispatch candidate scoring
+  3. model optimization on the fused fast path (batched central-
+     difference Adam over subst+freqs) + all-branches Newton smoothing
+     in one dispatch per pass
+  4. NNI hill climbing scored from directional CLVs (streamed round)
   5. bootstrap support from ONE evaluation (logL is weight-linear)
   6. checkpoint of the final model + tree
 
@@ -18,10 +20,17 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
+# persistent compilation cache: the batched-trial optimizer programs are
+# large and tunneled-TPU compiles are slow — cache them across runs
+import jax
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 from libpll2_tpu import Partition, TreeEngine, checkpoint, compute_gamma_cats
 from libpll2_tpu.io import maps
 from libpll2_tpu.io.compress import compress_site_patterns
-from libpll2_tpu.optimize import maximize_loglikelihood
+from libpll2_tpu.optimize import (maximize_fused, maximize_loglikelihood,
+                                  newton_smooth_all)
 from libpll2_tpu.parsimony import FastParsimony
 from libpll2_tpu.parsimony.stepwise import fastparsimony_stepwise
 from libpll2_tpu.search import TreeSearch
@@ -72,27 +81,39 @@ def main(seed=42):
     part.set_frequencies(0, [0.25] * 4)
     part.set_subst_params(0, [1.0, 1.1, 0.9, 1.05, 0.95, 1.0])
     part.set_category_rates(compute_gamma_cats(1.0, 4))
-    eng = TreeEngine(part, tree, pallas=False)
+    eng = TreeEngine(part, tree)
     print(f"[{time.time()-t0:5.1f}s] starting logL: "
-          f"{eng.loglikelihood():.4f}")
+          f"{eng.loglikelihood():.4f} (path: {eng.execution_path})")
 
-    # --- 3. gradient optimization (all branches + GTR + freqs) ----------
-    lk, params, hist = maximize_loglikelihood(
-        eng, ("branches", "subst", "freqs"), steps=200, learning_rate=0.04)
-    eng.apply_branches_to_tree(tree)     # search reads lengths off the tree
+    # --- 3. model + branch optimization on the fast path ----------------
+    if eng.use_fused:
+        # subst/freq trials stay on the fused kernel (2n+1 trials per
+        # Adam step as ONE batched program); branches via the one-
+        # dispatch all-edges Newton sweep. Two alternations converge to
+        # the joint optimum; the second reuses every compiled program.
+        hist = []
+        for _ in range(2):
+            lk, params, h = maximize_fused(eng, ("subst", "freqs"),
+                                           steps=75, learning_rate=0.05)
+            hist += h
+            lk = newton_smooth_all(eng, tree, passes=2)
+    else:                       # fp64 validation mode: gradient path
+        lk, params, hist = maximize_loglikelihood(
+            eng, ("branches", "subst", "freqs"), steps=200,
+            learning_rate=0.04)
+        eng.apply_branches_to_tree(tree)
     print(f"[{time.time()-t0:5.1f}s] after model+brlen optimization: "
-          f"{lk:.4f} ({len(hist)} steps)")
+          f"{lk:.4f} ({len(hist)} model steps)")
 
-    # --- 4. NNI hill climbing (batched candidate scoring) ---------------
+    # --- 4. NNI hill climbing (streamed directional-CLV scoring) --------
     search = TreeSearch(part, tree)
-    lk_search, accepted = search.nni_round_batched()
+    lk_search, accepted = search.nni_round_streamed()
     print(f"[{time.time()-t0:5.1f}s] after NNI search: {lk_search:.4f} "
           f"({accepted} moves accepted)")
 
-    # re-optimize branches on the final topology
-    eng2 = TreeEngine(part, tree, pallas=False)
-    lk_final, _, _ = maximize_loglikelihood(eng2, ("branches",), steps=100)
-    eng2.apply_branches_to_tree(tree)
+    # re-smooth branches on the final topology
+    eng2 = TreeEngine(part, tree)
+    lk_final = newton_smooth_all(eng2, tree, passes=2)
     print(f"[{time.time()-t0:5.1f}s] final logL: {lk_final:.4f}")
 
     # --- 5. bootstrap ------------------------------------------------------
