@@ -235,6 +235,10 @@ def _problems():
     # certifies the search fast path end to end (scaler propagation
     # through the up/corrected passes included)
     add("dna_stream", t2, h2, s2, 4, 512, alpha=0.5, stream=3)
+    # the same streamed candidate set under PER-RATE scalers
+    # (core_partials.c:760 under the search fast path)
+    add("dna_stream_prs", t2, h2, s2, 4, 512, alpha=0.5, stream=3,
+        rate_scalers=True)
 
     # rooted tree (rtree path: step-by-step update_partials +
     # compute_root_loglikelihood, reference test/src/rooted.c analog)
@@ -280,7 +284,8 @@ def _stream_summary(part, tree, radius: int):
         jnp.asarray(sched.half_len, part.dtype),
         jnp.asarray(sched.cand_rows), pw, invariant,
         part.scale_threshold, part.scale_factor,
-        n_aux=sched.n_aux, n_arows=sched.n_arows)
+        n_aux=sched.n_aux, n_arows=sched.n_arows,
+        rate_scalers=part.rate_scalers)
     scores = np.asarray(totals)[:sched.n_candidates]
     return float(scores.max()), float(scores.mean())
 

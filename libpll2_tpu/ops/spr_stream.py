@@ -40,8 +40,8 @@ strict depth-levels. Wave counts and candidate counts pad to buckets so
 a topology change almost never recompiles.
 
 Eligibility (the search falls back to the batched full-traversal round
-otherwise): per-site scalers, no ascertainment bias, no site repeats,
-homogeneous models (no per-edge heterotachy). Site-sharded partitions
+otherwise): per-site OR per-rate scalers, no ascertainment bias, no site
+repeats, homogeneous models (no per-edge heterotachy). Site-sharded partitions
 run the scoring body per shard under `jax.shard_map` with ONE psum of
 the per-candidate logL sums — the library's only collective.
 """
@@ -598,15 +598,29 @@ def _extend_buffers(clv, scaler, n_aux: int, n_arows: int):
 
 
 def _site_totals(terma_r, site_sc, f, pinv, rate_weights, invariant, pw,
-                 scale_threshold: float, dtype):
-    """[c, R, S] per-rate site terms + [c, S] scaler counts -> [c]
-    pattern-weighted logL sums (the edge-likelihood epilogue,
-    reference likelihood.c:586 semantics, batched over candidates)."""
-    def mix_one(tr):
-        return _mix_rates(tr, None, f, pinv, rate_weights,
-                          invariant, dtype)
+                 scale_threshold: float, dtype,
+                 rate_scalers: bool = False):
+    """[c, R, S] per-rate site terms + [c, S] (or [c, R, S] per-rate
+    mode) scaler counts -> [c] pattern-weighted logL sums (the
+    edge-likelihood epilogue, reference likelihood.c:586 semantics incl.
+    the capped per-rate undo of core_likelihood.c:1463, batched over
+    candidates)."""
+    if rate_scalers:
+        from .likelihood import _site_scalings
 
-    terma, terminv = jax.vmap(mix_one)(terma_r)
+        def mix_one_r(tr, sc):
+            s, rf = _site_scalings(sc, True, scale_threshold, dtype)
+            ta, ti = _mix_rates(tr, rf, f, pinv, rate_weights,
+                                invariant, dtype)
+            return ta, ti, s
+
+        terma, terminv, site_sc = jax.vmap(mix_one_r)(terma_r, site_sc)
+    else:
+        def mix_one(tr):
+            return _mix_rates(tr, None, f, pinv, rate_weights,
+                              invariant, dtype)
+
+        terma, terminv = jax.vmap(mix_one)(terma_r)
 
     def fin_one(ta, ti, sc):
         return _finalize_site_lk(ta, ti, sc, scale_threshold, dtype)
@@ -620,7 +634,8 @@ def _nni_core(clv, scaler, pm_full, post_ops, post_valid, up_ops,
               up_valid, cand_rows, pattern_weights, invariant,
               f, pinv, rate_weights,
               scale_threshold: float, scale_factor: float,
-              n_aux: int, n_arows: int, chunk: int, axis):
+              n_aux: int, n_arows: int, chunk: int, axis,
+              rate_scalers: bool = False):
     """Per-shard NNI scoring body (everything after the replicated
     pmatrix computation). `axis` is the mesh axis name for the final
     logL psum, or None single-device."""
@@ -629,7 +644,7 @@ def _nni_core(clv, scaler, pm_full, post_ops, post_valid, up_ops,
     for ops, valid in ((post_ops, post_valid), (up_ops, up_valid)):
         clv_ext, sc_ext = update_partials_levels(
             clv_ext, sc_ext, pm_full, ops, valid,
-            scale_threshold, scale_factor)
+            scale_threshold, scale_factor, rate_scalers=rate_scalers)
 
     thresh = jnp.asarray(scale_threshold, dtype)
     factor = jnp.asarray(scale_factor, dtype)
@@ -651,8 +666,12 @@ def _nni_core(clv, scaler, pm_full, post_ops, post_valid, up_ops,
                         preferred_element_type=dtype, precision=HI)
              * jnp.einsum('crij,crjs->cris', p2, x2,
                           preferred_element_type=dtype, precision=HI))
-        mask = jnp.all(x < thresh, axis=(1, 2))
-        x = jnp.where(mask[:, None, None, :], x * factor, x)
+        if rate_scalers:
+            mask = jnp.all(x < thresh, axis=2)           # [c, R, S]
+            x = jnp.where(mask[:, :, None, :], x * factor, x)
+        else:
+            mask = jnp.all(x < thresh, axis=(1, 2))      # [c, S]
+            x = jnp.where(mask[:, None, None, :], x * factor, x)
         return x, s1 + s2 + mask.astype(s1.dtype)
 
     def score_chunk(carry, rows):
@@ -665,7 +684,8 @@ def _nni_core(clv, scaler, pm_full, post_ops, post_valid, up_ops,
                              preferred_element_type=dtype, precision=HI)
         return carry, _site_totals(terma_r, psc + csc, f, pinv,
                                    rate_weights, invariant, pw,
-                                   scale_threshold, dtype)
+                                   scale_threshold, dtype,
+                                   rate_scalers=rate_scalers)
 
     _, totals = jax.lax.scan(score_chunk, 0,
                              cand_rows.reshape(n_chunks, -1, 13))
@@ -679,7 +699,8 @@ def _spr_core(clv, scaler, pm_ext, pm_full, pm_half, post_ops,
               post_valid, up_ops, up_valid, a_ops, a_valid, cand_rows,
               pattern_weights, invariant, f, pinv, rate_weights,
               scale_threshold: float, scale_factor: float,
-              n_aux: int, n_arows: int, chunk: int, axis):
+              n_aux: int, n_arows: int, chunk: int, axis,
+              rate_scalers: bool = False):
     """Per-shard streamed-SPR scoring body (post-pmatrix)."""
     dtype = clv.dtype
     clv_ext, sc_ext = _extend_buffers(clv, scaler, n_aux, n_arows)
@@ -687,7 +708,7 @@ def _spr_core(clv, scaler, pm_ext, pm_full, pm_half, post_ops,
                        (a_ops, a_valid)):
         clv_ext, sc_ext = update_partials_levels(
             clv_ext, sc_ext, pm_ext, ops, valid,
-            scale_threshold, scale_factor)
+            scale_threshold, scale_factor, rate_scalers=rate_scalers)
 
     thresh = jnp.asarray(scale_threshold, dtype)
     factor = jnp.asarray(scale_factor, dtype)
@@ -710,9 +731,14 @@ def _spr_core(clv, scaler, pm_ext, pm_full, pm_half, post_ops,
               * jnp.einsum('crij,crjs->cris', ph, Drb,
                            preferred_element_type=dtype, precision=HI))
         # the regraft node's own underflow event (a real traversal
-        # scales this product exactly like any other op)
-        mask = jnp.all(cm < thresh, axis=(1, 2))         # [c, S]
-        cm = jnp.where(mask[:, None, None, :], cm * factor, cm)
+        # scales this product exactly like any other op; per-rate mode
+        # tracks the event per rate category, core_partials.c:760)
+        if rate_scalers:
+            mask = jnp.all(cm < thresh, axis=2)          # [c, R, S]
+            cm = jnp.where(mask[:, :, None, :], cm * factor, cm)
+        else:
+            mask = jnp.all(cm < thresh, axis=(1, 2))     # [c, S]
+            cm = jnp.where(mask[:, None, None, :], cm * factor, cm)
         termb = jnp.einsum('crjk,crks->crjs', pe, Dpb,
                            preferred_element_type=dtype, precision=HI)
         terma_r = jnp.einsum('crjs,rj->crs', cm * termb, f,
@@ -720,7 +746,8 @@ def _spr_core(clv, scaler, pm_ext, pm_full, pm_half, post_ops,
         site_sc = Asc + Drbsc + Dpbsc + mask.astype(Asc.dtype)
         return carry, _site_totals(terma_r, site_sc, f, pinv,
                                    rate_weights, invariant, pw,
-                                   scale_threshold, dtype)
+                                   scale_threshold, dtype,
+                                   rate_scalers=rate_scalers)
 
     rows_c = cand_rows.reshape(n_chunks, -1, 7)
     ph_c = pm_half.reshape((n_chunks, -1) + pm_half.shape[1:])
@@ -731,18 +758,22 @@ def _spr_core(clv, scaler, pm_ext, pm_full, pm_half, post_ops,
     return totals
 
 
-def _shard_specs():
+def _shard_specs(rate_scalers: bool = False):
     """(clv, scaler, site-vector, replicated) PartitionSpecs + axis name
-    for the shard-mapped scoring cores."""
+    for the shard-mapped scoring cores; per-rate scaler buffers are
+    [K, R, S] so their site axis moves one position right."""
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.sharding import SITES_AXIS
-    return P(None, None, None, SITES_AXIS), P(None, SITES_AXIS), \
+    sc = (P(None, None, SITES_AXIS) if rate_scalers
+          else P(None, SITES_AXIS))
+    return P(None, None, None, SITES_AXIS), sc, \
         P(SITES_AXIS), P(), SITES_AXIS
 
 
 @partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',
-                                   'n_aux', 'n_arows', 'chunk', 'mesh'))
+                                   'n_aux', 'n_arows', 'chunk', 'mesh',
+                                   'rate_scalers'))
 def nni_stream_scores(clv, scaler,
                       eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
                       rates, rate_weights, freqs, params_idx_rates,
@@ -751,7 +782,7 @@ def nni_stream_scores(clv, scaler,
                       pattern_weights, invariant,
                       scale_threshold: float, scale_factor: float,
                       n_aux: int, n_arows: int, chunk: int = 256,
-                      mesh=None):
+                      mesh=None, rate_scalers: bool = False):
     """All NNI candidate logLs of one round in ONE program (directional
     CLVs only — no corrected pass). Returns totals [C]. With `mesh`
     (site-sharded partitions) the body runs per shard via shard_map and
@@ -768,12 +799,13 @@ def nni_stream_scores(clv, scaler,
                          up_ops, up_valid, cand_rows, pattern_weights,
                          invariant, f, pinv, rate_weights,
                          scale_threshold, scale_factor, n_aux, n_arows,
-                         chunk, None)
+                         chunk, None, rate_scalers=rate_scalers)
     from jax import shard_map
-    clv_s, sc_s, site_s, rep, axis = _shard_specs()
+    clv_s, sc_s, site_s, rep, axis = _shard_specs(rate_scalers)
     core = partial(_nni_core, scale_threshold=scale_threshold,
                    scale_factor=scale_factor, n_aux=n_aux,
-                   n_arows=n_arows, chunk=chunk, axis=axis)
+                   n_arows=n_arows, chunk=chunk, axis=axis,
+                   rate_scalers=rate_scalers)
     return shard_map(
         core, mesh=mesh,
         in_specs=(clv_s, sc_s, rep, rep, rep, rep, rep, rep,
@@ -784,7 +816,8 @@ def nni_stream_scores(clv, scaler,
 
 
 @partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',
-                                   'n_aux', 'n_arows', 'chunk', 'mesh'))
+                                   'n_aux', 'n_arows', 'chunk', 'mesh',
+                                   'rate_scalers'))
 def spr_stream_scores(clv, scaler,
                       eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
                       rates, rate_weights, freqs, params_idx_rates,
@@ -795,7 +828,7 @@ def spr_stream_scores(clv, scaler,
                       pattern_weights, invariant,
                       scale_threshold: float, scale_factor: float,
                       n_aux: int, n_arows: int, chunk: int = 256,
-                      mesh=None):
+                      mesh=None, rate_scalers: bool = False):
     """All candidate logLs of one streamed SPR round in ONE program.
 
     Returns totals [C] (padded tail repeats the last real candidate).
@@ -822,12 +855,13 @@ def spr_stream_scores(clv, scaler,
                          a_ops, a_valid, cand_rows, pattern_weights,
                          invariant, f, pinv, rate_weights,
                          scale_threshold, scale_factor, n_aux, n_arows,
-                         chunk, None)
+                         chunk, None, rate_scalers=rate_scalers)
     from jax import shard_map
-    clv_s, sc_s, site_s, rep, axis = _shard_specs()
+    clv_s, sc_s, site_s, rep, axis = _shard_specs(rate_scalers)
     core = partial(_spr_core, scale_threshold=scale_threshold,
                    scale_factor=scale_factor, n_aux=n_aux,
-                   n_arows=n_arows, chunk=chunk, axis=axis)
+                   n_arows=n_arows, chunk=chunk, axis=axis,
+                   rate_scalers=rate_scalers)
     return shard_map(
         core, mesh=mesh,
         in_specs=(clv_s, sc_s, rep, rep, rep, rep, rep, rep, rep,

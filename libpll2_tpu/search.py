@@ -371,7 +371,8 @@ class TreeSearch:
 
     def _streamed_eligible(self) -> bool:
         """The streamed scorer supports the fused production configs:
-        per-site scalers, no asc, dense storage, homogeneous models —
+        per-site or per-rate scalers, no asc, dense storage,
+        homogeneous models —
         single device or a single-process site mesh (the scoring body
         runs per shard with one logL psum), on a plain TreeEngine or a
         linked PartitionedEngine (per-partition scores summed)."""
@@ -385,9 +386,11 @@ class TreeSearch:
                 from .parallel.sharding import is_multiprocess
                 if is_multiprocess(mesh):
                     return False
-            if (p is None or p.repeats is not None or p.rate_scalers
+            if (p is None or p.repeats is not None
                     or p.asc_bias != C.AscBias.NONE
                     or getattr(ue, "edge_params", None) is not None):
+                return False
+            if p.rate_scalers != p0.rate_scalers:
                 return False
             # one schedule serves every partition: same topology tables
             if (p.clv.shape[0] != p0.clv.shape[0]
@@ -415,7 +418,8 @@ class TreeSearch:
                 np.asarray(sched.cand_rows), pw, invariant,
                 p.scale_threshold, p.scale_factor,
                 n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
-                mesh=getattr(p, "mesh", None))
+                mesh=getattr(p, "mesh", None),
+                rate_scalers=p.rate_scalers)
             t = np.asarray(t, np.float64)
             totals = t if totals is None else totals + t
         return totals[:sched.n_candidates]
@@ -442,7 +446,8 @@ class TreeSearch:
                 np.asarray(sched.cand_rows), pw, invariant,
                 p.scale_threshold, p.scale_factor,
                 n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
-                mesh=getattr(p, "mesh", None))
+                mesh=getattr(p, "mesh", None),
+                rate_scalers=p.rate_scalers)
             t = np.asarray(t, np.float64)
             totals = t if totals is None else totals + t
         return totals[:sched.n_candidates]

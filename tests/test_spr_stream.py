@@ -21,7 +21,8 @@ from libpll2_tpu.trees import moves, random_alignment, random_utree
 
 
 def _problem(n_taxa, n_sites, seed=3, states=4, alpha=0.8, pinv=0.0,
-             scale_stress=False, dtype=None, sites_alignment=1):
+             scale_stress=False, dtype=None, sites_alignment=1,
+             rate_scalers=False):
     alphabet = "ACGT" if states == 4 else "ARNDCQEGHILKMFPSTWYV"
     headers, seqs = random_alignment(n_taxa, n_sites, alphabet=alphabet,
                                      seed=seed)
@@ -38,7 +39,8 @@ def _problem(n_taxa, n_sites, seed=3, states=4, alpha=0.8, pinv=0.0,
                     h.length = h.back.length = (h.length or 0.1) * 40.0
     part = Partition(tree.tip_count, tree.inner_count, states, n_sites, 1,
                      tree.edge_count, 4, tree.inner_count, dtype=dtype,
-                     sites_alignment=sites_alignment)
+                     sites_alignment=sites_alignment,
+                     rate_scalers=rate_scalers)
     by = dict(zip(headers, seqs))
     cm = maps.map_nt if states == 4 else maps.map_aa
     for tip in tree.tips():
@@ -74,7 +76,8 @@ def _stream_all(part, tree, eng, radius, chunk=64):
         jnp.asarray(sched.half_len, part.dtype),
         jnp.asarray(sched.cand_rows), pw, invariant,
         part.scale_threshold, part.scale_factor,
-        n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk)
+        n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
+        rate_scalers=part.rate_scalers)
     return sched, np.asarray(totals)[:sched.n_candidates]
 
 
@@ -282,6 +285,20 @@ def test_streamed_rounds_under_mesh_match_single_device():
     np.testing.assert_allclose(b_spr, b_spr2, rtol=1e-9)
     np.testing.assert_allclose(b_nni, b_nni2, rtol=1e-9)
 
+    # per-rate scaler buffers shard on their trailing site axis
+    part3, tree3 = _problem(16, 128, seed=23, sites_alignment=8,
+                            rate_scalers=True)
+    shard_partition(part3, mesh)
+    s3 = TreeSearch(part3, tree3)
+    s3.evaluate()
+    assert s3._streamed_eligible()
+    b3, a3 = s3.nni_round_streamed()
+    part4, tree4 = _problem(16, 128, seed=23, rate_scalers=True)
+    s4 = TreeSearch(part4, tree4)
+    b4, a4 = s4.nni_round_streamed()
+    assert a3 == a4
+    np.testing.assert_allclose(b3, b4, rtol=1e-9)
+
 
 def test_streamed_round_fallback_on_asc():
     # asc-bias partitions are ineligible: the round must still work
@@ -345,3 +362,55 @@ def test_native_schedule_matches_python_builder():
         assert len(sp.pairs) == len(sn.pairs)
         for (p1, t1), (p2, t2) in zip(sp.pairs, sn.pairs):
             assert p1 is p2 and t1 is t2
+
+
+def test_streamed_scores_match_full_eval_rate_scalers():
+    """PER-RATE scaler mode (reference core_partials.c:760 /
+    pll.h:703): the streamed composition must sum [R, S] scaler
+    buffers, track the merge event per rate and undo with the capped
+    per-rate factors (core_likelihood.c:1463) — parity with full
+    per-rate evaluations."""
+    part, tree = _problem(13, 64, seed=5, rate_scalers=True)
+    eng = TreeEngine(part, tree, level_schedule=True, pallas=False)
+    sched, scores = _stream_all(part, tree, eng, radius=4)
+    assert sched.n_candidates > 20
+    full = _full_scores(tree, eng, sched.pairs)
+    np.testing.assert_allclose(scores, full, rtol=1e-9, atol=1e-7)
+
+
+def test_streamed_scores_rate_scalers_fp32_stress():
+    """fp32 per-rate mode under scaling stress: agreement with the fp64
+    full evaluation requires per-rate counts to propagate through all
+    three passes and the candidate composition."""
+    part32, tree32 = _problem(40, 64, seed=7, dtype=jnp.float32,
+                              rate_scalers=True, alpha=0.45)
+    eng32 = TreeEngine(part32, tree32, level_schedule=True, pallas=False)
+    sched32, scores32 = _stream_all(part32, tree32, eng32, radius=4)
+
+    part64, tree64 = _problem(40, 64, seed=7, alpha=0.45)
+    eng64 = TreeEngine(part64, tree64, level_schedule=True, pallas=False)
+    groups64 = [(pr, spr_stream.enumerate_targets(pr, 4))
+                for pr in list(_internal_edges(tree64))]
+    pairs64 = [(p, t) for p, ts in groups64 for t, _, _ in ts]
+    full64 = _full_scores(tree64, eng64, pairs64)
+    assert np.all(np.isfinite(scores32))
+    np.testing.assert_allclose(scores32, full64, rtol=5e-4)
+
+
+def test_streamed_rounds_rate_scalers_match_batched():
+    """Per-rate partitions are streamed-eligible; rounds must accept the
+    same moves at the same logL as the batched full-traversal rounds."""
+    part, tree = _problem(16, 96, seed=11, rate_scalers=True)
+    s1 = TreeSearch(part, tree)
+    s1.evaluate()
+    assert s1._streamed_eligible()
+    b1, a1 = s1.spr_round_streamed(radius=4)
+    n1, an1 = s1.nni_round_streamed()
+
+    part2, tree2 = _problem(16, 96, seed=11, rate_scalers=True)
+    s2 = TreeSearch(part2, tree2)
+    b2, a2 = s2.spr_round_batched(radius=4)
+    n2, an2 = s2.nni_round_batched()
+    assert (a1, an1) == (a2, an2)
+    np.testing.assert_allclose(b1, b2, rtol=1e-9)
+    np.testing.assert_allclose(n1, n2, rtol=1e-9)
