@@ -178,6 +178,11 @@ def build_spr_stream_native(tree, radius: int, n_nodes: int,
         return None
     prune, goff, tgt, tpar, tsib = enum
     sizes = np.diff(goff)
+    # the subsampling below consumes `rng`; if the native build fails
+    # after that, restore the generator state so the caller's Python
+    # fallback re-draws the SAME subsets (stream parity with the batched
+    # rounds is a documented invariant)
+    rng_state = rng.bit_generator.state if rng is not None else None
     if not max_candidates:
         # full round: kept = every target in order, per group
         kept = (np.arange(goff[-1], dtype=np.int64)
@@ -202,6 +207,8 @@ def build_spr_stream_native(tree, radius: int, n_nodes: int,
         prune, goff, tgt, tpar, tsib, kept, kept_off,
         n_nodes, n_scalers, n_edges)
     if res is None:
+        if rng_state is not None:
+            rng.bit_generator.state = rng_state
         return None
 
     n_a = res["a_rows"].shape[0]
@@ -311,8 +318,13 @@ class SprStreamSchedule:
     n_candidates: int             # real candidates (<= C, rest padding)
     n_aux: int
     n_arows: int
-    pairs: list                   # [(prune_halfedge, target_halfedge)]
-    rowmap: dict                  # id(halfedge) -> (clv_row, sc_row)
+    # indexable of (prune_halfedge, target_halfedge) pairs: a plain list
+    # from the Python builder, a _LazyPairs view from the native one
+    pairs: Sequence[Tuple]
+    # Python builder: {id(halfedge): (clv_row, sc_row)}; native builder:
+    # (ids, rowmap_clv, rowmap_sc) flat arrays — consumers type-sniff
+    # (see build_nni_stream's `entry`)
+    rowmap: "dict | tuple"
 
 
 def build_spr_stream(tree, prune_targets, n_nodes: int, n_scalers: int,
@@ -582,12 +594,31 @@ def build_nni_stream(tree, edges, n_nodes: int, n_scalers: int,
     return sched
 
 
-def _extend_buffers(clv, scaler, n_aux: int, n_arows: int):
+def _extend_buffers(clv, scaler, n_aux: int, n_arows: int,
+                    base=None, rate_cats: int = 0,
+                    rate_scalers: bool = False):
     """Per-shard extended buffers: partition rows | aux up rows | A rows
     | scratch (CLV) and partition rows | aux | A | trash | zero
-    (scalers)."""
+    (scalers).
+
+    With `base=(n_rows, n_scaler_rows)` the `clv` operand is DENSE TIP
+    ROWS [tips, states, S] of a pooled site-repeats partition (which has
+    no dense per-site buffers) and `scaler` is ignored: the dense base
+    is assembled in-program — tips broadcast over `rate_cats`, inner
+    rows/scalers zero, which is sufficient because the postorder pass
+    rebuilds every inner row and scaler from scratch (only tip rows
+    carry information into the streamed scoring)."""
     dtype = clv.dtype
     extra = n_aux + n_arows
+    if base is not None:
+        n_rows, n_sc = base
+        T, s, S = clv.shape
+        clv_ext = jnp.zeros((n_rows + extra + 1, rate_cats, s, S), dtype)
+        clv_ext = clv_ext.at[:T].set(
+            jnp.broadcast_to(clv[:, None], (T, rate_cats, s, S)))
+        sc_shape = ((n_sc + extra + 2, rate_cats, S) if rate_scalers
+                    else (n_sc + extra + 2, S))
+        return clv_ext, jnp.zeros(sc_shape, jnp.int32)
     K = scaler.shape[0] - 2
     clv_ext = jnp.concatenate(
         [clv, jnp.zeros((extra + 1,) + clv.shape[1:], dtype)], axis=0)
@@ -635,12 +666,15 @@ def _nni_core(clv, scaler, pm_full, post_ops, post_valid, up_ops,
               f, pinv, rate_weights,
               scale_threshold: float, scale_factor: float,
               n_aux: int, n_arows: int, chunk: int, axis,
-              rate_scalers: bool = False):
+              rate_scalers: bool = False, base=None):
     """Per-shard NNI scoring body (everything after the replicated
     pmatrix computation). `axis` is the mesh axis name for the final
     logL psum, or None single-device."""
     dtype = clv.dtype
-    clv_ext, sc_ext = _extend_buffers(clv, scaler, n_aux, n_arows)
+    clv_ext, sc_ext = _extend_buffers(clv, scaler, n_aux, n_arows,
+                                      base=base,
+                                      rate_cats=pm_full.shape[1],
+                                      rate_scalers=rate_scalers)
     for ops, valid in ((post_ops, post_valid), (up_ops, up_valid)):
         clv_ext, sc_ext = update_partials_levels(
             clv_ext, sc_ext, pm_full, ops, valid,
@@ -700,10 +734,13 @@ def _spr_core(clv, scaler, pm_ext, pm_full, pm_half, post_ops,
               pattern_weights, invariant, f, pinv, rate_weights,
               scale_threshold: float, scale_factor: float,
               n_aux: int, n_arows: int, chunk: int, axis,
-              rate_scalers: bool = False):
+              rate_scalers: bool = False, base=None):
     """Per-shard streamed-SPR scoring body (post-pmatrix)."""
     dtype = clv.dtype
-    clv_ext, sc_ext = _extend_buffers(clv, scaler, n_aux, n_arows)
+    clv_ext, sc_ext = _extend_buffers(clv, scaler, n_aux, n_arows,
+                                      base=base,
+                                      rate_cats=pm_full.shape[1],
+                                      rate_scalers=rate_scalers)
     for ops, valid in ((post_ops, post_valid), (up_ops, up_valid),
                        (a_ops, a_valid)):
         clv_ext, sc_ext = update_partials_levels(
@@ -773,7 +810,7 @@ def _shard_specs(rate_scalers: bool = False):
 
 @partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',
                                    'n_aux', 'n_arows', 'chunk', 'mesh',
-                                   'rate_scalers'))
+                                   'rate_scalers', 'base'))
 def nni_stream_scores(clv, scaler,
                       eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
                       rates, rate_weights, freqs, params_idx_rates,
@@ -782,12 +819,15 @@ def nni_stream_scores(clv, scaler,
                       pattern_weights, invariant,
                       scale_threshold: float, scale_factor: float,
                       n_aux: int, n_arows: int, chunk: int = 256,
-                      mesh=None, rate_scalers: bool = False):
+                      mesh=None, rate_scalers: bool = False,
+                      base=None):
     """All NNI candidate logLs of one round in ONE program (directional
     CLVs only — no corrected pass). Returns totals [C]. With `mesh`
     (site-sharded partitions) the body runs per shard via shard_map and
     the logL sums psum over the site axis — the library's only
-    collective (SURVEY §2.3)."""
+    collective (SURVEY §2.3). With `base=(n_rows, n_scaler_rows)` the
+    clv operand is dense tip rows of a pooled site-repeats partition
+    (see _extend_buffers; single-device only)."""
     dtype = clv.dtype
     pm_full = ops_pmatrix.update_prob_matrices(
         eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
@@ -799,7 +839,8 @@ def nni_stream_scores(clv, scaler,
                          up_ops, up_valid, cand_rows, pattern_weights,
                          invariant, f, pinv, rate_weights,
                          scale_threshold, scale_factor, n_aux, n_arows,
-                         chunk, None, rate_scalers=rate_scalers)
+                         chunk, None, rate_scalers=rate_scalers,
+                         base=base)
     from jax import shard_map
     clv_s, sc_s, site_s, rep, axis = _shard_specs(rate_scalers)
     core = partial(_nni_core, scale_threshold=scale_threshold,
@@ -817,7 +858,7 @@ def nni_stream_scores(clv, scaler,
 
 @partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',
                                    'n_aux', 'n_arows', 'chunk', 'mesh',
-                                   'rate_scalers'))
+                                   'rate_scalers', 'base'))
 def spr_stream_scores(clv, scaler,
                       eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
                       rates, rate_weights, freqs, params_idx_rates,
@@ -828,14 +869,18 @@ def spr_stream_scores(clv, scaler,
                       pattern_weights, invariant,
                       scale_threshold: float, scale_factor: float,
                       n_aux: int, n_arows: int, chunk: int = 256,
-                      mesh=None, rate_scalers: bool = False):
+                      mesh=None, rate_scalers: bool = False,
+                      base=None):
     """All candidate logLs of one streamed SPR round in ONE program.
 
     Returns totals [C] (padded tail repeats the last real candidate).
     With `mesh` (site-sharded partitions) the body runs per shard via
     shard_map — pmatrices are computed once (replicated), the three CLV
     passes and the scoring are site-elementwise per shard, and the
-    per-candidate logL sums psum over the site axis."""
+    per-candidate logL sums psum over the site axis. With
+    `base=(n_rows, n_scaler_rows)` the clv operand is dense tip rows of
+    a pooled site-repeats partition (see _extend_buffers; single-device
+    only)."""
     dtype = clv.dtype
     pm_full = ops_pmatrix.update_prob_matrices(
         eigenvals, inv_eigenvecs, eigenvecs, prop_invar, rates,
@@ -855,7 +900,8 @@ def spr_stream_scores(clv, scaler,
                          a_ops, a_valid, cand_rows, pattern_weights,
                          invariant, f, pinv, rate_weights,
                          scale_threshold, scale_factor, n_aux, n_arows,
-                         chunk, None, rate_scalers=rate_scalers)
+                         chunk, None, rate_scalers=rate_scalers,
+                         base=base)
     from jax import shard_map
     clv_s, sc_s, site_s, rep, axis = _shard_specs(rate_scalers)
     core = partial(_spr_core, scale_threshold=scale_threshold,

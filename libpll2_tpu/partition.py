@@ -326,6 +326,45 @@ class Partition:
         self._tip_version += 1
         self._invariant_valid = False
 
+    def dense_tip_rows(self):
+        """[tips, states, sites_padded] dense per-site tip CLVs as a
+        device array in self.dtype (rate-invariant — callers broadcast
+        over categories). The streamed-search base for site-repeats
+        partitions, whose pooled class-column storage has no dense rows:
+        the scoring program rebuilds every inner CLV from these tips, so
+        repeats partitions keep the compressed storage AND ride the
+        partial-traversal fast path (reference combo:
+        /root/reference/src/repeats.c:299 driven by the op consumer of
+        /root/reference/src/partials.c:245, test/src/partial-traversal.c).
+        Requires every tip set; cached until a tip setter runs."""
+        if getattr(self, "_dense_tip_key", None) == self._tip_version:
+            return self._dense_tip_cache
+        if not bool(np.all(self._tips_set | self._tips_clv_set)):
+            raise C.PllError(C.ERROR_PARAM_INVALID,
+                             "dense_tip_rows needs every tip set")
+        rows = np.zeros((self.tips, self.states, self.sites_padded))
+        for t in range(self.tips):
+            if self._tips_set[t]:
+                ind = state_maps.bits_to_clv(
+                    self.tip_states[t, :self.sites], self.states)
+                rows[t, :, :self.sites] = ind.T
+            elif self.repeats is not None:
+                # raw-probability tip of a repeats partition: repeats are
+                # disabled for it (identity mapping), so _tip_cols holds
+                # per-site columns (+ asc columns) directly
+                cols = self._tip_cols[t]
+                rows[t, :, :cols.shape[1]] = cols
+                continue
+            else:
+                rows[t] = np.asarray(self.clv[t, 0])
+                continue
+            if self.asc_extra:
+                rows[t, :, self.sites:self.sites + self.states] = \
+                    np.eye(self.states)
+        self._dense_tip_cache = jnp.asarray(rows, self.dtype)
+        self._dense_tip_key = self._tip_version
+        return self._dense_tip_cache
+
     # ----------------------------------------------------------------- model
     def set_frequencies(self, params_index: int, freqs) -> None:
         f = np.asarray(freqs, dtype=np.float64)

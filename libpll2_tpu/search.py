@@ -369,31 +369,44 @@ class TreeSearch:
             return [(e, e.partition) for e in eng.engines]
         return None
 
+    @staticmethod
+    def _n_rows(p) -> int:
+        """CLV row count of the streamed address space: the dense buffer
+        row count, or nodes+1 (the same layout the dense allocation
+        would have) for pooled site-repeats partitions."""
+        return p.clv.shape[0] if p.clv is not None else p.nodes + 1
+
     def _streamed_eligible(self) -> bool:
         """The streamed scorer supports the fused production configs:
-        per-site or per-rate scalers, no asc, dense storage,
-        homogeneous models —
-        single device or a single-process site mesh (the scoring body
-        runs per shard with one logL psum), on a plain TreeEngine or a
-        linked PartitionedEngine (per-partition scores summed)."""
+        per-site or per-rate scalers, no asc, homogeneous models —
+        single device, a site mesh (single- OR multi-process: the
+        schedule build is deterministic host work replicated per rank,
+        the scoring body runs per shard with one logL psum), on a plain
+        TreeEngine or a linked PartitionedEngine (per-partition scores
+        summed). Site-repeats partitions stream through a dense
+        in-program base built from tip rows (single device, every tip
+        set) — the reference's partial-traversal-over-repeats combo
+        (/root/reference/src/repeats.c:299,
+        test/src/partial-traversal.c)."""
         units = self._stream_units()
         if not units:
             return False
         p0 = units[0][1]
         for ue, p in units:
-            mesh = getattr(p, "mesh", None)
-            if mesh is not None:
-                from .parallel.sharding import is_multiprocess
-                if is_multiprocess(mesh):
-                    return False
-            if (p is None or p.repeats is not None
-                    or p.asc_bias != C.AscBias.NONE
+            if (p is None or p.asc_bias != C.AscBias.NONE
                     or getattr(ue, "edge_params", None) is not None):
                 return False
+            if p.repeats is not None:
+                # pooled storage: needs the dense tip-row base (every
+                # tip set) and has no site-sharded layout to stream over
+                if (getattr(p, "mesh", None) is not None
+                        or not bool(np.all(p._tips_set
+                                           | p._tips_clv_set))):
+                    return False
             if p.rate_scalers != p0.rate_scalers:
                 return False
             # one schedule serves every partition: same topology tables
-            if (p.clv.shape[0] != p0.clv.shape[0]
+            if (self._n_rows(p) != self._n_rows(p0)
                     or p.scale_buffers != p0.scale_buffers
                     or p.prob_matrices != p0.prob_matrices):
                 return False
@@ -402,14 +415,14 @@ class TreeSearch:
     def _summed_nni_scores(self, sched, chunk):
         """Per-candidate NNI scores summed over the stream units (one
         device program per distinct partition signature)."""
-        import jax.numpy as jnp
         from .ops import spr_stream
         totals = None
         for ue, p in self._stream_units():
             margs = ue._model_args()
             pw, invariant = ue._site_args()
+            clv_arg, sc_arg, base = self._stream_base(p)
             t = spr_stream.nni_stream_scores(
-                p.clv, p.scale_buffer, *margs,
+                clv_arg, sc_arg, *margs,
                 spr_stream.ops_from_table(sched.post_table),
                 np.asarray(sched.post_valid),
                 spr_stream.ops_from_table(sched.up_table),
@@ -419,21 +432,30 @@ class TreeSearch:
                 p.scale_threshold, p.scale_factor,
                 n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
                 mesh=getattr(p, "mesh", None),
-                rate_scalers=p.rate_scalers)
+                rate_scalers=p.rate_scalers, base=base)
             t = np.asarray(t, np.float64)
             totals = t if totals is None else totals + t
         return totals[:sched.n_candidates]
 
+    @staticmethod
+    def _stream_base(p):
+        """(clv_arg, scaler_arg, base) for the streamed scorer: the
+        partition's dense buffers, or the tip-row base of a pooled
+        site-repeats partition (spr_stream._extend_buffers)."""
+        if p.repeats is None:
+            return p.clv, p.scale_buffer, None
+        return p.dense_tip_rows(), None, (p.nodes + 1, p.scale_buffers)
+
     def _summed_spr_scores(self, sched, chunk):
         """Per-candidate SPR scores summed over the stream units."""
-        import jax.numpy as jnp
         from .ops import spr_stream
         totals = None
         for ue, p in self._stream_units():
             margs = ue._model_args()
             pw, invariant = ue._site_args()
+            clv_arg, sc_arg, base = self._stream_base(p)
             t = spr_stream.spr_stream_scores(
-                p.clv, p.scale_buffer, *margs,
+                clv_arg, sc_arg, *margs,
                 spr_stream.ops_from_table(sched.post_table),
                 np.asarray(sched.post_valid),
                 spr_stream.ops_from_table(sched.up_table),
@@ -447,10 +469,18 @@ class TreeSearch:
                 p.scale_threshold, p.scale_factor,
                 n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
                 mesh=getattr(p, "mesh", None),
-                rate_scalers=p.rate_scalers)
+                rate_scalers=p.rate_scalers, base=base)
             t = np.asarray(t, np.float64)
             totals = t if totals is None else totals + t
         return totals[:sched.n_candidates]
+
+    def _ensure_engine(self):
+        """Construct the engine without evaluating (so eligibility
+        checks can run before any device dispatch)."""
+        if self._engine is None:
+            self._engine = TreeEngine(self.partition, self.tree,
+                                      params_index=self.params_index,
+                                      **self.engine_kwargs)
 
     def _evaluate_begin(self):
         """Round-start evaluation WITHOUT host sync where possible: a
@@ -458,8 +488,7 @@ class TreeSearch:
         as device futures, so the streamed scoring dispatch chains
         on-device while the host builds the schedule — the blocking
         float() lands after the scores dispatch, by which time the eval
-        is long done). First calls and injected engines evaluate
-        eagerly."""
+        is long done). Injected engines evaluate eagerly."""
         if self._engine is None or not isinstance(self._engine,
                                                   TreeEngine):
             return self.evaluate()
@@ -476,9 +505,13 @@ class TreeSearch:
         swaps subtrees whose directional CLVs are unchanged. The winner
         is verified with a full engine evaluation before acceptance.
         Falls back to nni_round_batched for ineligible configurations."""
-        best = self._evaluate_begin()
+        # eligibility first: the batched fallback evaluates on entry, so
+        # dispatching _evaluate_begin before the check would cost every
+        # fallback round one extra full evaluation
+        self._ensure_engine()
         if not self._streamed_eligible():
             return self.nni_round_batched()
+        best = self._evaluate_begin()
         from .ops import spr_stream
 
         p = self._stream_units()[0][1]
@@ -489,7 +522,7 @@ class TreeSearch:
                 return float(best), accepted
             sched = self._stream_build(
                 spr_stream.build_nni_stream, self.tree, edges,
-                p.clv.shape[0], p.scale_buffers, p.prob_matrices)
+                self._n_rows(p), p.scale_buffers, p.prob_matrices)
             scores = self._summed_nni_scores(sched, chunk)
             best = float(best)
             applied = False
@@ -523,10 +556,11 @@ class TreeSearch:
         falling through the next-best candidates on a near-tie. Falls
         back to spr_round_batched for configurations the streamed
         scorer excludes."""
-        best = self._evaluate_begin()
+        self._ensure_engine()
         if not self._streamed_eligible():
             return self.spr_round_batched(radius=radius, seed=seed,
                                           max_candidates=max_candidates)
+        best = self._evaluate_begin()
         from .ops import spr_stream
 
         p = self._stream_units()[0][1]
@@ -538,7 +572,7 @@ class TreeSearch:
             # rng consumption) — the Python builder is the fallback
             sched = self._stream_build(
                 spr_stream.build_spr_stream_native, self.tree, radius,
-                p.clv.shape[0], p.scale_buffers, p.prob_matrices,
+                self._n_rows(p), p.scale_buffers, p.prob_matrices,
                 max_candidates=max_candidates, rng=rng)
             if sched is None:
                 groups = []
@@ -556,7 +590,7 @@ class TreeSearch:
                     return float(best), accepted
                 sched = self._stream_build(
                     spr_stream.build_spr_stream, self.tree, groups,
-                    p.clv.shape[0], p.scale_buffers, p.prob_matrices)
+                    self._n_rows(p), p.scale_buffers, p.prob_matrices)
             elif sched.n_candidates == 0:
                 return float(best), accepted
             scores = self._summed_spr_scores(sched, chunk)

@@ -22,10 +22,15 @@ from libpll2_tpu.trees import moves, random_alignment, random_utree
 
 def _problem(n_taxa, n_sites, seed=3, states=4, alpha=0.8, pinv=0.0,
              scale_stress=False, dtype=None, sites_alignment=1,
-             rate_scalers=False):
+             rate_scalers=False, site_repeats=False, conserved=False):
     alphabet = "ACGT" if states == 4 else "ARNDCQEGHILKMFPSTWYV"
     headers, seqs = random_alignment(n_taxa, n_sites, alphabet=alphabet,
                                      seed=seed)
+    if conserved:
+        # duplicate columns so the repeats tables genuinely compress
+        rng0 = np.random.default_rng(seed + 100)
+        src = rng0.integers(0, max(n_sites // 4, 1), size=n_sites)
+        seqs = ["".join(s[j] for j in src) for s in seqs]
     if pinv:
         # guarantee invariant columns for the +I machinery
         seqs = [s[:-8] + alphabet[0] * 4 + alphabet[1] * 4 for s in seqs]
@@ -40,7 +45,7 @@ def _problem(n_taxa, n_sites, seed=3, states=4, alpha=0.8, pinv=0.0,
     part = Partition(tree.tip_count, tree.inner_count, states, n_sites, 1,
                      tree.edge_count, 4, tree.inner_count, dtype=dtype,
                      sites_alignment=sites_alignment,
-                     rate_scalers=rate_scalers)
+                     rate_scalers=rate_scalers, site_repeats=site_repeats)
     by = dict(zip(headers, seqs))
     cm = maps.map_nt if states == 4 else maps.map_aa
     for tip in tree.tips():
@@ -56,15 +61,17 @@ def _problem(n_taxa, n_sites, seed=3, states=4, alpha=0.8, pinv=0.0,
 
 
 def _stream_all(part, tree, eng, radius, chunk=64):
+    from libpll2_tpu.search import TreeSearch as _TS
     groups = [(pr, spr_stream.enumerate_targets(pr, radius))
               for pr in list(_internal_edges(tree))]
     sched = spr_stream.build_spr_stream(
-        tree, groups, part.clv.shape[0], part.scale_buffers,
+        tree, groups, _TS._n_rows(part), part.scale_buffers,
         part.prob_matrices)
     margs = eng._model_args()
     pw, invariant = eng._site_args()
+    clv_arg, sc_arg, base = _TS._stream_base(part)
     totals = spr_stream.spr_stream_scores(
-        part.clv, part.scale_buffer, *margs,
+        clv_arg, sc_arg, *margs,
         spr_stream.ops_from_table(sched.post_table),
         jnp.asarray(sched.post_valid),
         spr_stream.ops_from_table(sched.up_table),
@@ -77,7 +84,7 @@ def _stream_all(part, tree, eng, radius, chunk=64):
         jnp.asarray(sched.cand_rows), pw, invariant,
         part.scale_threshold, part.scale_factor,
         n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
-        rate_scalers=part.rate_scalers)
+        rate_scalers=part.rate_scalers, base=base)
     return sched, np.asarray(totals)[:sched.n_candidates]
 
 
@@ -126,6 +133,58 @@ def test_streamed_scores_fp32_scaling_stress():
     assert float(np.max(full64) / 64) < -30
     assert np.all(np.isfinite(scores32))
     np.testing.assert_allclose(scores32, full64, rtol=5e-4)
+
+
+@pytest.mark.parametrize("states,rate_scalers", [
+    (4, False),
+    (4, True),
+    (20, False),
+])
+def test_streamed_scores_match_full_eval_repeats(states, rate_scalers):
+    """Site-repeats partitions on the streamed path (the RAxML-NG
+    production combo, reference repeats.c:299 under the op consumer of
+    partials.c:245): the scorer rebuilds a dense base from the tip rows
+    in-program, so the pooled storage keeps its memory win while every
+    candidate is scored from directional CLVs. Parity vs the engine's
+    pooled full evaluation per candidate."""
+    part, tree = _problem(13, 64, seed=5, states=states,
+                          site_repeats=True, conserved=True,
+                          rate_scalers=rate_scalers)
+    assert part.repeats is not None
+    eng = TreeEngine(part, tree, level_schedule=True, pallas=False)
+    sched, scores = _stream_all(part, tree, eng, radius=4)
+    assert sched.n_candidates > 20
+    full = _full_scores(tree, eng, sched.pairs)
+    np.testing.assert_allclose(scores, full, rtol=1e-9, atol=1e-7)
+
+
+def test_streamed_round_matches_batched_round_repeats():
+    part, tree = _problem(16, 96, seed=11, site_repeats=True,
+                          conserved=True)
+    s1 = TreeSearch(part, tree)
+    s1._ensure_engine()
+    assert s1._streamed_eligible()     # repeats must NOT fall back
+    best1, acc1 = s1.spr_round_streamed(radius=4)
+
+    part2, tree2 = _problem(16, 96, seed=11, site_repeats=True,
+                            conserved=True)
+    s2 = TreeSearch(part2, tree2)
+    best2, acc2 = s2.spr_round_batched(radius=4)
+    assert acc1 == acc2
+    np.testing.assert_allclose(best1, best2, rtol=1e-9)
+
+
+def test_nni_streamed_round_matches_batched_repeats():
+    part, tree = _problem(16, 96, seed=17, site_repeats=True,
+                          conserved=True)
+    s1 = TreeSearch(part, tree)
+    best1, acc1 = s1.nni_round_streamed()
+    part2, tree2 = _problem(16, 96, seed=17, site_repeats=True,
+                            conserved=True)
+    s2 = TreeSearch(part2, tree2)
+    best2, acc2 = s2.nni_round_batched()
+    assert acc1 == acc2
+    np.testing.assert_allclose(best1, best2, rtol=1e-9)
 
 
 def test_streamed_candidate_set_matches_radius_targets():
