@@ -135,11 +135,43 @@ def main():
     assert eng_r.dense_fused
     lk_r, d1_r, d2_r = eng_r.newton_step()
 
+    # multi-process STREAMED SPR round (VERDICT r4 item 2): the schedule
+    # build is deterministic host work replicated per rank; the scoring
+    # body runs per shard with ONE psum of the per-candidate logL sums.
+    # Candidate scores must be bit-identical across process counts.
+    from libpll2_tpu.ops import spr_stream
+    from libpll2_tpu.search import TreeSearch
+
+    s = TreeSearch(None, tree, engine=eng)
+    assert s._streamed_eligible(), \
+        "multi-process mesh must not disqualify the streamed path"
+    groups = [(pr, spr_stream.enumerate_targets(pr, 3))
+              for pr in _stream_edges(tree)]
+    sched = s._stream_build(
+        spr_stream.build_spr_stream, tree, groups,
+        s._n_rows(part), part.scale_buffers, part.prob_matrices)
+    scores = s._summed_spr_scores(sched, 64)
+    stream_scores = [float(x) for x in scores[:4]]
+    stream_sum = float(scores.sum())
+    # and the full round driver end to end (winner verification + move
+    # application replicated per rank)
+    best_stream, acc_stream = s.spr_round_streamed(radius=3)
+
     print(json.dumps({"pid": pid, "nproc": nproc, "lk": lk,
                       "lk2": lk2, "d1": d1, "d2": d2,
                       "lk_prs": lk_prs, "d1_prs": d1_prs, "d2_prs": d2_prs,
-                      "lk_rep": lk_r, "d1_rep": d1_r, "d2_rep": d2_r}),
+                      "lk_rep": lk_r, "d1_rep": d1_r, "d2_rep": d2_r,
+                      "stream_scores": stream_scores,
+                      "stream_sum": stream_sum,
+                      "stream_n": int(sched.n_candidates),
+                      "stream_best": best_stream,
+                      "stream_acc": acc_stream}),
           flush=True)
+
+
+def _stream_edges(tree):
+    from libpll2_tpu.search import _internal_edges
+    return list(_internal_edges(tree))
 
 
 if __name__ == "__main__":

@@ -68,7 +68,19 @@ def test_process_count_invariance():
             np.testing.assert_allclose(
                 rank[key], one[0][key], rtol=1e-6,
                 err_msg=f"{key} diverged between 1x8 and 2x4 processes")
+        # streamed SPR round: per-candidate scores, the round's result
+        # and accepted-move count must be IDENTICAL (bit-for-bit: the
+        # psum reduction order is process-count independent under the
+        # same 8-shard mesh) whether 1 or 2 processes drive it
+        assert rank["stream_n"] == one[0]["stream_n"]
+        assert rank["stream_scores"] == one[0]["stream_scores"], \
+            "streamed candidate scores diverged between 1x8 and 2x4"
+        assert rank["stream_sum"] == one[0]["stream_sum"]
+        assert rank["stream_acc"] == one[0]["stream_acc"]
+        np.testing.assert_allclose(rank["stream_best"],
+                                   one[0]["stream_best"], rtol=1e-12)
     # and the two ranks with each other (replicated outputs)
     assert two[0]["lk"] == two[1]["lk"]
     assert two[0]["lk_prs"] == two[1]["lk_prs"]
     assert two[0]["lk_rep"] == two[1]["lk_rep"]
+    assert two[0]["stream_scores"] == two[1]["stream_scores"]
