@@ -40,10 +40,26 @@ strict depth-levels. Wave counts and candidate counts pad to buckets so
 a topology change almost never recompiles.
 
 Eligibility (the search falls back to the batched full-traversal round
-otherwise): per-site OR per-rate scalers, no ascertainment bias, no site
-repeats, homogeneous models (no per-edge heterotachy). Site-sharded partitions
-run the scoring body per shard under `jax.shard_map` with ONE psum of
-the per-candidate logL sums — the library's only collective.
+otherwise): per-site OR per-rate scalers, homogeneous models. Site
+repeats stream through a dense tip-row base assembled in-program
+(single device, every tip set). Ascertainment bias streams on single
+devices (the synthetic all-state-k columns ride every pass; the
+per-candidate correction is a vmapped _apply_asc) — under a mesh the
+asc column block is global and stays on the batched rounds.
+Site-sharded partitions (single- or multi-process) run the scoring body
+per shard under `jax.shard_map` with ONE psum of the per-candidate logL
+sums — the library's only collective.
+
+Per-edge heterotachy (edge_params) is EXCLUDED by design, not by
+omission: an SPR merges the prune node's two flanking branches into one
+edge and splits the regraft branch in half, and when those branches
+carry different rate matrices the merged/half edges have no
+well-defined model (the reference has no heterotachy-under-SPR
+semantics either — its consumers re-assign pmatrix indices after the
+move). Heterotachy searches take the batched full-traversal rounds,
+where every candidate is evaluated with its real per-edge P tables;
+cost = the spr_round_1000_seconds row vs the streamed row in
+BENCHMARKS.md (~8x).
 """
 from __future__ import annotations
 
@@ -630,12 +646,16 @@ def _extend_buffers(clv, scaler, n_aux: int, n_arows: int,
 
 def _site_totals(terma_r, site_sc, f, pinv, rate_weights, invariant, pw,
                  scale_threshold: float, dtype,
-                 rate_scalers: bool = False):
+                 rate_scalers: bool = False,
+                 asc_type: int = 0, n_real: int = -1):
     """[c, R, S] per-rate site terms + [c, S] (or [c, R, S] per-rate
     mode) scaler counts -> [c] pattern-weighted logL sums (the
     edge-likelihood epilogue, reference likelihood.c:586 semantics incl.
     the capped per-rate undo of core_likelihood.c:1463, batched over
-    candidates)."""
+    candidates). With asc (`n_real` >= 0) the per-candidate correction
+    is computed from the synthetic all-state-k columns, which ride the
+    directional/corrected passes like ordinary sites (reference
+    likelihood.c:24-117 batched over candidates)."""
     if rate_scalers:
         from .likelihood import _site_scalings
 
@@ -657,6 +677,15 @@ def _site_totals(terma_r, site_sc, f, pinv, rate_weights, invariant, pw,
         return _finalize_site_lk(ta, ti, sc, scale_threshold, dtype)
 
     site_lk = jax.vmap(fin_one)(terma, terminv, site_sc)
+    if asc_type or n_real >= 0:
+        from .likelihood import _apply_asc
+        states = f.shape[1]
+
+        def asc_one(sl, ta, sc):
+            return _apply_asc(sl, ta, sc, pw, asc_type, n_real, states,
+                              scale_threshold, dtype)[0]
+
+        return jax.vmap(asc_one)(site_lk, terma, site_sc)
     weighted = jnp.where(pw[None, :] > 0, site_lk * pw[None, :], 0.0)
     return jnp.sum(weighted, axis=1)
 
@@ -666,7 +695,8 @@ def _nni_core(clv, scaler, pm_full, post_ops, post_valid, up_ops,
               f, pinv, rate_weights,
               scale_threshold: float, scale_factor: float,
               n_aux: int, n_arows: int, chunk: int, axis,
-              rate_scalers: bool = False, base=None):
+              rate_scalers: bool = False, base=None,
+              asc_type: int = 0, n_real: int = -1):
     """Per-shard NNI scoring body (everything after the replicated
     pmatrix computation). `axis` is the mesh axis name for the final
     logL psum, or None single-device."""
@@ -719,7 +749,8 @@ def _nni_core(clv, scaler, pm_full, post_ops, post_valid, up_ops,
         return carry, _site_totals(terma_r, psc + csc, f, pinv,
                                    rate_weights, invariant, pw,
                                    scale_threshold, dtype,
-                                   rate_scalers=rate_scalers)
+                                   rate_scalers=rate_scalers,
+                                   asc_type=asc_type, n_real=n_real)
 
     _, totals = jax.lax.scan(score_chunk, 0,
                              cand_rows.reshape(n_chunks, -1, 13))
@@ -734,7 +765,8 @@ def _spr_core(clv, scaler, pm_ext, pm_full, pm_half, post_ops,
               pattern_weights, invariant, f, pinv, rate_weights,
               scale_threshold: float, scale_factor: float,
               n_aux: int, n_arows: int, chunk: int, axis,
-              rate_scalers: bool = False, base=None):
+              rate_scalers: bool = False, base=None,
+              asc_type: int = 0, n_real: int = -1):
     """Per-shard streamed-SPR scoring body (post-pmatrix)."""
     dtype = clv.dtype
     clv_ext, sc_ext = _extend_buffers(clv, scaler, n_aux, n_arows,
@@ -784,7 +816,8 @@ def _spr_core(clv, scaler, pm_ext, pm_full, pm_half, post_ops,
         return carry, _site_totals(terma_r, site_sc, f, pinv,
                                    rate_weights, invariant, pw,
                                    scale_threshold, dtype,
-                                   rate_scalers=rate_scalers)
+                                   rate_scalers=rate_scalers,
+                                   asc_type=asc_type, n_real=n_real)
 
     rows_c = cand_rows.reshape(n_chunks, -1, 7)
     ph_c = pm_half.reshape((n_chunks, -1) + pm_half.shape[1:])
@@ -810,7 +843,8 @@ def _shard_specs(rate_scalers: bool = False):
 
 @partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',
                                    'n_aux', 'n_arows', 'chunk', 'mesh',
-                                   'rate_scalers', 'base'))
+                                   'rate_scalers', 'base', 'asc_type',
+                                   'n_real'))
 def nni_stream_scores(clv, scaler,
                       eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
                       rates, rate_weights, freqs, params_idx_rates,
@@ -820,7 +854,7 @@ def nni_stream_scores(clv, scaler,
                       scale_threshold: float, scale_factor: float,
                       n_aux: int, n_arows: int, chunk: int = 256,
                       mesh=None, rate_scalers: bool = False,
-                      base=None):
+                      base=None, asc_type: int = 0, n_real: int = -1):
     """All NNI candidate logLs of one round in ONE program (directional
     CLVs only — no corrected pass). Returns totals [C]. With `mesh`
     (site-sharded partitions) the body runs per shard via shard_map and
@@ -840,7 +874,7 @@ def nni_stream_scores(clv, scaler,
                          invariant, f, pinv, rate_weights,
                          scale_threshold, scale_factor, n_aux, n_arows,
                          chunk, None, rate_scalers=rate_scalers,
-                         base=base)
+                         base=base, asc_type=asc_type, n_real=n_real)
     from jax import shard_map
     clv_s, sc_s, site_s, rep, axis = _shard_specs(rate_scalers)
     core = partial(_nni_core, scale_threshold=scale_threshold,
@@ -858,7 +892,8 @@ def nni_stream_scores(clv, scaler,
 
 @partial(jax.jit, static_argnames=('scale_threshold', 'scale_factor',
                                    'n_aux', 'n_arows', 'chunk', 'mesh',
-                                   'rate_scalers', 'base'))
+                                   'rate_scalers', 'base', 'asc_type',
+                                   'n_real'))
 def spr_stream_scores(clv, scaler,
                       eigenvals, inv_eigenvecs, eigenvecs, prop_invar,
                       rates, rate_weights, freqs, params_idx_rates,
@@ -870,7 +905,7 @@ def spr_stream_scores(clv, scaler,
                       scale_threshold: float, scale_factor: float,
                       n_aux: int, n_arows: int, chunk: int = 256,
                       mesh=None, rate_scalers: bool = False,
-                      base=None):
+                      base=None, asc_type: int = 0, n_real: int = -1):
     """All candidate logLs of one streamed SPR round in ONE program.
 
     Returns totals [C] (padded tail repeats the last real candidate).
@@ -901,7 +936,7 @@ def spr_stream_scores(clv, scaler,
                          invariant, f, pinv, rate_weights,
                          scale_threshold, scale_factor, n_aux, n_arows,
                          chunk, None, rate_scalers=rate_scalers,
-                         base=base)
+                         base=base, asc_type=asc_type, n_real=n_real)
     from jax import shard_map
     clv_s, sc_s, site_s, rep, axis = _shard_specs(rate_scalers)
     core = partial(_spr_core, scale_threshold=scale_threshold,

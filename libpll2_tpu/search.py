@@ -393,8 +393,15 @@ class TreeSearch:
             return False
         p0 = units[0][1]
         for ue, p in units:
-            if (p is None or p.asc_bias != C.AscBias.NONE
-                    or getattr(ue, "edge_params", None) is not None):
+            # per-edge heterotachy is excluded by design: merged/half
+            # SPR edges have no well-defined rate matrix (costed note in
+            # ops/spr_stream.py docstring)
+            if p is None or getattr(ue, "edge_params", None) is not None:
+                return False
+            # asc streams single-device: under a mesh the synthetic
+            # column block is global (lives in one shard)
+            if (p.asc_bias != C.AscBias.NONE
+                    and getattr(p, "mesh", None) is not None):
                 return False
             if p.repeats is not None:
                 # pooled storage: needs the dense tip-row base (every
@@ -432,7 +439,8 @@ class TreeSearch:
                 p.scale_threshold, p.scale_factor,
                 n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
                 mesh=getattr(p, "mesh", None),
-                rate_scalers=p.rate_scalers, base=base)
+                rate_scalers=p.rate_scalers, base=base,
+                asc_type=ue.asc_type, n_real=ue.n_real)
             t = np.asarray(t, np.float64)
             totals = t if totals is None else totals + t
         return totals[:sched.n_candidates]
@@ -469,7 +477,8 @@ class TreeSearch:
                 p.scale_threshold, p.scale_factor,
                 n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
                 mesh=getattr(p, "mesh", None),
-                rate_scalers=p.rate_scalers, base=base)
+                rate_scalers=p.rate_scalers, base=base,
+                asc_type=ue.asc_type, n_real=ue.n_real)
             t = np.asarray(t, np.float64)
             totals = t if totals is None else totals + t
         return totals[:sched.n_candidates]

@@ -60,6 +60,23 @@ def _problem(n_taxa, n_sites, seed=3, states=4, alpha=0.8, pinv=0.0,
     return part, tree
 
 
+def _asc_problem(n_taxa, n_sites, asc, seed=3):
+    headers, seqs = random_alignment(n_taxa, n_sites, seed=seed)
+    tree = random_utree(headers, seed=seed)
+    part = Partition(tree.tip_count, tree.inner_count, 4, n_sites, 1,
+                     tree.edge_count, 4, tree.inner_count,
+                     asc_bias=getattr(C.AscBias, asc.upper()))
+    by = dict(zip(headers, seqs))
+    for tip in tree.tips():
+        part.set_tip_states(tip.clv_index, maps.map_nt, by[tip.label])
+    rng = np.random.default_rng(seed)
+    part.set_frequencies(0, rng.dirichlet(np.ones(4) * 10))
+    part.set_subst_params(0, rng.uniform(0.5, 2.0, size=6))
+    part.set_category_rates(compute_gamma_cats(0.8, 4))
+    part.set_asc_state_weights([2, 3, 1, 2])
+    return part, tree
+
+
 def _stream_all(part, tree, eng, radius, chunk=64):
     from libpll2_tpu.search import TreeSearch as _TS
     groups = [(pr, spr_stream.enumerate_targets(pr, radius))
@@ -84,7 +101,8 @@ def _stream_all(part, tree, eng, radius, chunk=64):
         jnp.asarray(sched.cand_rows), pw, invariant,
         part.scale_threshold, part.scale_factor,
         n_aux=sched.n_aux, n_arows=sched.n_arows, chunk=chunk,
-        rate_scalers=part.rate_scalers, base=base)
+        rate_scalers=part.rate_scalers, base=base,
+        asc_type=eng.asc_type, n_real=eng.n_real)
     return sched, np.asarray(totals)[:sched.n_candidates]
 
 
@@ -156,6 +174,34 @@ def test_streamed_scores_match_full_eval_repeats(states, rate_scalers):
     assert sched.n_candidates > 20
     full = _full_scores(tree, eng, sched.pairs)
     np.testing.assert_allclose(scores, full, rtol=1e-9, atol=1e-7)
+
+
+@pytest.mark.parametrize("asc", ["lewis", "felsenstein", "stamatakis"])
+def test_streamed_scores_match_full_eval_asc(asc):
+    """Ascertainment-bias partitions on the streamed path: the synthetic
+    all-state-k columns ride the directional/corrected passes like
+    ordinary sites and the per-candidate correction is applied in the
+    epilogue (reference likelihood.c:24-117). Parity vs the engine's
+    full asc evaluation per candidate, for all three correction types."""
+    part, tree = _asc_problem(12, 96, asc, seed=7)
+    eng = TreeEngine(part, tree, level_schedule=True, pallas=False)
+    sched, scores = _stream_all(part, tree, eng, radius=4)
+    assert sched.n_candidates > 15
+    full = _full_scores(tree, eng, sched.pairs)
+    np.testing.assert_allclose(scores, full, rtol=1e-9, atol=1e-7)
+
+
+def test_streamed_round_matches_batched_asc():
+    part, tree = _asc_problem(14, 80, "lewis", seed=9)
+    s1 = TreeSearch(part, tree)
+    s1._ensure_engine()
+    assert s1._streamed_eligible()     # asc must NOT fall back
+    best1, acc1 = s1.spr_round_streamed(radius=4)
+    part2, tree2 = _asc_problem(14, 80, "lewis", seed=9)
+    s2 = TreeSearch(part2, tree2)
+    best2, acc2 = s2.spr_round_batched(radius=4)
+    assert acc1 == acc2
+    np.testing.assert_allclose(best1, best2, rtol=1e-9)
 
 
 def test_streamed_round_matches_batched_round_repeats():
