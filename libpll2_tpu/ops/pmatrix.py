@@ -40,7 +40,10 @@ def update_prob_matrices(eigenvals: jnp.ndarray,    # [M, s]
     t = branch_lengths.astype(dtype)   # [E]
     # exponent[e, r, m]
     expo = (lam * (rates / (1.0 - pinv))[:, None])[None, :, :] * t[:, None, None]
-    expd = jnp.expm1(expo)
+    # accurate expm1: the TPU lowering carries a systematic ~10-900 ulp
+    # error that biases every P entry (ops/fastmath.py)
+    from .fastmath import expm1_32
+    expd = expm1_32(expo)
 
     # P[e,r,j,k] = I + sum_m a[r,j,m] * expd[e,r,m] * b[r,m,k]
     left = a[None, :, :, :] * expd[:, :, None, :]          # [E,R,j,m]
@@ -78,7 +81,8 @@ def update_prob_matrices_per_edge(eigenvals: jnp.ndarray,   # [M, s]
     t = branch_lengths.astype(dtype)   # [E]
     expo = lam * (rates[None, :] / (1.0 - pinv))[:, :, None] \
         * t[:, None, None]
-    expd = jnp.expm1(expo)             # [E, R, s]
+    from .fastmath import expm1_32
+    expd = expm1_32(expo)              # [E, R, s]
 
     left = a * expd[:, :, None, :]                         # [E,R,j,m]
     pmat = jnp.einsum('erjm,ermk->erjk', left, b,

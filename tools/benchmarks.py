@@ -657,41 +657,54 @@ def bench_placement():
         stream_q[f"s{qi}"] = "".join(src)
     placer.prepare_stream()
     placer.place_stream({k: stream_q[k] for k in list(stream_q)[:256]})
+    placer.place_stream(stream_q)          # compile the full-Q bucket
+    from libpll2_tpu.placement import to_jplace
     best = float("inf")
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
-        placer.place_stream(stream_q)
+        res = placer.place_stream(stream_q)
+        to_jplace(placer, res)             # the EPA deliverable
         best = min(best, time.perf_counter() - t0)
     record("placement_stream_queries_per_sec", NQ / best, "queries/s",
-           f"streaming: {NQ} queries x {n_edges} edges "
-           f"({NQ * n_edges} placements) in {best:.2f} s via "
-           "precomputed attachment tensors")
+           f"streaming incl. jplace(top7) output: {NQ} queries x "
+           f"{n_edges} edges ({NQ * n_edges} placements) in {best:.2f} s "
+           "via precomputed attachment tensors (vectorized batch "
+           "encode, lazy ranked rows, vectorized jplace blocks)")
 
-    # host/device split for the streaming row: an instrumented pass
-    # blocks on every chunk's device result (slightly deflating
-    # pipelining, so the official throughput above stays uninstrumented)
+    # device+transfer / host split for the streaming row: the timed
+    # wrapper covers dispatch + device compute + the D2H pull of the
+    # score grid (through the tunnel the D2H is ~50 ms for 0.8 MB —
+    # PCIe-attached hardware pays ~0.1 ms for the same pull); host is
+    # everything else (query encode, ranking, jplace rows)
     import libpll2_tpu.placement as _plm
     orig_scores = _plm._stream_scores
-    dev = [0.0]
 
-    def timed_scores(*a, **k):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(orig_scores(*a, **k))
-        dev[0] += time.perf_counter() - t0
-        return out
+    best_t = (float("inf"), 0.0, 0.0)
+    for _ in range(4):
+        dev = [0.0]
 
-    _plm._stream_scores = timed_scores
-    try:
-        t0 = time.perf_counter()
-        placer.place_stream(stream_q)
-        dt_i = time.perf_counter() - t0
-    finally:
-        _plm._stream_scores = orig_scores
-    host = dt_i - dev[0]
+        def timed_scores(*a, **k):
+            t0 = time.perf_counter()
+            out = np.asarray(jax.block_until_ready(
+                orig_scores(*a, **k)))      # include the D2H pull
+            dev[0] += time.perf_counter() - t0
+            return out
+
+        _plm._stream_scores = timed_scores
+        try:
+            t0 = time.perf_counter()
+            res = placer.place_stream(stream_q)
+            to_jplace(placer, res)
+            dt_i = time.perf_counter() - t0
+        finally:
+            _plm._stream_scores = orig_scores
+        if dt_i < best_t[0]:
+            best_t = (dt_i, dev[0], dt_i - dev[0])
+    dt_i, devs, host = best_t
     record("placement_stream_host_share", host / dt_i, "fraction",
-           f"instrumented pass: host (query encode + jplace rows) "
-           f"{host:.2f} s ({host / dt_i:.0%}) / device+transfer "
-           f"{dev[0]:.2f} s over {dt_i:.2f} s total")
+           f"instrumented pipeline incl. jplace: host (encode + rank + "
+           f"jplace rows) {host:.3f} s ({host / dt_i:.0%}) / "
+           f"device+transfer {devs:.3f} s over {dt_i:.3f} s")
 
 
 def bench_model_opt():
