@@ -64,6 +64,14 @@ def save(path: str, partition: Partition, tree: Optional[UTree] = None,
             [p.get_clv(int(t))[:, 0, :] for t in clv_tips])
     if tree is not None:
         payload["newick"] = np.bytes_(export_newick(tree.vroot))
+        # row -> taxon label, so load() can re-bind the parsed tree's
+        # tips to their partition rows: parse_newick assigns tip CLV
+        # indices in PARSE order, which need not match the row order the
+        # tips were set in (e.g. a stepwise-addition tree)
+        labels = [""] * p.tips
+        for tip in tree.tips():
+            labels[tip.clv_index] = tip.label or ""
+        payload["tip_labels"] = np.array(labels, dtype=np.bytes_)
     if include_clvs and p.repeats is None:
         # repeats partitions: pooled buffers are schedule-dependent and
         # recomputable from tips in one traversal — not checkpointed
@@ -83,8 +91,12 @@ def save(path: str, partition: Partition, tree: Optional[UTree] = None,
         raise
 
 
-def load(path: str) -> Tuple[Partition, Optional[UTree], dict]:
-    """Rebuild (partition, tree, extras) from a checkpoint."""
+def load(path: str, dtype=None) -> Tuple[Partition, Optional[UTree],
+                                         dict]:
+    """Rebuild (partition, tree, extras) from a checkpoint. `dtype`
+    overrides the stored dtype — e.g. reload an fp32 TPU analysis as
+    fp64 on CPU for a final certified cross-check (the stored CLVs, if
+    any, are dropped on a dtype change: recomputable from tips)."""
     import jax.numpy as jnp
 
     from . import constants as C
@@ -94,9 +106,11 @@ def load(path: str) -> Tuple[Partition, Optional[UTree], dict]:
         raise ValueError(f"unsupported checkpoint version {z['version']}")
     (tips, clv_buffers, states, sites, rate_matrices, prob_matrices,
      rate_cats, scale_buffers) = [int(v) for v in z["shape"]]
+    stored_dtype = jnp.dtype(z["dtype"].item().decode())
+    dtype_changed = dtype is not None and dtype != stored_dtype
     part = Partition(tips, clv_buffers, states, sites, rate_matrices,
                      prob_matrices, rate_cats, scale_buffers,
-                     dtype=jnp.dtype(z["dtype"].item().decode()),
+                     dtype=dtype if dtype is not None else stored_dtype,
                      asc_bias=C.AscBias(int(z["asc_bias"])),
                      site_repeats=bool(z["site_repeats"]),
                      rate_scalers=bool(z["rate_scalers"])
@@ -120,13 +134,21 @@ def load(path: str) -> Tuple[Partition, Optional[UTree], dict]:
         for t, probs in zip(idx, z["tip_clv_probs"]):
             part.set_tip_clv(int(t), probs)
 
-    if "clv" in z:
+    if "clv" in z and not dtype_changed:
         part.clv = jnp.asarray(z["clv"], part.dtype)
         part.scale_buffer = jnp.asarray(z["scale_buffer"])
 
     tree = None
     if "newick" in z:
         tree = parse_newick(z["newick"].item().decode(), unroot=True)
+        if "tip_labels" in z:
+            # re-bind tips to their partition rows by label (see save)
+            row_of = {lab.decode(): i
+                      for i, lab in enumerate(z["tip_labels"])}
+            for tip in tree.tips():
+                row = row_of.get(tip.label or "")
+                if row is not None:
+                    tip.clv_index = tip.node_index = row
 
     extras = {k[2:]: z[k] for k in z.files if k.startswith("x_")}
     return part, tree, extras

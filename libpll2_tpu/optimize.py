@@ -336,13 +336,28 @@ def make_fused_loglikelihood_fn(engine: TreeEngine,
 
     meshed = engine.fused_mesh is not None and engine.use_fused
 
+    # scoped-VMEM cap on the vmap width: every vmapped trial owns its
+    # whole kernel scratch (CLV slots + scaler blocks), so at scale
+    # (1000 taxa x 4k sites: ~6 MB/trial) a 16-wide vmap blows the
+    # 16 MB scoped-vmem budget at COMPILE time. Chunks beyond the cap
+    # serialize through the enclosing lax.map — still one dispatch.
+    c_vmem = fd_chunk
+    if engine.use_fused and not engine.repeats_mode:
+        from .ops import pallas_fused as _pf
+        rs = p.rate_cats * p.states
+        stride = -(-rs // 8) * 8
+        grain = _pf.kernel_grain(p.states)
+        s_pad = -(-p.sites_padded // grain) * grain
+        per_trial = engine.fused_slots * (stride + 8) * s_pad * 4
+        c_vmem = max(1, (10 * 2 ** 20) // max(per_trial, 1))
+
     def fn_batch(X):
         if meshed:
             # shard_map under vmap is fragile; trials run as a scan of
             # single SPMD evaluations (still one dispatch)
             return jax.lax.map(eval_x, X)
         K = X.shape[0]
-        c = max(1, min(K, fd_chunk))
+        c = max(1, min(K, fd_chunk, c_vmem))
         kp = -(-K // c) * c
         if kp != K:
             # pad with copies of row 0 (same compiled chunk shape)

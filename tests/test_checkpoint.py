@@ -62,3 +62,35 @@ def test_atomic_save_leaves_no_droppings(setup):
     checkpoint.save(path, part, tree)
     d = os.path.dirname(path)
     assert [f for f in os.listdir(d) if f.endswith(".tmp")] == []
+
+
+def test_roundtrip_rebinds_tips_by_label(tmp_path):
+    """A tree whose tip CLV indices do NOT follow newick parse order
+    (e.g. a stepwise-addition tree) must restore to the same logL: the
+    checkpoint stores row -> label and load() re-binds the parsed tips
+    (regression: the flagship pipeline's fp64 cross-check was off by ~69
+    logL units because row 0's states landed on a different taxon)."""
+    tree = random_utree([f"t{i}" for i in range(12)], seed=5)
+    headers, seqs = simulate_alignment(tree, 200, [0.25] * 4,
+                                       [1, 2, 1, 1, 2, 1], alpha=0.9,
+                                       seed=5)
+    # permute the tip->row binding away from label order
+    perm = np.random.default_rng(3).permutation(tree.tip_count)
+    for i, tip in enumerate(tree.tips()):
+        tip.clv_index = tip.node_index = int(perm[i])
+    part = Partition(tree.tip_count, tree.inner_count, 4, 200, 1,
+                     tree.edge_count, 4, tree.inner_count)
+    by_label = dict(zip(headers, seqs))
+    for tip in tree.tips():
+        part.set_tip_states(tip.clv_index, maps.map_nt,
+                            by_label[tip.label])
+    part.set_frequencies(0, [0.3, 0.2, 0.2, 0.3])
+    part.set_subst_params(0, [1, 2, 1, 1, 2, 1])
+    part.set_category_rates(compute_gamma_cats(0.9, 4))
+    lk0 = TreeEngine(part, tree).loglikelihood()
+
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(path, part, tree)
+    part2, tree2, _ = checkpoint.load(path)
+    lk1 = TreeEngine(part2, tree2).loglikelihood()
+    np.testing.assert_allclose(lk1, lk0, rtol=1e-8)
