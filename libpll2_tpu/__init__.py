@@ -16,12 +16,13 @@ from .partitioned import PartitionedEngine
 from .bootstrap import bootstrap_loglikelihoods
 from . import modelselect
 from .placement import EdgePlacer
+from .ops.df64 import loglikelihood_df64
 
 __all__ = [
     "constants", "AscBias", "PllError",
     "Operation", "Partition", "pack_operations",
     "compute_gamma_cats", "TreeEngine", "checkpoint",
     "PartitionedEngine", "bootstrap_loglikelihoods", "modelselect",
-    "EdgePlacer",
+    "EdgePlacer", "loglikelihood_df64",
 ]
 __version__ = "0.1.0"

@@ -135,16 +135,51 @@ class TreeSearch:
         # depth wobble across topologies cannot recompile
         self._stream_waves = {}
 
-    def _stream_build(self, builder, *args, **kwargs):
-        sched = builder(*args, min_waves=self._stream_waves, **kwargs)
+    def _stream_build(self, builder, *args, sig=None, **kwargs):
+        floors = self._stream_waves.setdefault(sig, {})
+        sched = builder(*args, min_waves=floors, **kwargs)
         if sched is None:
             return None
         for key, table in (("post", sched.post_table),
                            ("up", sched.up_table),
                            ("a", sched.a_table)):
-            self._stream_waves[key] = max(self._stream_waves.get(key, 0),
-                                          table.shape[0])
+            floors[key] = max(floors.get(key, 0), table.shape[0])
         return sched
+
+    @staticmethod
+    def _sig(p):
+        """Buffer signature a streamed schedule is built against: the
+        row-address space (CLV rows, scaler rows, pmatrix slots) baked
+        into its tables. Partitions sharing one tree usually share it;
+        mismatched allocations get their own schedule (built from the
+        same deterministic enumeration, so candidate order is
+        identical and per-unit scores sum row-for-row)."""
+        return (TreeSearch._n_rows(p), p.scale_buffers, p.prob_matrices)
+
+    def _stream_schedules(self, builder, *args, rng=None, **kwargs):
+        """One schedule per distinct unit signature. The rng (SPR
+        subsampling) is replayed from the same state for every
+        signature so all schedules keep identical candidate subsets,
+        and ends one-consumption advanced (parity with the batched
+        rounds). Returns {sig: sched} or None (builder declined)."""
+        units = self._stream_units()
+        out = {}
+        state0 = rng.bit_generator.state if rng is not None else None
+        for ue, p in units:
+            sig = self._sig(p)
+            if sig in out:
+                continue
+            if state0 is not None:
+                rng.bit_generator.state = state0
+            sched = self._stream_build(builder, *args, *sig, sig=sig,
+                                       rng=rng, **kwargs) \
+                if rng is not None else \
+                self._stream_build(builder, *args, *sig, sig=sig,
+                                   **kwargs)
+            if sched is None:
+                return None
+            out[sig] = sched
+        return out
 
     def evaluate(self) -> float:
         # one engine for the whole search: only the op/branch/root arrays
@@ -365,7 +400,11 @@ class TreeSearch:
         if isinstance(eng, TreeEngine):
             return [(eng, eng.partition)]
         from .partitioned import PartitionedEngine
-        if isinstance(eng, PartitionedEngine) and eng.linked:
+        if isinstance(eng, PartitionedEngine):
+            # linked AND unlinked: candidate scoring always evaluates
+            # the tree's branch lengths (set_topology resets engine
+            # branches from the tree on every batched evaluation too);
+            # `linked` only changes how Newton UPDATES are applied
             return [(e, e.partition) for e in eng.engines]
         return None
 
@@ -378,20 +417,21 @@ class TreeSearch:
 
     def _streamed_eligible(self) -> bool:
         """The streamed scorer supports the fused production configs:
-        per-site or per-rate scalers, no asc, homogeneous models —
-        single device, a site mesh (single- OR multi-process: the
-        schedule build is deterministic host work replicated per rank,
-        the scoring body runs per shard with one logL psum), on a plain
-        TreeEngine or a linked PartitionedEngine (per-partition scores
-        summed). Site-repeats partitions stream through a dense
-        in-program base built from tip rows (single device, every tip
-        set) — the reference's partial-traversal-over-repeats combo
+        per-site or per-rate scalers, homogeneous models — single
+        device, a site mesh (single- OR multi-process: the schedule
+        build is deterministic host work replicated per rank, the
+        scoring body runs per shard with one logL psum), on a plain
+        TreeEngine or a PartitionedEngine, linked or not, even with
+        mismatched buffer signatures (per-partition scores summed; one
+        schedule per distinct signature). Site-repeats partitions
+        stream through a dense in-program base built from tip rows
+        (single device, every tip set) — the reference's
+        partial-traversal-over-repeats combo
         (/root/reference/src/repeats.c:299,
-        test/src/partial-traversal.c)."""
+        test/src/partial-traversal.c); asc streams single-device."""
         units = self._stream_units()
         if not units:
             return False
-        p0 = units[0][1]
         for ue, p in units:
             # per-edge heterotachy is excluded by design: merged/half
             # SPR edges have no well-defined rate matrix (costed note in
@@ -410,21 +450,21 @@ class TreeSearch:
                         or not bool(np.all(p._tips_set
                                            | p._tips_clv_set))):
                     return False
-            if p.rate_scalers != p0.rate_scalers:
-                return False
-            # one schedule serves every partition: same topology tables
-            if (self._n_rows(p) != self._n_rows(p0)
-                    or p.scale_buffers != p0.scale_buffers
-                    or p.prob_matrices != p0.prob_matrices):
-                return False
+            # mismatched buffer signatures (rows/scalers/pmatrix slots)
+            # and mixed scaler modes are fine: each distinct signature
+            # gets its own schedule from the same deterministic
+            # enumeration (_stream_schedules), and rate_scalers is a
+            # per-unit static of the scoring program
         return True
 
-    def _summed_nni_scores(self, sched, chunk):
+    def _summed_nni_scores(self, scheds, chunk):
         """Per-candidate NNI scores summed over the stream units (one
-        device program per distinct partition signature)."""
+        device program per distinct partition signature, each scored
+        with its signature's schedule)."""
         from .ops import spr_stream
         totals = None
         for ue, p in self._stream_units():
+            sched = scheds[self._sig(p)]
             margs = ue._model_args()
             pw, invariant = ue._site_args()
             clv_arg, sc_arg, base = self._stream_base(p)
@@ -443,7 +483,8 @@ class TreeSearch:
                 asc_type=ue.asc_type, n_real=ue.n_real)
             t = np.asarray(t, np.float64)
             totals = t if totals is None else totals + t
-        return totals[:sched.n_candidates]
+        sched0 = next(iter(scheds.values()))
+        return totals[:sched0.n_candidates]
 
     @staticmethod
     def _stream_base(p):
@@ -454,11 +495,12 @@ class TreeSearch:
             return p.clv, p.scale_buffer, None
         return p.dense_tip_rows(), None, (p.nodes + 1, p.scale_buffers)
 
-    def _summed_spr_scores(self, sched, chunk):
+    def _summed_spr_scores(self, scheds, chunk):
         """Per-candidate SPR scores summed over the stream units."""
         from .ops import spr_stream
         totals = None
         for ue, p in self._stream_units():
+            sched = scheds[self._sig(p)]
             margs = ue._model_args()
             pw, invariant = ue._site_args()
             clv_arg, sc_arg, base = self._stream_base(p)
@@ -481,7 +523,8 @@ class TreeSearch:
                 asc_type=ue.asc_type, n_real=ue.n_real)
             t = np.asarray(t, np.float64)
             totals = t if totals is None else totals + t
-        return totals[:sched.n_candidates]
+        sched0 = next(iter(scheds.values()))
+        return totals[:sched0.n_candidates]
 
     def _ensure_engine(self):
         """Construct the engine without evaluating (so eligibility
@@ -523,16 +566,15 @@ class TreeSearch:
         best = self._evaluate_begin()
         from .ops import spr_stream
 
-        p = self._stream_units()[0][1]
         accepted = 0
         while True:
             edges = _internal_edges(self.tree)
             if not edges:
                 return float(best), accepted
-            sched = self._stream_build(
-                spr_stream.build_nni_stream, self.tree, edges,
-                self._n_rows(p), p.scale_buffers, p.prob_matrices)
-            scores = self._summed_nni_scores(sched, chunk)
+            scheds = self._stream_schedules(
+                spr_stream.build_nni_stream, self.tree, edges)
+            sched = next(iter(scheds.values()))
+            scores = self._summed_nni_scores(scheds, chunk)
             best = float(best)
             applied = False
             for i in np.argsort(-scores)[:verify_top]:
@@ -572,18 +614,16 @@ class TreeSearch:
         best = self._evaluate_begin()
         from .ops import spr_stream
 
-        p = self._stream_units()[0][1]
         accepted = 0
         rng = np.random.default_rng(seed)
         while True:
             # native whole-round schedule construction (C++ enumeration
             # + row emission + wave packing; bit-identical tables, same
             # rng consumption) — the Python builder is the fallback
-            sched = self._stream_build(
+            scheds = self._stream_schedules(
                 spr_stream.build_spr_stream_native, self.tree, radius,
-                self._n_rows(p), p.scale_buffers, p.prob_matrices,
                 max_candidates=max_candidates, rng=rng)
-            if sched is None:
+            if scheds is None:
                 groups = []
                 for pr in list(_internal_edges(self.tree)):
                     ts = spr_stream.enumerate_targets(pr, radius)
@@ -597,12 +637,12 @@ class TreeSearch:
                     groups.append((pr, ts, kept))
                 if not any(ts for _, ts, _ in groups):
                     return float(best), accepted
-                sched = self._stream_build(
-                    spr_stream.build_spr_stream, self.tree, groups,
-                    self._n_rows(p), p.scale_buffers, p.prob_matrices)
-            elif sched.n_candidates == 0:
+                scheds = self._stream_schedules(
+                    spr_stream.build_spr_stream, self.tree, groups)
+            sched = next(iter(scheds.values()))
+            if sched.n_candidates == 0:
                 return float(best), accepted
-            scores = self._summed_spr_scores(sched, chunk)
+            scores = self._summed_spr_scores(scheds, chunk)
             best = float(best)
             applied = False
             for i in np.argsort(-scores)[:verify_top]:

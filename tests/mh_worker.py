@@ -147,10 +147,10 @@ def main():
         "multi-process mesh must not disqualify the streamed path"
     groups = [(pr, spr_stream.enumerate_targets(pr, 3))
               for pr in _stream_edges(tree)]
-    sched = s._stream_build(
-        spr_stream.build_spr_stream, tree, groups,
-        s._n_rows(part), part.scale_buffers, part.prob_matrices)
-    scores = s._summed_spr_scores(sched, 64)
+    scheds = s._stream_schedules(spr_stream.build_spr_stream, tree,
+                                 groups)
+    sched = next(iter(scheds.values()))
+    scores = s._summed_spr_scores(scheds, 64)
     stream_scores = [float(x) for x in scores[:4]]
     stream_sum = float(scores.sum())
     # and the full round driver end to end (winner verification + move

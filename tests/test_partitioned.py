@@ -295,10 +295,73 @@ def test_partitioned_streamed_rounds_match_batched():
     np.testing.assert_allclose(n1, n2, rtol=1e-9)
     np.testing.assert_allclose(b1, b2, rtol=1e-9)
 
-    # unlinked branches fall back to the batched rounds (streamed
-    # schedules assume one shared branch-length set on the tree)
+    # unlinked engines stream too: candidate scoring always evaluates
+    # the TREE's branch lengths (exactly like the batched path, whose
+    # set_topology resets engine branches from the tree per candidate);
+    # `linked` only changes how Newton updates apply
     parts3, tree3 = perturbed()
     s3 = TreeSearch(None, tree3,
                     engine=PartitionedEngine(parts3, tree3, linked=False))
     s3.evaluate()
-    assert not s3._streamed_eligible()
+    assert s3._streamed_eligible()
+    b3, a3 = s3.spr_round_streamed(radius=3)
+    parts4, tree4 = perturbed()
+    s4 = TreeSearch(None, tree4,
+                    engine=PartitionedEngine(parts4, tree4, linked=False))
+    b4, a4 = s4.spr_round_batched(radius=3)
+    assert a3 == a4
+    np.testing.assert_allclose(b3, b4, rtol=1e-9)
+
+
+def test_partitioned_streamed_mixed_signatures():
+    """Partitions with MISMATCHED buffer signatures (extra pmatrix
+    slots / scaler rows — the reference consumers' multi-partition sum
+    has no shape restriction, stepwise.c:337-346) stream via one
+    schedule per distinct signature built from the same deterministic
+    enumeration; round parity with the batched rounds holds."""
+    from libpll2_tpu import constants as C
+    from libpll2_tpu.search import TreeSearch, _internal_edges
+    from libpll2_tpu.trees import moves
+
+    def build(tree, k, extra_pm=0, extra_sc=0):
+        headers, seqs = simulate_alignment(
+            tree, 128, [0.25] * 4, [1, 2, 1, 1, 2, 1], alpha=0.9,
+            seed=80 + k)
+        part = Partition(tree.tip_count, tree.inner_count, 4, 128, 1,
+                         tree.edge_count + extra_pm, 4,
+                         tree.inner_count + extra_sc)
+        by = dict(zip(headers, seqs))
+        for tip in tree.tips():
+            part.set_tip_states(tip.clv_index, maps.map_nt,
+                                by[tip.label])
+        part.set_frequencies(0, [0.25] * 4)
+        part.set_subst_params(0, [1, 2, 1, 1, 2, 1])
+        part.set_category_rates(compute_gamma_cats(0.9, 4))
+        return part
+
+    def perturbed():
+        tree = random_utree([f"t{i}" for i in range(10)], seed=91)
+        parts = [build(tree, 0), build(tree, 1, extra_pm=3, extra_sc=2)]
+        rng = np.random.default_rng(5)
+        for _ in range(3):
+            edges = _internal_edges(tree)
+            moves.nni(edges[rng.integers(len(edges))],
+                      C.UTREE_MOVE_NNI_LEFT, None)
+        return parts, tree
+
+    parts, tree = perturbed()
+    s1 = TreeSearch(None, tree,
+                    engine=PartitionedEngine(parts, tree, linked=True))
+    s1.evaluate()
+    assert s1._streamed_eligible()
+    n1, an1 = s1.nni_round_streamed()
+    b1, a1 = s1.spr_round_streamed(radius=3)
+
+    parts2, tree2 = perturbed()
+    s2 = TreeSearch(None, tree2,
+                    engine=PartitionedEngine(parts2, tree2, linked=True))
+    n2, an2 = s2.nni_round_batched()
+    b2, a2 = s2.spr_round_batched(radius=3)
+    assert (an1, a1) == (an2, a2)
+    np.testing.assert_allclose(n1, n2, rtol=1e-9)
+    np.testing.assert_allclose(b1, b2, rtol=1e-9)
