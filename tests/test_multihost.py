@@ -58,7 +58,8 @@ def test_process_count_invariance():
     # every rank of the 2-process run must agree with the 1-process run
     for rank in two:
         for key in ("lk", "lk2", "d1", "d2",
-                    "lk_prs", "d1_prs", "d2_prs"):
+                    "lk_prs", "d1_prs", "d2_prs",
+                    "lk_pe", "d1_pe", "d2_pe"):
             np.testing.assert_allclose(
                 rank[key], one[0][key], rtol=1e-12,
                 err_msg=f"{key} diverged between 1x8 and 2x4 processes")
@@ -84,3 +85,4 @@ def test_process_count_invariance():
     assert two[0]["lk_prs"] == two[1]["lk_prs"]
     assert two[0]["lk_rep"] == two[1]["lk_rep"]
     assert two[0]["stream_scores"] == two[1]["stream_scores"]
+    assert two[0]["lk_pe"] == two[1]["lk_pe"]
