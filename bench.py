@@ -236,7 +236,7 @@ def run_validation():
     try:
         r = subprocess.run([sys.executable,
                             str(REPO / "bench_validate.py")],
-                           capture_output=True, text=True, timeout=540)
+                           capture_output=True, text=True, timeout=1500)
         log(r.stderr[-2000:])
         payload = json.loads((REPO / "VALIDATE.json").read_text())
         return f"{payload['passed']}/{payload['cases']}"

