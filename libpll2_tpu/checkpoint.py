@@ -67,11 +67,15 @@ def save(path: str, partition: Partition, tree: Optional[UTree] = None,
         # row -> taxon label, so load() can re-bind the parsed tree's
         # tips to their partition rows: parse_newick assigns tip CLV
         # indices in PARSE order, which need not match the row order the
-        # tips were set in (e.g. a stepwise-addition tree)
+        # tips were set in (e.g. a stepwise-addition tree). Only written
+        # when every tip carries a unique non-empty label — duplicates
+        # would collapse in the label->row map and bind two tips to one
+        # row; such trees keep the parse-order binding.
         labels = [""] * p.tips
         for tip in tree.tips():
             labels[tip.clv_index] = tip.label or ""
-        payload["tip_labels"] = np.array(labels, dtype=np.bytes_)
+        if all(labels) and len(set(labels)) == p.tips:
+            payload["tip_labels"] = np.array(labels, dtype=np.bytes_)
     if include_clvs and p.repeats is None:
         # repeats partitions: pooled buffers are schedule-dependent and
         # recomputable from tips in one traversal — not checkpointed
@@ -142,13 +146,15 @@ def load(path: str, dtype=None) -> Tuple[Partition, Optional[UTree],
     if "newick" in z:
         tree = parse_newick(z["newick"].item().decode(), unroot=True)
         if "tip_labels" in z:
-            # re-bind tips to their partition rows by label (see save)
+            # re-bind tips to their partition rows by label (see save;
+            # only written for unique complete label sets)
             row_of = {lab.decode(): i
                       for i, lab in enumerate(z["tip_labels"])}
-            for tip in tree.tips():
-                row = row_of.get(tip.label or "")
-                if row is not None:
-                    tip.clv_index = tip.node_index = row
+            if len(row_of) == len(z["tip_labels"]):
+                for tip in tree.tips():
+                    row = row_of.get(tip.label or "")
+                    if row is not None:
+                        tip.clv_index = tip.node_index = row
 
     extras = {k[2:]: z[k] for k in z.files if k.startswith("x_")}
     return part, tree, extras

@@ -24,10 +24,10 @@ and the "df64" literature):
 Cost: ~20 fp32 VPU flops per df64 flop, on the XLA levels-path
 structure — two orders of magnitude off the fused fp32 kernel, which
 is exactly the intended division of labor: search on the fp32 fast
-paths, certify the FINAL model/topology once in df64
-(TreeEngine.loglikelihood_df64). Gate case `dna_df64` holds it to
-TOL_LOGL <= 1e-8 against the CPU fp64 oracle on the scaling-stressed
-caterpillar.
+paths, certify the FINAL model/topology once in df64 (the module-level
+`loglikelihood_df64(partition, tree)`, exported at the package root).
+Gate case `dna_df64` holds it to TOL_LOGL <= 1e-8 against the CPU fp64
+oracle on the scaling-stressed caterpillar.
 
 All helpers take/return (hi, lo) tuples of equal-shape fp32 arrays.
 """
@@ -224,13 +224,18 @@ def _df64_edge_logl(tip_rows,            # [T, s, S] f32 (exact values)
                     + jnp.where(s2 >= 0,
                                 jnp.take(scaler, jnp.maximum(s2, 0),
                                          axis=0), 0))
-        mask = jnp.all(xh < thresh, axis=(0, 1))           # [S]
+        # scale ONLY when the op owns a scaler row: a SCALE_BUFFER_NONE
+        # parent has nowhere to record the count, and an unrecorded
+        # 2^16 factor would inflate the certified logL (same guard as
+        # the production path, ops/partials.py update_partials)
+        has_sc = psc >= 0
+        mask = jnp.all(xh < thresh, axis=(0, 1)) & has_sc  # [S]
         fac = jnp.where(mask, factor, f32(1.0))[None, None, :]
         xh, xl = xh * fac, xl * fac                        # exact pow2
         new_sc = child_sc + mask.astype(jnp.int32)
         clv_h = clv_h.at[parent].set(xh)
         clv_l = clv_l.at[parent].set(xl)
-        scaler = scaler.at[jnp.where(psc >= 0, psc, trash)].set(new_sc)
+        scaler = scaler.at[jnp.where(has_sc, psc, trash)].set(new_sc)
         return (clv_h, clv_l, scaler), None
 
     (clv_h, clv_l, scaler), _ = jax.lax.scan(
@@ -331,6 +336,20 @@ def loglikelihood_df64(partition, tree, params_index: int = 0) -> float:
             "scalers, no asc bias and pinv == 0 (the certification "
             "scope); use the fp32 paths for other configurations")
     operations, branches, pidx = create_operations(traverse(tree.vroot))
+    # every inner op must own a scaler row: the certified path scales
+    # aggressively (2^-16 window) and a SCALE_BUFFER_NONE parent drops
+    # its children's accumulated counts on the floor (the reference's
+    # fill_parent_scaler chain has the same structural loss —
+    # pll.c:1183 — but its 2^-256 window rarely exercises it; here the
+    # silent loss would be ~16*ln2 per dropped count, so refuse)
+    vr_sc = tree.vroot.scaler_index
+    if any(op.parent_scaler_index is None or op.parent_scaler_index < 0
+           for op in operations) or vr_sc is None or vr_sc < 0:
+        raise C.PllError(
+            C.ERROR_PARAM_INVALID,
+            "loglikelihood_df64 needs a scaler row on every inner node "
+            "(the certified path's aggressive scaling cannot thread "
+            "counts through SCALE_BUFFER_NONE parents)")
     ops = pack_operations(operations)
     op_stack = np.stack([np.asarray(x) for x in ops], axis=1)
     root = tree.vroot

@@ -65,9 +65,13 @@ def exp32(z):
     r = (zc - n * jnp.asarray(_LN2_HI, jnp.float32)) \
         - n * jnp.asarray(_LN2_LO, jnp.float32)
     e = _poly_exp(r) * _exp2i(n)
-    # arguments past the clip window: exact 0 / inf as IEEE exp gives
+    # arguments past the clip window: exact 0 / inf as IEEE exp gives;
+    # NaN must propagate (round(NaN)->int is unspecified and the range
+    # guards are False for NaN — a finite garbage value would hide an
+    # upstream failure the isfinite checks rely on catching)
     e = jnp.where(z < -87.0, 0.0, e)
-    return jnp.where(z > 88.0, jnp.inf, e)
+    e = jnp.where(z > 88.0, jnp.inf, e)
+    return jnp.where(jnp.isnan(z), z, e)
 
 
 def expm1_32(z):
@@ -86,4 +90,6 @@ def expm1_32(z):
               0.5, 1.0):
         p = p * z + jnp.asarray(c, jnp.float32)
     small = z * p
+    # |NaN| <= c is False, so NaN falls through to exp32, which
+    # propagates it
     return jnp.where(jnp.abs(z) <= 0.3466, small, exp32(z) - 1.0)

@@ -17,7 +17,7 @@ rankings on simulated data recover the true attachment edge.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -33,11 +33,7 @@ from .trees.utils import utree_clone
 from .trees.utree import SCALE_BUFFER_NONE, UNode, UTree, link
 
 
-def _pow2(n: int) -> int:
-    k = 1
-    while k < n:
-        k *= 2
-    return k
+from .ops.spr_stream import _pow2
 
 
 class _RankedRows:
@@ -254,7 +250,8 @@ class EdgePlacer:
         return self._batch_inputs
 
     def place_batch(self, query_seqs: Dict[str, str], chunk: int = 8,
-                    top_k: Optional[int] = None) -> Dict[str, List[dict]]:
+                    top_k: Optional[int] = None
+                    ) -> Dict[str, Sequence[dict]]:
         """Place MANY queries at once: all (query x edge) attachments in
         one device dispatch per `chunk` queries (vmap over queries x
         vmap over edges through the fused kernel) — on a tunneled TPU
@@ -385,7 +382,7 @@ class EdgePlacer:
     def place_stream(self, query_seqs: Dict[str, str],
                      chunk: Optional[int] = None,
                      top_k: Optional[int] = None
-                     ) -> Dict[str, List[dict]]:
+                     ) -> Dict[str, Sequence[dict]]:
         """EPA-ng-scale streaming placement: queries are scored against
         the PRECOMPUTED per-edge attachment tensors (prepare_stream), so
         each (query, edge, site) costs one R*s-element contraction plus a
@@ -431,7 +428,7 @@ class EdgePlacer:
                         self._rank_rows_batch(out[:Q], top_k)))
 
     def place(self, query_seq: str, top_k: Optional[int] = None
-              ) -> List[dict]:
+              ) -> Sequence[dict]:
         """Score every attachment edge for one query sequence (ONE device
         dispatch); returns rows sorted by logL with likelihood weight
         ratios: [{edge, edge_nodes, logL, lwr}, ...]."""
@@ -660,7 +657,7 @@ def _jplace_subtree(h) -> str:
     return f"({parts}){b.label or ''}:{b.length:.6f}{{{e}}}"
 
 
-def to_jplace(placer: EdgePlacer, results: Dict[str, List[dict]],
+def to_jplace(placer: EdgePlacer, results: Dict[str, Sequence[dict]],
               top_k: int = 7) -> dict:
     """Serialize placements into the jplace v3 interchange format (what
     EPA-ng emits; consumed by gappa/iTOL): the reference tree's edges are
@@ -674,12 +671,14 @@ def to_jplace(placer: EdgePlacer, results: Dict[str, List[dict]],
     pend = placer.pendant_length
     items = list(results.items())
     placements = []
-    if items and all(isinstance(r, _RankedRows) and len(r) >= top_k
-                     for _, r in items):
+    if items and all(isinstance(r, _RankedRows) for _, r in items):
         # vectorized across ALL queries: one [Q, k, 4] float block + one
         # [Q, k] edge block -> native lists in two tolist() passes,
         # instead of Q x k dict materializations (the jplace-writer host
-        # cost at EPA scale, VERDICT r4 weak #4)
+        # cost at EPA scale, VERDICT r4 weak #4). k clamps to the
+        # shortest row so this path and the dict fallback below emit
+        # identical fields for any input.
+        top_k = min([top_k] + [len(r) for _, r in items])
         o = np.stack([np.asarray(r.order[:top_k], np.int64)
                       for _, r in items])
         vals = np.stack([np.asarray(r.scores[:top_k]) for _, r in items])

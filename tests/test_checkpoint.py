@@ -94,3 +94,32 @@ def test_roundtrip_rebinds_tips_by_label(tmp_path):
     part2, tree2, _ = checkpoint.load(path)
     lk1 = TreeEngine(part2, tree2).loglikelihood()
     np.testing.assert_allclose(lk1, lk0, rtol=1e-8)
+
+
+def test_duplicate_tip_labels_keep_parse_order_binding(tmp_path):
+    """Duplicate taxon labels (legal newick) must not collapse in the
+    label->row rebind: save() skips tip_labels for non-unique label
+    sets and the roundtrip keeps parse-order binding (review finding,
+    round 5)."""
+    tree = random_utree([f"t{i}" for i in range(8)], seed=6)
+    headers, seqs = simulate_alignment(tree, 120, [0.25] * 4,
+                                       [1, 2, 1, 1, 2, 1], alpha=0.9,
+                                       seed=6)
+    tips = list(tree.tips())
+    tips[1].label = tips[0].label          # duplicate
+    part = Partition(tree.tip_count, tree.inner_count, 4, 120, 1,
+                     tree.edge_count, 4, tree.inner_count)
+    by_label = dict(zip(headers, seqs))
+    for tip, hh in zip(tips, headers):
+        part.set_tip_states(tip.clv_index, maps.map_nt, by_label[hh])
+    part.set_frequencies(0, [0.3, 0.2, 0.2, 0.3])
+    part.set_subst_params(0, [1, 2, 1, 1, 2, 1])
+    part.set_category_rates(compute_gamma_cats(0.9, 4))
+    lk0 = TreeEngine(part, tree).loglikelihood()
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(path, part, tree)
+    import numpy as _np
+    assert "tip_labels" not in _np.load(path).files
+    part2, tree2, _ = checkpoint.load(path)
+    lk1 = TreeEngine(part2, tree2).loglikelihood()
+    _np.testing.assert_allclose(lk1, lk0, rtol=1e-8)

@@ -102,3 +102,28 @@ def test_df64_scope_errors():
     part.set_category_rates(compute_gamma_cats(1.0, 4))
     with pytest.raises(C.PllError):
         loglikelihood_df64(part, tree)
+
+
+def test_df64_rejects_scalerless_inner_node():
+    """An inner node with scaler_index = SCALE_BUFFER_NONE breaks the
+    scaler-count chain (the reference's fill_parent_scaler has the same
+    structural loss, pll.c:1183, but its 2^-256 window rarely fires);
+    under the df64 path's aggressive 2^-16 window the silent loss would
+    be ~16*ln2 per dropped count, so the certified evaluation REFUSES
+    such op lists instead of returning an inflated logL (review
+    finding, round 5)."""
+    from libpll2_tpu.trees.utree import SCALE_BUFFER_NONE
+
+    n = 64
+    text = f"t{n-1}:0.3"
+    for i in range(n - 2, 1, -1):
+        text = f"(t{i}:0.3,{text}):0.3"
+    tree = parse_newick(f"(t0:0.3,t1:0.3,{text});")
+    h, s = simulate_alignment(tree, 256, [0.25] * 4, [1, 2, 1, 1, 2, 1],
+                              alpha=0.5, seed=9)
+    victim = next(nd for nd in tree.nodes()
+                  if not nd.is_tip() and nd.scaler_index == 10)
+    for half in victim.ring():
+        half.scaler_index = SCALE_BUFFER_NONE
+    with pytest.raises(C.PllError):
+        loglikelihood_df64(_build(tree, h, s, jnp.float32), tree)
