@@ -667,6 +667,30 @@ def bench_search_1000_streamed():
         spr_stream.nni_stream_scores = orig_nni
 
 
+def bench_df64():
+    """Certified final evaluation (ops/df64.py): wall cost of the
+    double-single path per evaluation — final-result money, not search
+    money (the fp32 fused kernel stays the production path)."""
+    log("[6] df64 certified final evaluation (96 taxa x 2048 sites)")
+    from libpll2_tpu import loglikelihood_df64
+    part, tree, *_ = build(96, 2048, seed=31)
+    eng = TreeEngine(part, tree)
+    lk32 = eng.loglikelihood()
+    t0 = time.perf_counter()
+    lk = loglikelihood_df64(part, tree)
+    dt_first = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        lk = loglikelihood_df64(part, tree)
+        best = min(best, time.perf_counter() - t0)
+    record("df64_eval_seconds", best, "s",
+           f"double-single certified eval (logL {lk:.4f}; fp32 fused "
+           f"gives {lk32:.4f}); first call incl. compile "
+           f"{dt_first:.1f} s; gate case dna_df64 holds 1e-8 vs the "
+           "CPU fp64 oracle (measured ~1e-16)")
+
+
 def bench_flagship():
     """At-scale end-to-end flagship rows (VERDICT r4 next #3), read from
     FLAGSHIP.json — regenerate with `python examples/flagship_1000.py`
@@ -871,6 +895,7 @@ def main():
     bench_spr_1000()
     bench_search_1000_streamed()
     bench_placement()
+    bench_df64()
     bench_flagship()
     bench_stepwise()
     bench_model_opt()
