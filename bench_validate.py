@@ -100,8 +100,8 @@ def _build(tree, headers, seqs, states, sites, dtype, asc=None,
     if charmap is None:
         charmap = maps.map_nt if states == 4 else maps.map_aa
     tips = list(tree.tips())
-    for t in tips:
-        part.set_tip_states(t.clv_index, charmap, by[t.label])
+    part.set_tip_states_batch(charmap, [by[t.label] for t in tips],
+                              tip_indices=[t.clv_index for t in tips])
     rng = np.random.default_rng(11)
     if states == 20:
         from libpll2_tpu.models import load_aa_model

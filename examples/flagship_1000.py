@@ -97,8 +97,7 @@ def run(seed=7, taxa=1000, sites=4000, t0=None, stages=None,
 
     # --- 2. native stepwise-parsimony starting tree ---------------------
     pars_part = Partition(n, n - 2, 4, patterns, 1, 2 * n - 3, 1, n - 2)
-    for i, s in enumerate(comp):
-        pars_part.set_tip_states(i, maps.map_nt, s)
+    pars_part.set_tip_states_batch(maps.map_nt, comp)
     pars_part.set_pattern_weights(weights)
     fp = FastParsimony(pars_part)
     tree, cost = fastparsimony_stepwise([fp], headers, seed)
@@ -114,9 +113,10 @@ def run(seed=7, taxa=1000, sites=4000, t0=None, stages=None,
 
     part = Partition(n, n - 2, 4, patterns, 1, 2 * n - 3, 4, n - 2)
     by_label = dict(zip(headers, comp))
-    for tip in tree.tips():
-        part.set_tip_states(tip.clv_index, maps.map_nt,
-                            by_label[tip.label])
+    tips = list(tree.tips())
+    part.set_tip_states_batch(maps.map_nt,
+                              [by_label[t.label] for t in tips],
+                              tip_indices=[t.clv_index for t in tips])
     part.set_pattern_weights(weights)
     part.set_frequencies(0, [0.25] * 4)
     part.set_subst_params(0, [1.0, 1.1, 0.9, 1.05, 0.95, 1.0])

@@ -249,6 +249,62 @@ class Partition:
                              f"Illegal state code in tip \"{bad}\"")
         self._set_tip_masks(tip_index, masks)
 
+    def set_tip_states_batch(self, charmap, sequences,
+                             tip_indices=None,
+                             chunk: int = 256) -> None:
+        """Install MANY aligned sequences at once: one charmap gather
+        decodes every sequence and the dense tip CLVs land in a few
+        chunked device updates instead of one eager `.at[].set` per tip
+        (~1-3 ms each; at 1000 taxa the per-tip path costs seconds of
+        pure dispatch overhead per partition build). Semantically
+        identical to calling set_tip_states per tip in order."""
+        seqs = list(sequences)
+        if tip_indices is None:
+            tip_indices = np.arange(len(seqs))
+        tip_indices = np.asarray(tip_indices, np.int64)
+        for s in seqs:
+            if len(s) != self.sites:
+                raise C.PllError(
+                    C.ERROR_PARAM_INVALID,
+                    f"sequence length {len(s)} != sites {self.sites}")
+        cm = np.asarray(charmap, dtype=np.uint64)
+        raw = np.frombuffer("".join(seqs).encode("latin-1"),
+                            dtype=np.uint8).reshape(len(seqs), self.sites)
+        masks = cm[raw]
+        if np.any(masks == 0):
+            ti, si = np.unravel_index(int(np.argmax(masks == 0)),
+                                      masks.shape)
+            raise C.PllError(
+                C.ERROR_TIPDATA_ILLEGALSTATE,
+                f"Illegal state code in tip \"{seqs[ti][si]}\"")
+        if self.repeats is not None:
+            # pooled partitions do host-side bookkeeping only — the
+            # per-tip path is already cheap
+            for t, m in zip(tip_indices, masks):
+                self._set_tip_masks(int(t), m)
+            return
+        # host bookkeeping for the whole batch (one version bump)
+        self.tip_states[tip_indices, :self.sites] = masks
+        self._tips_set[tip_indices] = True
+        self._tips_clv_set[tip_indices] = False
+        self._tip_version += 1
+        self._invariant_valid = False
+        s, S = self.states, self.sites_padded
+        eye = np.eye(s)
+        for c0 in range(0, len(seqs), chunk):
+            idx = tip_indices[c0:c0 + chunk]
+            m = masks[c0:c0 + chunk]
+            ind = state_maps.bits_to_clv(m.reshape(-1), s) \
+                .reshape(len(idx), self.sites, s)
+            block = np.zeros((len(idx), self.rate_cats, s, S))
+            block[:, :, :, :self.sites] = \
+                ind.transpose(0, 2, 1)[:, None, :, :]
+            if self.asc_extra:
+                block[:, :, :, self.sites:self.sites + s] = \
+                    eye[None, None, :, :]
+            self.clv = self.clv.at[jnp.asarray(idx)].set(
+                jnp.asarray(block, dtype=self.dtype))
+
     def _set_tip_masks(self, tip_index: int, masks: np.ndarray) -> None:
         """Install decoded state bitmasks as a tip CLV (and repeat classes)."""
         self.tip_states[tip_index, :self.sites] = masks

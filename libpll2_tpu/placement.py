@@ -143,9 +143,9 @@ class EdgePlacer:
         self.partition = Partition(n + 1, n, states, sites, 1, E + 2,
                                    rate_cats, n, dtype=dtype)
         self._pallas = pallas
-        for lab, i in label_row.items():
-            self.partition.set_tip_states(i, charmap,
-                                          reference_by_label[lab])
+        self.partition.set_tip_states_batch(
+            charmap, [reference_by_label[lab] for lab in labels],
+            tip_indices=[label_row[lab] for lab in labels])
         # placeholder query (all-gap): every tip row must be populated
         # BEFORE the engine builds, or the fused-kernel eligibility check
         # rejects the partition and every placement silently runs the

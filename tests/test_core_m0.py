@@ -369,3 +369,31 @@ def test_alpha_cats_logl_sweep():
                                            err_msg=f"alpha={alpha} "
                                            f"cats={cats} mode={mode}")
                 ref.destroy()
+
+
+def test_set_tip_states_batch_matches_per_tip():
+    """set_tip_states_batch is bit-identical to per-tip installs (it
+    exists because one eager device update per tip costs seconds of
+    dispatch overhead at 1000 taxa)."""
+    from libpll2_tpu.trees import random_utree
+    from libpll2_tpu.utils import simulate_alignment
+
+    tree = random_utree([f"t{i}" for i in range(12)], seed=3)
+    h, s = simulate_alignment(tree, 200, [0.25] * 4, [1, 2, 1, 1, 2, 1],
+                              alpha=0.9, seed=3)
+    by = dict(zip(h, s))
+
+    def mk():
+        return Partition(tree.tip_count, tree.inner_count, 4, 200, 1,
+                         tree.edge_count, 4, tree.inner_count)
+
+    p1, p2 = mk(), mk()
+    for t in tree.tips():
+        p1.set_tip_states(t.clv_index, maps.map_nt, by[t.label])
+    p2.set_tip_states_batch(maps.map_nt,
+                            [by[t.label] for t in tree.tips()],
+                            tip_indices=[t.clv_index
+                                         for t in tree.tips()])
+    np.testing.assert_array_equal(np.asarray(p1.clv), np.asarray(p2.clv))
+    np.testing.assert_array_equal(p1.tip_states, p2.tip_states)
+    assert np.all(p2._tips_set[:tree.tip_count])
