@@ -154,7 +154,6 @@ def run(seed=7, taxa=1000, sites=4000, t0=None, stages=None,
     finally:
         if search_split is not None:
             spr_stream.spr_stream_scores = orig
-    t2 = time.perf_counter()
     t = mark(f"streamed SPR rounds (radius 5, {acc_spr} moves, "
              f"logL {lk_spr:.1f})", t)
     if search_split is not None:
