@@ -182,8 +182,16 @@ def run(seed=7, taxa=1000, sites=4000, t0=None, stages=None,
     ckpt = os.path.join(REPO, "flagship.ckpt.npz")
     checkpoint.save(ckpt, part, tree, best_logl=lk_final)
     t = mark("checkpoint", t)
+
+    # --- 8. ON-CHIP certified final evaluation (df64) --------------------
+    # double-single arithmetic end to end (ops/df64.py): fp64-class
+    # logL on the fp32-only chip, no CPU round trip needed
+    from libpll2_tpu import loglikelihood_df64
+    lk_cert = loglikelihood_df64(part, tree)
+    t = mark(f"df64 certified eval (logL {lk_cert:.4f})", t)
     return {"taxa": taxa, "sites": sites, "patterns": patterns,
-            "logl": float(lk_final), "ckpt": ckpt,
+            "logl": float(lk_final), "df64_logl": float(lk_cert),
+            "ckpt": ckpt,
             "newick_head": export_newick(tree.vroot)[:80]}
 
 
@@ -229,15 +237,18 @@ def main(argv):
             fp64_logl = json.loads(line)["fp64_logl"]
     assert fp64_logl is not None, r.stderr[-2000:]
     rel = abs(info["logl"] - fp64_logl) / abs(fp64_logl)
+    rel_cert = abs(info["df64_logl"] - fp64_logl) / abs(fp64_logl)
     print(f"fp32 chip logL {info['logl']:.4f} vs fp64 CPU "
-          f"{fp64_logl:.4f} (rel {rel:.2e})", flush=True)
+          f"{fp64_logl:.4f} (rel {rel:.2e}); ON-CHIP df64 certified "
+          f"{info['df64_logl']:.4f} (rel {rel_cert:.2e})", flush=True)
 
     out = {"device": jax.devices()[0].platform, **info,
            "cold_total_s": round(cold_total, 2),
            "warm_total_s": round(warm_total, 2),
            "cold_stages": cold_stages, "warm_stages": warm_stages,
            "search_split": split,
-           "fp64_logl": fp64_logl, "fp64_rel_err": rel}
+           "fp64_logl": fp64_logl, "fp64_rel_err": rel,
+           "df64_rel_err": rel_cert}
     with open(os.path.join(REPO, "FLAGSHIP.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"cold_s": out["cold_total_s"],

@@ -719,9 +719,12 @@ def bench_flagship():
     record("flagship_1000_warm_seconds", f["warm_total_s"], "s",
            f"same pipeline, WARM (programs reused): "
            + stagestr(f["warm_stages"]) + split)
+    cert = (f"; ON-CHIP df64 certified eval agrees to "
+            f"{f['df64_rel_err']:.1e}" if "df64_rel_err" in f else "")
     record("flagship_1000_fp64_rel_err", f["fp64_rel_err"], "rel",
            f"final logL {f['logl']:.1f} (fp32 chip) vs "
-           f"{f['fp64_logl']:.1f} (fp64 CPU rebuild of the checkpoint)")
+           f"{f['fp64_logl']:.1f} (fp64 CPU rebuild of the checkpoint)"
+           + cert)
 
 
 def bench_placement():
@@ -1140,9 +1143,10 @@ case dna_df64 measures rel 1.8e-16 against the CPU fp64 oracle
 stage at 1000 taxa x 4000 sites (-> 3581 patterns): compression ->
 native stepwise -> fused model optimization + all-edges Newton ->
 streamed SPR (full radius-5) + NNI -> bootstrap -> checkpoint, COLD
-(compiles included; persistent-cache-warm) in ~71 s and WARM in
-~17 s (batched tip installs: one device update per 256 tips instead
-of one per tip), per-stage wall
+(compiles included; persistent-cache-warm) in ~70-85 s and WARM in
+~17-21 s (batched tip installs: one device update per 256 tips
+instead of one per tip), ending with an ON-CHIP df64 certified final
+evaluation (1.5 s) that agrees with the CPU fp64 oracle to 1.6e-9, per-stage wall
 clocks in the flagship rows and FLAGSHIP.json. The final fp32 chip
 logL agrees with an fp64 CPU rebuild of the checkpoint to 6.3e-8
 relative — the single number a RAxML-NG user would ask for.
