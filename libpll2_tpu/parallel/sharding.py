@@ -384,6 +384,93 @@ def _sharded_fused_repeats_loop(k, codes, table, eigenvals, inv_eigenvecs,
     return total, d1, d2, branches_out
 
 
+@partial(jax.jit, static_argnames=('mesh', 'scale_threshold',
+                                   'scale_factor', 'rate_scalers',
+                                   'fused_slots', 'pallas_interpret',
+                                   'asc_type', 'n_real', 'mxu'))
+def _sharded_fused_repeats_candidates(codes, tables_k, blens_k, roots_k,
+                                      eigenvals, inv_eigenvecs,
+                                      eigenvecs, prop_invar, rates,
+                                      rate_weights, freqs,
+                                      params_idx_rates, pattern_weights,
+                                      invariant, *,
+                                      mesh, scale_threshold,
+                                      scale_factor, rate_scalers,
+                                      fused_slots,
+                                      pallas_interpret=False,
+                                      asc_type=0, n_real=-1,
+                                      mxu='split'):
+    """logL of K candidate topologies over SHARDED site-repeats
+    partitions in ONE SPMD dispatch: every device runs the fused kernel
+    on its column slice per candidate (tables/branches/roots
+    replicated), then one psum reduces the [K] per-candidate sums —
+    multi-chip topology search on the repeats production combo
+    (TreeSearch drives it through evaluate_packed_arrays exactly like a
+    TreeEngine)."""
+    from jax import shard_map
+
+    from ..ops import likelihood as ops_likelihood
+    from ..ops import pallas_fused as ops_fused
+    from ..ops import pmatrix as ops_pmatrix
+
+    R = int(params_idx_rates.shape[0])
+    s = int(eigenvals.shape[-1])
+
+    def local(codes, tables_k, blens_k, roots_k, ev, ievec, evec, pinv,
+              rates, rw, freqs, pidx, pw, inv):
+        w = pw.shape[0]
+
+        def eval_one(branches, table, root_idx):
+            pmatrix = ops_pmatrix.update_prob_matrices(
+                ev, ievec, evec, pinv, rates, pidx, branches)
+            clv_p, clv_c, sc_p, sc_c = ops_fused.fused_traversal(
+                codes, pmatrix, table, rates=R, states=s,
+                n_slots=fused_slots, threshold=scale_threshold,
+                factor=scale_factor, interpret=pallas_interpret,
+                rate_scalers=rate_scalers, mxu=mxu)
+            if clv_p.shape[-1] != w:
+                clv_p, clv_c = clv_p[..., :w], clv_c[..., :w]
+                sc_p, sc_c = sc_p[..., :w], sc_c[..., :w]
+            total, _ = ops_likelihood.edge_loglikelihood(
+                clv_p, clv_c, sc_p, sc_c,
+                jnp.take(pmatrix, root_idx[4], axis=0),
+                freqs, pinv, rw, pidx, pw, inv, scale_threshold,
+                rate_scalers=rate_scalers, has_pscaler=True,
+                has_cscaler=True, asc_type=asc_type, n_real=n_real)
+            return total
+
+        # chunked vmap over candidates bounds the per-shard VMEM (each
+        # vmapped instance owns its kernel scratch, as in
+        # engine._fused_multi_topology); padded counts are powers of
+        # two, so chunks divide evenly
+        stride = -(-R * s // 8) * 8
+        per = max(fused_slots * (stride + 8) * codes.shape[-1] * 4, 1)
+        chunk = max(1, min(tables_k.shape[0], (10 * 2 ** 20) // per))
+        while tables_k.shape[0] % chunk:
+            chunk -= 1
+
+        def body(carry, xs):
+            return carry, jax.vmap(eval_one)(*xs)
+
+        _, totals = jax.lax.scan(
+            body, None,
+            jax.tree.map(lambda a: a.reshape((-1, chunk) + a.shape[1:]),
+                         (blens_k, tables_k, roots_k)))
+        return jax.lax.psum(totals.reshape(-1), SITES_AXIS)
+
+    rep = P()
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, SITES_AXIS), rep, rep, rep, rep, rep, rep,
+                  rep, rep, rep, rep, rep, P(SITES_AXIS),
+                  P(SITES_AXIS)),
+        out_specs=rep,
+        check_vma=False,
+    )(codes, tables_k, blens_k, roots_k, eigenvals, inv_eigenvecs,
+      eigenvecs, prop_invar, rates, rate_weights, freqs,
+      params_idx_rates, pattern_weights, invariant)
+
+
 class ShardedRepeatsEngine:
     """Site data-parallelism for site-repeats partitions.
 
@@ -470,6 +557,9 @@ class ShardedRepeatsEngine:
         self.dense_fused = False
         self._fused = None
         self.mxu = mxu                  # 16+-state MXU precision mode
+        # no raw tip-CLV rows on the dense-fused shards (state codes
+        # only) — the native candidate builder checks this
+        self._packed_ctips = frozenset()
         want_dense = dense_fused is not False and pallas is not False
         dense_ok = (p0.dtype == jnp.float32
                     and (not p0.rate_scalers or p0.rate_cats <= 8)
@@ -639,3 +729,124 @@ class ShardedRepeatsEngine:
 
     def newton_step(self):
         return self.newton_loop(1)
+
+    # --- TreeSearch engine protocol (dense-fused shards only): the
+    # batched SPR/NNI rounds drive a sharded repeats analysis exactly
+    # like a TreeEngine — multi-chip topology search on the repeats
+    # production combo. (The streamed rounds' eligibility check returns
+    # False for this engine type, so searches take the batched path.)
+
+    @property
+    def partition(self):
+        """Structural stand-in for the TreeSearch/native-builder hooks
+        (prob_matrices, tips, ctip rows): every shard shares them."""
+        return self.parts[0]
+
+    @property
+    def use_fused(self) -> bool:
+        return self.dense_fused
+
+    def _require_fused(self):
+        from .. import constants as C
+        if not self.dense_fused:
+            raise C.PllError(
+                C.ERROR_PARAM_INVALID,
+                "topology search over a ShardedRepeatsEngine needs the "
+                "dense-fused path (fp32 shards, every tip from state "
+                "codes)")
+
+    def set_topology(self, tree) -> None:
+        """Rebind to a new topology of the same size: repack the fused
+        table + branches + root (tip codes are topology-independent)."""
+        from ..ops import pallas_fused as ops_fused
+        from ..trees import create_operations, traverse
+        from .. import constants as C
+
+        self._require_fused()
+        trav = traverse(tree.vroot)
+        operations, branches, pmatrix_indices = create_operations(trav)
+        root = tree.vroot
+        ri = (root.clv_index, root.scaler_index, root.back.clv_index,
+              root.back.scaler_index, root.pmatrix_index)
+        p0 = self.parts[0]
+        table, n_slots = ops_fused.pack_fused_schedule(
+            operations, p0.tips, (ri[0], ri[2]))
+        if table is None:
+            raise C.PllError(C.ERROR_PARAM_INVALID,
+                             "topology cannot be packed for the fused "
+                             "kernel")
+        codes, _, old_slots = self._fused
+        slots = max(old_slots, -(-n_slots // 4) * 4, 4)
+        self._fused = (codes, self._put(np.asarray(table), P()), slots)
+        blen = np.zeros(p0.prob_matrices)
+        blen[np.asarray(pmatrix_indices)] = np.asarray(branches)
+        self.branches = self._put(np.asarray(blen, self.dtype), P())
+        self._root_mat_host = int(ri[4])
+        self.tree = tree
+
+    def pack_candidate(self, vroot):
+        """(table, blens, root_info, n_slots) for the current topology
+        rooted at `vroot` (TreeEngine.pack_candidate semantics; no raw
+        tip-CLV rows on the dense-fused shards)."""
+        if not self.dense_fused:
+            return None
+        from ..ops import pallas_fused as ops_fused
+        p0 = self.parts[0]
+        table, blens, ri, n_slots = ops_fused.fused_candidate_from_tree(
+            vroot, p0.tips, p0.prob_matrices)
+        if table is None:
+            return None
+        return table, blens, ri, n_slots
+
+    def _cand_slots_for(self, n_slots: int) -> int:
+        # monotone grain-8 slot count: static arg, so every new value
+        # recompiles the candidate program (engine._stable_slots policy)
+        grain = -(-max(int(n_slots), self._fused[2]) // 8) * 8
+        self._cand_slots = max(getattr(self, "_cand_slots", 0), grain)
+        return self._cand_slots
+
+    def evaluate_packed_arrays(self, tables, blens, roots,
+                               n_slots: int) -> np.ndarray:
+        """logL for pre-stacked fused candidate arrays — tables
+        [K, n_ops+1, 8], blens [K, E], roots [K, 5] — over the sharded
+        repeats partitions, one SPMD dispatch + one psum."""
+        self._require_fused()
+        k = tables.shape[0]
+        if k == 0:
+            return np.zeros(0)
+        w = 1
+        while w < k:
+            w *= 2
+        if w != k:
+            tables = np.concatenate(
+                [tables, np.repeat(tables[-1:], w - k, axis=0)])
+            blens = np.concatenate(
+                [blens, np.repeat(blens[-1:], w - k, axis=0)])
+            roots = np.concatenate(
+                [roots, np.repeat(roots[-1:], w - k, axis=0)])
+        codes, _, _ = self._fused
+        totals = _sharded_fused_repeats_candidates(
+            codes,
+            self._put(np.asarray(tables, np.int32), P()),
+            self._put(np.asarray(blens, self.dtype), P()),
+            self._put(np.asarray(roots, np.int32), P()),
+            *self._model, self._pw, self._inv,
+            mesh=self.mesh,
+            scale_threshold=self.parts[0].scale_threshold,
+            scale_factor=self.parts[0].scale_factor,
+            rate_scalers=self.rate_scalers,
+            fused_slots=self._cand_slots_for(n_slots),
+            pallas_interpret=self.pallas_interpret,
+            asc_type=self.asc_type, n_real=self.n_real, mxu=self.mxu)
+        return np.asarray(totals)[:k]
+
+    def evaluate_packed(self, packed) -> np.ndarray:
+        """logL for [(table, blens, root_info, n_slots)] candidates from
+        pack_candidate."""
+        if not packed:
+            return np.zeros(0)
+        tables = np.stack([pc[0] for pc in packed])
+        blens = np.stack([pc[1] for pc in packed])
+        roots = np.asarray([list(pc[2]) for pc in packed], np.int32)
+        return self.evaluate_packed_arrays(
+            tables, blens, roots, max(pc[3] for pc in packed))

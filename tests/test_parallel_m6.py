@@ -483,3 +483,71 @@ def test_fused_under_mesh_unaligned_sites():
                                    rtol=2e-6 if states == 4 else 1e-5)
         lkn, d1, d2 = eng.newton_step()
         assert np.isfinite(lkn) and np.isfinite(d1) and np.isfinite(d2)
+
+
+def test_sharded_repeats_topology_search():
+    """Multi-chip topology search on the repeats production combo:
+    TreeSearch drives a ShardedRepeatsEngine through the batched
+    SPR/NNI rounds (evaluate_packed_arrays = one SPMD dispatch + one
+    psum per candidate batch). Accepted moves and final logL must match
+    a single-device dense-fused repeats search on the same global
+    problem."""
+    import jax.numpy as jnp
+
+    from libpll2_tpu import constants as C
+    from libpll2_tpu.parallel import ShardedRepeatsEngine
+    from libpll2_tpu.search import TreeSearch, _internal_edges
+    from libpll2_tpu.trees import moves, random_utree
+    from libpll2_tpu.utils.simulate import simulate_alignment
+
+    n_dev, n_taxa, sites = 4, 10, 256
+    freqs = [0.3, 0.25, 0.2, 0.25]
+    subst = [1.2, 3.0, 0.8, 1.1, 2.6, 1.0]
+    rates = compute_gamma_cats(0.7, 4)
+
+    def problem():
+        tree = random_utree([f"t{i}" for i in range(n_taxa)], seed=51)
+        headers, seqs = simulate_alignment(tree, sites, freqs, subst,
+                                           alpha=0.7, seed=51)
+        by = dict(zip(headers, seqs))
+        # perturb so the search has moves to find
+        rng = np.random.default_rng(9)
+        for _ in range(3):
+            edges = _internal_edges(tree)
+            moves.nni(edges[rng.integers(len(edges))],
+                      C.UTREE_MOVE_NNI_LEFT, None)
+        return tree, by
+
+    def make(tree, by, lo, hi):
+        p = Partition(tree.tip_count, tree.inner_count, 4, hi - lo, 1,
+                      tree.edge_count, 4, tree.inner_count,
+                      site_repeats=True, dtype=jnp.float32)
+        for t in tree.tips():
+            p.set_tip_states(t.clv_index, maps.map_nt,
+                             by[t.label][lo:hi])
+        p.set_frequencies(0, freqs)
+        p.set_subst_params(0, subst)
+        p.set_category_rates(rates)
+        return p
+
+    tree, by = problem()
+    w = sites // n_dev
+    mesh = make_mesh(n_dev)
+    eng = ShardedRepeatsEngine(
+        tree, [make(tree, by, d * w, (d + 1) * w) for d in range(n_dev)],
+        mesh, interpret=True)
+    assert eng.dense_fused and eng.use_fused
+    s1 = TreeSearch(None, tree, engine=eng)
+    assert not s1._streamed_eligible()   # batched path by design
+    b1, a1 = s1.spr_round_batched(radius=3)
+    n1, an1 = s1.nni_round_batched()
+
+    # single-device dense-fused repeats reference on the global columns
+    tree2, by2 = problem()
+    p_ref = make(tree2, by2, 0, sites)
+    s2 = TreeSearch(p_ref, tree2, pallas="interpret")
+    b2, a2 = s2.spr_round_batched(radius=3)
+    n2, an2 = s2.nni_round_batched()
+    assert (a1, an1) == (a2, an2)
+    np.testing.assert_allclose(b1, b2, rtol=2e-5)
+    np.testing.assert_allclose(n1, n2, rtol=2e-5)
