@@ -65,10 +65,12 @@ def test_process_count_invariance():
                 err_msg=f"{key} diverged between 1x8 and 2x4 processes")
         # dense-fused sharded site repeats (fp32): per-rank local class
         # tables, same SPMD program and psums — process-count invariant
-        for key in ("lk_rep", "d1_rep"):
+        for key in ("lk_rep", "d1_rep", "lk_rep_spr"):
             np.testing.assert_allclose(
                 rank[key], one[0][key], rtol=1e-6,
                 err_msg=f"{key} diverged between 1x8 and 2x4 processes")
+        # multi-process repeats topology search: same accepted moves
+        assert rank["acc_rep_spr"] == one[0]["acc_rep_spr"]
         # streamed SPR round: per-candidate scores, the round's result
         # and accepted-move count must be IDENTICAL (bit-for-bit: the
         # psum reduction order is process-count independent under the
