@@ -814,9 +814,8 @@ class ShardedRepeatsEngine:
         k = tables.shape[0]
         if k == 0:
             return np.zeros(0)
-        w = 1
-        while w < k:
-            w *= 2
+        from ..ops.spr_stream import _pow2
+        w = _pow2(k)
         if w != k:
             tables = np.concatenate(
                 [tables, np.repeat(tables[-1:], w - k, axis=0)])

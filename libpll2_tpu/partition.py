@@ -262,6 +262,11 @@ class Partition:
         if tip_indices is None:
             tip_indices = np.arange(len(seqs))
         tip_indices = np.asarray(tip_indices, np.int64)
+        if tip_indices.shape[0] != len(seqs):
+            raise C.PllError(
+                C.ERROR_PARAM_INVALID,
+                f"tip_indices ({tip_indices.shape[0]}) and sequences "
+                f"({len(seqs)}) must have equal lengths")
         for s in seqs:
             if len(s) != self.sites:
                 raise C.PllError(

@@ -671,14 +671,19 @@ def to_jplace(placer: EdgePlacer, results: Dict[str, Sequence[dict]],
     pend = placer.pendant_length
     items = list(results.items())
     placements = []
-    if items and all(isinstance(r, _RankedRows) for _, r in items):
+    lens = [len(r) for _, r in items]
+    # vectorized fast path needs a UNIFORM row count per query (all rows
+    # >= top_k, or all equal — then the clamp is per-query exact);
+    # mixed-length inputs (merged results of different top_k calls) take
+    # the dict fallback, which emits min(len(rows), top_k) PER query
+    uniform = lens and (min(lens) >= top_k or len(set(lens)) == 1)
+    if items and uniform and all(isinstance(r, _RankedRows)
+                                 for _, r in items):
         # vectorized across ALL queries: one [Q, k, 4] float block + one
         # [Q, k] edge block -> native lists in two tolist() passes,
         # instead of Q x k dict materializations (the jplace-writer host
-        # cost at EPA scale, VERDICT r4 weak #4). k clamps to the
-        # shortest row so this path and the dict fallback below emit
-        # identical fields for any input.
-        top_k = min([top_k] + [len(r) for _, r in items])
+        # cost at EPA scale, VERDICT r4 weak #4)
+        top_k = min(top_k, min(lens))
         o = np.stack([np.asarray(r.order[:top_k], np.int64)
                       for _, r in items])
         vals = np.stack([np.asarray(r.scores[:top_k]) for _, r in items])

@@ -397,3 +397,12 @@ def test_set_tip_states_batch_matches_per_tip():
     np.testing.assert_array_equal(np.asarray(p1.clv), np.asarray(p2.clv))
     np.testing.assert_array_equal(p1.tip_states, p2.tip_states)
     assert np.all(p2._tips_set[:tree.tip_count])
+
+
+def test_set_tip_states_batch_length_mismatch_raises():
+    tree_n = 6
+    part = Partition(tree_n, tree_n - 2, 4, 64, 1, 2 * tree_n - 3, 4,
+                     tree_n - 2)
+    with pytest.raises(C.PllError):
+        part.set_tip_states_batch(maps.map_nt, ["A" * 64] * 4,
+                                  tip_indices=[0, 1])

@@ -313,3 +313,29 @@ def test_place_stream_invalidates_on_branch_change():
     assert any(abs(x["logL"] - y["logL"]) > 1.0
                for x, y in zip(sorted(before, key=lambda r: r["edge"]),
                                sorted(after, key=lambda r: r["edge"])))
+
+
+def test_to_jplace_mixed_length_rows():
+    """Merged results with DIFFERENT row counts (e.g. place_stream
+    calls with different top_k) must emit min(len(rows), top_k) rows
+    PER query — the vectorized writer only engages on uniform row
+    counts (review finding, round 5)."""
+    import json
+
+    from libpll2_tpu.placement import to_jplace
+
+    tree = random_utree([f"t{i}" for i in range(8)], seed=4)
+    headers, seqs = simulate_alignment(tree, 128, [0.25] * 4,
+                                       [1, 2, 1, 1, 2, 1], alpha=0.9,
+                                       seed=4)
+    by = dict(zip(headers, seqs))
+    placer = EdgePlacer(tree, by)
+    placer.set_model([0.25] * 4, [1, 2, 1, 1, 2, 1], alpha=0.9)
+    placer.prepare_stream()
+    long_rows = placer.place_stream({"qA": by["t1"]})
+    short_rows = placer.place_stream({"qB": by["t2"]}, top_k=3)
+    merged = {"qA": long_rows["qA"], "qB": short_rows["qB"]}
+    jp = to_jplace(placer, merged, top_k=7)
+    counts = {p["n"][0]: len(p["p"]) for p in jp["placements"]}
+    assert counts == {"qA": 7, "qB": 3}
+    json.dumps(jp)                      # serializable end to end

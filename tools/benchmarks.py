@@ -687,7 +687,11 @@ def bench_df64():
         best = min(best, time.perf_counter() - t0)
     record("df64_eval_seconds", best, "s",
            f"double-single certified eval (logL {lk:.4f}; fp32 fused "
-           f"gives {lk32:.4f}); first call incl. compile "
+           f"gives {lk32:.4f}); END-TO-END wall per call — a one-shot "
+           "certification is a single dispatch by nature, so unlike "
+           "the k-chained rows this deliberately includes the ~30 ms "
+           "tunnel dispatch + host pmatrix split (PCIe-attached "
+           f"hardware pays neither); first call incl. compile "
            f"{dt_first:.1f} s; gate case dna_df64 holds 1e-8 vs the "
            "CPU fp64 oracle (measured ~1e-16)")
 
