@@ -519,3 +519,61 @@ def test_streamed_rounds_rate_scalers_match_batched():
     assert (a1, an1) == (a2, an2)
     np.testing.assert_allclose(b1, b2, rtol=1e-9)
     np.testing.assert_allclose(n1, n2, rtol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [203, 206, 210, 217, 225, 228])
+def test_streamed_round_fuzz_matches_batched(seed):
+    """Randomized attribute-combination fuzz for the streamed rounds
+    (round-5 sweep: 30 seeds clean, incl. repeats / per-rate scalers /
+    asc draws); a compact sample is pinned here. Streamed and batched
+    rounds must accept the same moves at the same logL for ANY eligible
+    configuration."""
+    rng = np.random.default_rng(seed)
+    states = int(rng.choice([4, 4, 20]))
+    n = int(rng.integers(8, 15))
+    n_sites = int(rng.integers(48, 160))
+    repeats = bool(rng.integers(0, 3) == 0)
+    rate_scalers = bool(rng.integers(0, 4) == 0)
+    alpha = float(rng.uniform(0.3, 2.0))
+    asc = None
+    if not rate_scalers and not repeats and rng.integers(0, 3) == 0:
+        asc = C.AscBias(int(rng.integers(1, 4)))
+    alphabet = "ACGT" if states == 4 else "ARNDCQEGHILKMFPSTWYV"
+    headers, seqs = random_alignment(n, n_sites, alphabet=alphabet,
+                                     seed=seed)
+    if repeats:
+        src = rng.integers(0, max(n_sites // 3, 1), size=n_sites)
+        seqs = ["".join(s[j] for j in src) for s in seqs]
+
+    def build():
+        rng2 = np.random.default_rng(seed + 1)
+        tree = random_utree(headers, seed=seed)
+        kw = {}
+        if repeats:
+            kw["site_repeats"] = True
+        if rate_scalers:
+            kw["rate_scalers"] = True
+        if asc:
+            kw["asc_bias"] = asc
+        part = Partition(n, n - 2, states, n_sites, 1, 2 * n - 3, 4,
+                         n - 2, **kw)
+        by = dict(zip(headers, seqs))
+        cm = maps.map_nt if states == 4 else maps.map_aa
+        for t in tree.tips():
+            part.set_tip_states(t.clv_index, cm, by[t.label])
+        part.set_frequencies(0, rng2.dirichlet(np.ones(states) * 10))
+        part.set_subst_params(
+            0, rng2.uniform(0.5, 2.0, states * (states - 1) // 2))
+        part.set_category_rates(compute_gamma_cats(alpha, 4))
+        if asc:
+            part.set_asc_state_weights([2] * states)
+        return part, tree
+
+    p1, t1 = build()
+    s1 = TreeSearch(p1, t1)
+    b1, a1 = s1.spr_round_streamed(radius=3, seed=2)
+    p2, t2 = build()
+    s2 = TreeSearch(p2, t2)
+    b2, a2 = s2.spr_round_batched(radius=3, seed=2)
+    assert a1 == a2
+    np.testing.assert_allclose(b1, b2, rtol=1e-9)
